@@ -1,24 +1,85 @@
 package graft
+
+import graft.core._
+import graft.queries.RefQueries
+import graft.simple.Simple
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: the B1–B5 set from /root/repo/BASELINE.md.
+  *
+  * B1/B2 transliterate the reference's own criterion workloads
+  * (`/root/reference/bench/MapReduce.hs:47-52,280-306`, n=100,000,
+  * fixed seed) onto the typed engine; B3–B5 run Q01/Q03/Q08 on the
+  * `SPARK_GRAFT_SF_DIR` parquet.  Prints ONE JSON line.
+  * Timing: 1 warmup + median of 3.
+  */
 object Bench {
+
+  private def median3(f: => Unit): Double = {
+    f // warmup
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // B1 input: 100k (label, value), labels 'A'..'Z', values 1..100
+    // (reference bench/MapReduce.hs:47-52; Char → 1-char String).
+    val rnd = new scala.util.Random(42)
+    val charPairs = (1 to 100000).map { _ =>
+      (('A' + rnd.nextInt(26)).toChar.toString, rnd.nextInt(100) + 1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val b1ds = spark.createDataset(charPairs).cache()
+    b1ds.count()
+
+    // B2 input: 100k ragged maps, A=l, B=l%47, C=l%13 iff l even
+    // (reference bench/MapReduce.hs:280-290).
+    val rnd2 = new scala.util.Random(43)
+    val ragged = (1 to 100000).map { _ =>
+      val l = rnd2.nextInt(100) + 1
+      val base = Map("A" -> l, "B" -> l % 47)
+      if (l % 2 == 0) base + ("C" -> (l % 13)) else base
+    }
+    val b2ds = spark.createDataset(ragged).cache()
+    b2ds.count()
+
+    val b1 = median3 {
+      Simple.hashableMapReduce(b1ds,
+        Unpack.Filter[(String, Int)](_._2 % 2 == 0),
+        Assign.of[(String, Int), String, Double](_._1)(_._2.toDouble),
+        Reduce.fromFold[String, Double, Double](Folds.mean)).count()
+    }
+    val b2 = median3 {
+      Simple.hashableMapReduce(b2ds,
+        Unpack.Explode[Map[String, Int], (Int, Double)] { m =>
+          for { a <- m.get("A").iterator; b <- m.get("B").iterator
+                c <- m.get("C").iterator } yield (c, (a + b).toDouble)
+        },
+        Assign.of[(Int, Double), Int, Double](_._1)(_._2),
+        Reduce.fromFold[Int, Double, Double](Folds.mean)).count()
+    }
+    val b3 = median3 { RefQueries.q01(spark, sfDir).count() }
+    val b4 = median3 { RefQueries.q03(spark, sfDir).count() }
+    val b5 = median3 { RefQueries.q08(spark, sfDir).count() }
+
+    val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
+      "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5)
+    val qjson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = qs.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

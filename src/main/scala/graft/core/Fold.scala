@@ -1,0 +1,127 @@
+package graft.core
+
+/** A left fold with an explicitly mergeable buffer.
+  *
+  * Mirrors the shape of the reference's fold vocabulary
+  * (`Control.Foldl.Fold`, re-exported at reference
+  * `src/Control/MapReduce/Core.hs:74-79`): `init`/`step`/`done`,
+  * plus `merge` which the reference never needs (its engines are
+  * single-threaded left folds) but a distributed engine must have:
+  * Spark runs `step` partially on every partition and combines the
+  * partial buffers with `merge` (map-side partial aggregation).
+  * `merge` must be commutative+associative with `init` as identity.
+  *
+  * The Applicative product of the reference (`Core.hs:211-218`,
+  * `examples/ListStats.hs:39-44`) is [[zip]]: both folds run over the
+  * same pass, buffers are paired.
+  */
+trait Fold[A, B] extends Serializable { self =>
+  type Buf
+  def init: Buf
+  def step(b: Buf, a: A): Buf
+  def merge(x: Buf, y: Buf): Buf
+  def done(b: Buf): B
+
+  /** Run locally over any collection (the reference's `FL.fold`). */
+  final def fold(as: IterableOnce[A]): B =
+    done(as.iterator.foldLeft(init)(step))
+
+  /** Post-map the result (Functor; reference `Core.hs:191-199`). */
+  final def map[C](f: B => C): Fold.Aux[A, self.Buf, C] =
+    new Fold[A, C] {
+      type Buf = self.Buf
+      def init = self.init
+      def step(b: Buf, a: A) = self.step(b, a)
+      def merge(x: Buf, y: Buf) = self.merge(x, y)
+      def done(b: Buf) = f(self.done(b))
+    }
+
+  /** Pre-map the input (Profunctor lmap; reference `Core.hs:201-209`,
+    * `FL.premap` usage at `bench/MapReduce.hs:305-306`). */
+  final def premap[Z](f: Z => A): Fold.Aux[Z, self.Buf, B] =
+    new Fold[Z, B] {
+      type Buf = self.Buf
+      def init = self.init
+      def step(b: Buf, z: Z) = self.step(b, f(z))
+      def merge(x: Buf, y: Buf) = self.merge(x, y)
+      def done(b: Buf) = self.done(b)
+    }
+
+  /** Applicative product: one pass, paired buffers
+    * (reference `Core.hs:211-218`). */
+  final def zip[C](that: Fold[A, C]): Fold.Aux[A, (self.Buf, that.Buf), (B, C)] =
+    new Fold[A, (B, C)] {
+      type Buf = (self.Buf, that.Buf)
+      def init = (self.init, that.init)
+      def step(b: Buf, a: A) = (self.step(b._1, a), that.step(b._2, a))
+      def merge(x: Buf, y: Buf) =
+        (self.merge(x._1, y._1), that.merge(x._2, y._2))
+      def done(b: Buf) = (self.done(b._1), that.done(b._2))
+    }
+
+  final def zipWith[C, D](that: Fold[A, C])(f: (B, C) => D): Fold[A, D] =
+    zip(that).map { case (b, c) => f(b, c) }
+}
+
+object Fold {
+  type Aux[A, S, B] = Fold[A, B] { type Buf = S }
+
+  /** Build a fold from its four pieces. */
+  def apply[A, S, B](z: S)(st: (S, A) => S)(mg: (S, S) => S)(
+      dn: S => B): Aux[A, S, B] =
+    new Fold[A, B] {
+      type Buf = S
+      def init = z
+      def step(b: S, a: A) = st(b, a)
+      def merge(x: S, y: S) = mg(x, y)
+      def done(b: S) = dn(b)
+    }
+
+  /** Monoid fold: init=empty, step=combine, merge=combine. */
+  def monoid[A](empty: A)(combine: (A, A) => A): Aux[A, A, A] =
+    apply(empty)(combine)(combine)(identity)
+}
+
+/** The fold vocabulary the reference actually exercises (SURVEY §2.1-G):
+  * sum, mean, count, min, max, list, plus premap/map/zip algebra. */
+object Folds {
+  def sum[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
+    Fold.monoid(n.zero)(n.plus)
+
+  def count[A]: Fold.Aux[A, Long, Long] =
+    Fold[A, Long, Long](0L)((s, _) => s + 1L)(_ + _)(identity)
+
+  /** (sum, count) buffer; NaN on empty group like SQL AVG of nothing
+    * is NULL — we surface Double.NaN, caller decides. */
+  def mean: Fold.Aux[Double, (Double, Long), Double] =
+    Fold[Double, (Double, Long), Double]((0.0, 0L))((s, a) =>
+      (s._1 + a, s._2 + 1L))((x, y) => (x._1 + y._1, x._2 + y._2))(s =>
+      if (s._2 == 0L) Double.NaN else s._1 / s._2)
+
+  def min[A](implicit o: Ordering[A]): Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      Some(s.fold(a)(o.min(_, a))))((x, y) =>
+      (x, y) match {
+        case (Some(a), Some(b)) => Some(o.min(a, b))
+        case _                  => x.orElse(y)
+      })(identity)
+
+  def max[A](implicit o: Ordering[A]): Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      Some(s.fold(a)(o.max(_, a))))((x, y) =>
+      (x, y) match {
+        case (Some(a), Some(b)) => Some(o.max(a, b))
+        case _                  => x.orElse(y)
+      })(identity)
+
+  /** Buffer the whole group — the `functionToFold` escape hatch
+    * (reference `Core.hs:250-259`); documented memory-unsafe at scale,
+    * merge order follows partition order so treat result as a bag. */
+  def list[A]: Fold.Aux[A, List[A], List[A]] =
+    Fold[A, List[A], List[A]](List.empty[A])((s, a) => a :: s)((x, y) =>
+      y ::: x)(_.reverse)
+
+  /** Adapt a whole-container function into a buffering fold —
+    * the reference's `functionToFold` (`Core.hs:250-259`). */
+  def ofFunction[A, B](f: Seq[A] => B): Fold[A, B] = list[A].map(f)
+}

@@ -1,0 +1,98 @@
+package graft.engine
+
+import graft.core._
+import org.apache.spark.sql.{Dataset, Encoder, TypedColumn}
+
+/** Typed engine: assembles an (Unpack, Assign, Reduce) triple into a
+  * Spark `Dataset` plan — the analog of the reference's engines
+  * (`listEngine`/`streamlyEngine`/…, SURVEY §2.1-D).  All reference
+  * engine/backend choices collapse into the one Catalyst/Tungsten
+  * backend (SURVEY §4-O5); the only surviving knob is ordered vs
+  * unordered output (reference `groupByOrderedKey` vs
+  * `groupByHashableKey`, `Engines/Streamly.hs:288-314`).
+  *
+  * Dispatch (the reference's `reduceFunction`, `Engines.hs:62-65`):
+  *  - key-independent [[Reduce.PerKeyFold]] → `Aggregator` with
+  *    map-side partial aggregation (never materializes a group);
+  *  - key-dependent / whole-group → `mapGroups` (group streamed
+  *    through an iterator, one group in memory at a time).
+  */
+object DatasetEngine {
+
+  /** Compile a Fold into a typed aggregation column.  The buffer
+    * crosses the shuffle Kryo-encoded — the general fallback; hot
+    * queries should use the untyped [[FrameQuery]] path where
+    * aggregates are native Catalyst expressions. */
+  def aggOf[C, D](fd: Fold[C, D])(implicit ed: Encoder[D]): TypedColumn[C, D] = {
+    val aux: Fold.Aux[C, fd.Buf, D] = fd
+    FoldAggregator.kryoBuf(aux).toColumn
+  }
+
+  /** Run just the unpack step — reference `unpackOnlyFold`
+    * (`Simple.hs:215-222`). */
+  def unpackOnly[X, Y](ds: Dataset[X], u: Unpack[X, Y])(
+      implicit ey: Encoder[Y]): Dataset[Y] = u match {
+    case f: Unpack.Filter[X @unchecked] =>
+      ds.filter(f.p).asInstanceOf[Dataset[Y]]
+    case e: Unpack.Explode[X, Y @unchecked] =>
+      ds.flatMap(x => e.f(x).iterator)
+  }
+
+  /** Full pipeline: unpack → assign → group → reduce.
+    * `ordered = true` sorts the result by key (reference
+    * ordered-key engines give key-sorted output as a side effect of
+    * `Data.Map`; we make the sort explicit — SURVEY §4-O4). */
+  def run[X, Y, K, C, D](
+      ds: Dataset[X],
+      u: Unpack[X, Y],
+      a: Assign[Y, K, C],
+      r: Reduce[K, C, D],
+      ordered: Boolean = false)(
+      implicit ey: Encoder[Y],
+      ekc: Encoder[(K, C)],
+      ec: Encoder[C],
+      ek: Encoder[K],
+      ed: Encoder[D],
+      ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
+    val pairs = unpackOnly(ds, u).map(y => (a.key(y), a.value(y)))
+    val grouped = pairs.groupByKey(_._1)
+    val out: Dataset[(K, D)] = r match {
+      case Reduce.PerKeyFold(fd) =>
+        grouped.mapValues(_._2).agg(aggOf(fd))
+      case other =>
+        grouped.mapGroups((k, it) => (k, Reduce.run(other)(k, it.map(_._2))))
+    }
+    // column name differs by path: "key" (KeyValueGroupedDataset.agg)
+    // vs "_1" (mapGroups tuple) — sort by position, not name
+    if (ordered) out.orderBy(out.col(out.columns.head)) else out
+  }
+
+  /** Effectful pipeline — reference `*M` engines (`Engines.hs:59`).
+    * Effects run inside `mapPartitions`: per-partition input order,
+    * concurrent across partitions, re-run on task retry — the
+    * documented deviation from the reference's global sequential
+    * order (SURVEY §7.5).  For strict sequential parity coalesce to
+    * one partition first (test-only escape hatch). */
+  def runM[X, Y, K, C, D](
+      ds: Dataset[X],
+      u: UnpackM[X, Y],
+      a: AssignM[Y, K, C],
+      r: ReduceM[K, C, D],
+      sequential: Boolean = false)(
+      implicit ey: Encoder[Y],
+      ekc: Encoder[(K, C)],
+      ek: Encoder[K],
+      ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
+    val in = if (sequential) ds.coalesce(1) else ds
+    val unpacked: Dataset[Y] = u match {
+      case f: UnpackM.FilterM[X @unchecked] =>
+        in.mapPartitions(_.filter(f.p)).asInstanceOf[Dataset[Y]]
+      case e: UnpackM.ExplodeM[X, Y @unchecked] =>
+        in.mapPartitions(_.flatMap(x => e.f(x).iterator))
+    }
+    unpacked
+      .mapPartitions(_.map(a.kv))
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, r.f(k, it.map(_._2))))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import graft.functions.ColFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * Each comes in two layers: a *signature* (per-row, embarrassingly
+  * parallel, codegen'd Column expressions) and a *pairing* step that
+  * only ever joins within LSH buckets — never an all-pairs cross
+  * join — so the shuffle volume is O(rows × bands), not O(rows²),
+  * and the plan survives a 100 TB corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor per distinct value of `keyCols`, the
+    * row minimizing `tieBreak` (deterministic).  Single hash-agg
+    * shuffle on the dedup key; `min_by` keeps whole rows without
+    * materializing groups. */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(tieBreak)).as("survivor"))
+      .select("survivor.*")
+  }
+
+  /** doc_id + k minhash columns (m0..m15) over word `n`-gram
+    * shingles of `textCol`. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
+    df.select(Seq(col(idCol)) ++ minhashCols(sh): _*)
+  }
+
+  /** LSH candidate pairs: documents sharing any minhash band bucket,
+    * verified with exact shingle-set Jaccard.  `bands` × `rows` must
+    * equal the signature width (16).  Self-joins only within
+    * (band_id, band_hash) buckets. */
+  def lshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
+    val rows = MinhashA.size / bands
+    val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
+    val sig = df.select(col(idCol).as("id"), sh.as("sh"))
+      .select(Seq(col("id"), col("sh")) ++ minhashCols(col("sh")): _*)
+    // band hashes: explode to (id, band_id, band_hash, shingles)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        bandHash((0 until rows).map(r => col(s"m${b * rows + r}"))).as("bh"))
+    }
+    val banded = sig.select(col("id"), col("sh"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("sh"), col("band.band_id"), col("band.bh"))
+    val l = banded.select(col("band_id"), col("bh"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band_id"), col("bh"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      / size(array_union(col("sh_a"), col("sh_b"))))
+    l.join(r, Seq("band_id", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard")) // dedup multi-band hits
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit simhash over token hashes, returned as two unsigned
+    * 32-bit halves (hi, lo) so the value stays positive in int64.
+    * One explode + one 64-way sum aggregation — a single shuffle. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), h32hi(col("t")).as("hi"), h32lo(col("t")).as("lo"))
+    val sums = (0 until 32).flatMap { j =>
+      Seq(sum(when(shiftright(col("hi"), j) % 2 === 1, 1).otherwise(-1)).as(s"shi$j"),
+          sum(when(shiftright(col("lo"), j) % 2 === 1, 1).otherwise(-1)).as(s"slo$j"))
+    }
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    def assemble(pfx: String): Column =
+      (0 until 32).map(j =>
+        when(col(s"$pfx$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    agg.select(col(idCol), assemble("shi").as("simhash_hi"),
+      assemble("slo").as("simhash_lo"))
+  }
+
+  /** Character n-gram Jaccard near-dup pairs, blocked by language and
+    * a length band (`lenBand` chars) instead of all-pairs — candidate
+    * count stays linear-ish in corpus size for natural length
+    * distributions. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 5, lenBand: Long = 64,
+      minJaccard: Double = 0.05): DataFrame = {
+    val prep = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      array_distinct(charShingles(lower(col(textCol)), n)).as("g"),
+      floor(length(col(textCol)) / lenBand).as("bucket"))
+    // a doc joins its own bucket and the next (so neighbors split by a
+    // boundary still pair up)
+    val l = prep.select(col("lang"), col("bucket"), col("id").as("id_a"), col("g").as("g_a"))
+    val r = prep.withColumn("bucket", explode(array(col("bucket"), col("bucket") + 1)))
+      .select(col("lang"), col("bucket"), col("id").as("id_b"), col("g").as("g_b"))
+    val jac = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+      size(array_union(col("g_a"), col("g_b")))
+    l.join(r, Seq("lang", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.functions.ColFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the probe set is small and broadcast; the corpus side
+  * streams.  Brute force is the exact baseline (one broadcast-nested-
+  * loop join, no shuffle of the corpus); the sign-LSH variant prunes
+  * candidates to matching hyperplane-signature buckets first, so the
+  * per-probe work drops from O(corpus) to O(bucket).
+  *
+  * Hyperplanes are deterministic ±1 matrices derived from md5 on the
+  * DRIVER and embedded as literals — zero per-row hash cost, and the
+  * DuckDB oracle embeds the identical literals (see OracleSql).
+  */
+object Similarity {
+
+  /** md5-hex of a string, computed driver-side (same bits as the SQL
+    * md5 functions). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 weight for (plane, dim): parity of the 60-bit
+    * md5 prefix of "plane_dim" — the driver-side twin of ColFns.h60. */
+  def hyperplane(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      val h = java.lang.Long.parseLong(md5Hex(s"${plane}_$d").take(15), 16)
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Sign-LSH bucket id: bit j = [ dot(w_j, v) > 0 ]. */
+  def signBucket(vecD: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vecD, typedLit(hyperplane(j, dims)), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors for each probe id: broadcast the probes,
+    * one pass over the corpus, per-probe top-k via window.  Output:
+    * (vec_id, neighbor_id, sim) with sim = cosine rounded to 6. */
+  def bruteForceTopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withNorm = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", normD(col("v")))
+    val probes = withNorm.where(col(idCol).isInCollection(probeIds))
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val cos = cosineWithNorms(dotD(col("pv"), col("v")), col("pn"), col("nrm"))
+    val scored = withNorm.join(broadcast(probes), col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
+    topK(scored, k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share the probe's
+    * sign-LSH bucket.  Same output shape as [[bruteForceTopK]]. */
+  def lshTopK(emb: DataFrame, probeIds: Seq[Long], k: Int, planes: Int,
+      dims: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withB = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", normD(col("v")))
+      .withColumn("bkt", signBucket(col("v"), planes, dims))
+    val probes = withB.where(col(idCol).isInCollection(probeIds))
+      .select(col(idCol).as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"), col("bkt").as("pbkt"))
+    val cos = cosineWithNorms(dotD(col("pv"), col("v")), col("pn"), col("nrm"))
+    val scored = withB.join(broadcast(probes),
+        col("bkt") === col("pbkt") && col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), cos.as("cos"))
+    topK(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH blocking then exact
+    * cosine ≥ `minCos`.  Never an all-pairs cross join. */
+  def nearDupPairs(emb: DataFrame, minCos: Double, planes: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withB = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", normD(col("v")))
+      .withColumn("bkt", signBucket(col("v"), planes, dims))
+    val l = withB.select(col("bkt"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = withB.select(col("bkt"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = cosineWithNorms(dotD(col("va"), col("vb")), col("na"), col("nb"))
+    l.join(r, Seq("bkt")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.functions.ColFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus pipelines: language ID, quality
+  * scoring, token counting, fingerprinting.  All per-row Column
+  * expressions — embarrassingly parallel, codegen'd, no shuffle.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic (shared with the oracle generator). */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他"))
+
+  /** Count of tokens contained in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language = argmax stopword hits, ties broken by
+    * language code ascending (deterministic). */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopWords.map { case (lang, ws) =>
+      struct(stopwordHits(toks, ws).as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits, -lang): sort_array desc puts highest hits first;
+    // struct compare is lexicographic so equal hits pick the LAST lang —
+    // invert by comparing on (hits, reversed-lang) is messy; instead
+    // fold with explicit tie rule: strictly-greater replaces.
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("hits") > best.getField("hits"), cand).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Unrounded quality-score features (token count, mean token
+    * length, punctuation ratio, stopword ratio, composite score).
+    * Kept raw so aggregations can sum them exactly; round only at
+    * presentation.  Expression shapes mirror the DuckDB oracle
+    * operation-for-operation so doubles are bit-identical. */
+  def qualityColsRaw(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+      greatest(nTok, lit(1)).cast("double")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val allStops = StopWords.flatMap(_._2).distinct
+    val stopRatio = stopwordHits(toks, allStops).cast("double") /
+      greatest(nTok, lit(1)).cast("double")
+    val score = stopRatio * 0.4 + (lit(1.0) - punct) * 0.3 +
+      least(meanLen / 8.0, lit(1.0)) * 0.3
+    Seq(nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+      punct.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Rounded per-document presentation of [[qualityColsRaw]]. */
+  def qualityCols(text: Column): Seq[Column] =
+    qualityColsRaw(text).zip(Seq("n_tokens", "mean_tok_len", "punct_ratio",
+      "stopword_ratio", "quality_score")).map { case (c, n) =>
+      if (n == "n_tokens") c else round(c, 6).as(n)
+    }
+
+  /** BPE-ish token pattern: letter runs / digit runs / single other
+    * non-space chars. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count via regexp_count (codegen'd). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern))
+
+  /** Rolling-hash document fingerprint over tokens (order-sensitive). */
+  def fingerprintCol(text: Column): Column = fingerprint(tokens(text))
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable Catalyst `Column` builders for the engine's scalar surface.
+  *
+  * Everything here compiles to native Spark SQL expressions (whole-stage
+  * codegen, no UDFs — SURVEY §4).  Where an operator also needs a DuckDB
+  * oracle, the companion [[OracleSql]] generates the SQL text from the
+  * SAME constants, so Spark results and the oracle stay bit-identical.
+  *
+  * Numeric-determinism policy (so results hash-match any engine):
+  *  - money columns (2-decimal doubles) are summed exactly via
+  *    `DECIMAL(18,2)` and only cast back to double at the end;
+  *  - float vectors are cast to double and reduced strictly
+  *    left-to-right (`aggregate` with 0.0 init ≡ DuckDB `list_reduce`);
+  *  - hashes are md5-derived (md5 is identical everywhere), truncated
+  *    to 60 bits so they stay positive in signed int64 arithmetic.
+  */
+object ColFns {
+
+  /** Exact sum of a 2-decimal-valued double column: decimal-sum then
+    * back to double.  Addition over decimals is exact, so the result
+    * is independent of partitioning/merge order — unlike a naive
+    * double sum, which differs in final ulps between engines. */
+  def sumMoney(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact mean built from [[sumMoney]] / count — deterministic. */
+  def avgMoney(c: Column): Column = sumMoney(c) / count(c)
+
+  /** 60-bit positive hash of a string: first 15 hex chars of md5.
+    * md5 is bit-identical across Spark/DuckDB/everything. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit halves of md5 (for 64-bit simhash assembly). */
+  def h32hi(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def h32lo(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Word n-gram shingles of a token array (empty if fewer than n). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles of a string (empty if shorter than n). */
+  def charShingles(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (n - 1), lit(0)))
+    val grams = transform(idx, i => substr(text, i, lit(n)))
+    when(length(text) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Strict left-to-right double dot product of two array<double>
+    * columns — `aggregate` with 0.0 init; 0.0 + x1 == x1 exactly, so
+    * this equals DuckDB's init-less `list_reduce` sum. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cast a float vector column to array<double> (exact widening). */
+  def vecD(c: Column): Column = c.cast("array<double>")
+
+  /** L2 norm, computed from [[dotD]] so it parenthesizes identically
+    * to the oracle. */
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Cosine similarity given precomputed norms: dot / (na * nb). */
+  def cosineWithNorms(dot: Column, na: Column, nb: Column): Column =
+    dot / (na * nb)
+
+  // ---- MinHash ----------------------------------------------------------
+  /** Mersenne prime 2^31-1; permutation slopes/offsets are fixed odd
+    * constants < p shared with the oracle generator. */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(
+    1103515245L, 1299709L, 1689487L, 2038074743L, 65537L, 971L,
+    179424673L, 32452843L, 15485863L, 49979687L, 86028121L, 67867967L,
+    122949829L, 141650939L, 160481183L, 198491317L)
+  val MinhashB: Seq[Long] = Seq(
+    12345L, 9973L, 7919L, 104729L, 130363L, 499979L,
+    982451653L, 57885161L, 74207281L, 30402457L, 20996011L, 6972593L,
+    3021377L, 2976221L, 1398269L, 859433L)
+
+  /** k-minhash signature (k columns) of a shingle array: for each
+    * permutation i, min over shingles of (a_i * (h60 % p) + b_i) % p.
+    * h is reduced mod p BEFORE multiplying so a*h fits in int64. */
+  def minhashCols(shingles: Column): Seq[Column] =
+    MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(shingles, s =>
+        (lit(a) * (h60(s) % MinhashP) + lit(b)) % MinhashP))
+        .as(s"m$i")
+    }
+
+  /** LSH band hash over a slice of minhash columns. */
+  def bandHash(ms: Seq[Column]): Column = md5(concat_ws(",", ms.map(_.cast("string")): _*))
+
+  // ---- Rolling-hash fingerprint ----------------------------------------
+  val FpMod: Long = 1048573L // prime < 2^20 so acc*B + x never overflows
+  val FpBase: Long = 31L
+
+  /** Polynomial rolling hash over token hashes — document fingerprint
+    * (order-sensitive, unlike minhash). */
+  def fingerprint(toks: Column): Column =
+    aggregate(transform(toks, t => h60(t) % FpMod), lit(0L),
+      (acc, x) => (acc * FpBase + x) % FpMod)
+}

@@ -1,0 +1,388 @@
+package graft.queries
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.functions.ColFns
+import graft.functions.ColFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star pipeline queries Q14+ (SURVEY §2.2 extensions): dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force + sign-LSH top-k), text
+  * analysis (language-ID, quality, token counts, fingerprints), plus
+  * the relational extension surface (window, join, set ops, rollup).
+  *
+  * Every DuckDB oracle is *generated from the same constants* as the
+  * Spark implementation (md5-derived hashes, minhash permutation
+  * tables, hyperplane signs), so both engines compute bit-identical
+  * hashes and the results hash-match.
+  */
+object PipelineQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- DuckDB SQL generators (share constants with ColFns) --------------
+
+  /** DuckDB twin of ColFns.h60: first 15 md5 hex chars as int64. */
+  private def h60Sql(e: String): String =
+    s"list_reduce(list_transform(string_split(substring(md5($e),1,15),'')," +
+      s" hc -> CAST(strpos('0123456789abcdef',hc) AS BIGINT)-1), (ha,hb) -> ha*16+hb)"
+  private def h32Sql(e: String, off: Int): String =
+    s"list_reduce(list_transform(string_split(substring(md5($e),$off,8),'')," +
+      s" hc -> CAST(strpos('0123456789abcdef',hc) AS BIGINT)-1), (ha,hb) -> ha*16+hb)"
+
+  /** DuckDB twin of ColFns.tokens. */
+  private val toksSql = "list_filter(string_split(lower(text),' '), t -> t <> '')"
+
+  /** DuckDB twin of ColFns.wordShingles(n=3) + array_distinct. */
+  private def shingles3Sql(t: String): String =
+    s"list_distinct(CASE WHEN len($t)>=3 THEN list_transform(range(1, len($t)-1)," +
+      s" i -> ($t)[i]||' '||($t)[i+1]||' '||($t)[i+2]) ELSE [] END)"
+
+  /** DuckDB twin of ColFns.charShingles(n) + distinct (input already lowercased). */
+  private def charShinglesSql(t: String, n: Int): String =
+    s"list_distinct(CASE WHEN length($t)>=$n THEN list_transform(range(1, length($t)-${n - 2})," +
+      s" i -> substring($t, i, $n)) ELSE [] END)"
+
+  /** DuckDB twin of ColFns.dotD: strict left-to-right double dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x,y) -> x+y)"
+
+  /** DuckDB literal for a hyperplane sign vector. */
+  private def planeLit(j: Int, dims: Int): String =
+    Similarity.hyperplane(j, dims).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** DuckDB twin of Similarity.signBucket over column `v`. */
+  private def bucketSql(v: String, planes: Int, dims: Int): String =
+    (0 until planes).map { j =>
+      s"(CASE WHEN ${dotSql(v, planeLit(j, dims))} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val Dims = 64
+  private val Planes = 8
+
+  // ---- Q14: exact dedup (hash-groupBy, one shuffle) ---------------------
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(tbl(s, dir, "documents"), Seq("text"), "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+  val q14Sql: String =
+    """SELECT lang, count(*) AS n
+      |FROM (SELECT text, arg_min(lang, doc_id) AS lang FROM documents GROUP BY text)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- Q15: exact ANN top-k (broadcast probes, no corpus shuffle) -------
+  def q15(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), Seq(1L, 2L, 3L, 4L, 5L), 3)
+      .orderBy("vec_id", "neighbor_id")
+  val q15Sql: String = {
+    val dot = dotSql("p.v", "e2.v")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM n),
+       |sc AS (SELECT p.vec_id AS vec_id, e2.vec_id AS neighbor_id,
+       |         $dot/(p.nrm*e2.nrm) AS cos
+       |       FROM (SELECT * FROM nn WHERE vec_id IN (1,2,3,4,5)) p, nn e2
+       |       WHERE e2.vec_id <> p.vec_id),
+       |rk AS (SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |       FROM sc)
+       |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
+  // ---- Q15b: sign-LSH bucketed ANN (the scale path) ---------------------
+  def q15b(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(tbl(s, dir, "embeddings"), Seq(1L, 2L, 3L, 4L, 5L), 3,
+      Planes, Dims).orderBy("vec_id", "neighbor_id")
+  val q15bSql: String = {
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+       |         ${bucketSql("v", Planes, Dims)} AS bkt FROM n),
+       |sc AS (SELECT p.vec_id AS vec_id, e2.vec_id AS neighbor_id,
+       |         ${dotSql("p.v", "e2.v")}/(p.nrm*e2.nrm) AS cos
+       |       FROM (SELECT * FROM nn WHERE vec_id IN (1,2,3,4,5)) p, nn e2
+       |       WHERE e2.bkt = p.bkt AND e2.vec_id <> p.vec_id),
+       |rk AS (SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |       FROM sc)
+       |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
+  // ---- Q16: token-length melt (text analysis via Unpack melt) -----------
+  def q16(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(length(col("tok")).cast("long").as("len")).agg(count(lit(1)).as("n"))
+      .orderBy("len")
+  val q16Sql: String =
+    s"""SELECT length(tok) AS len, count(*) AS n
+       |FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |GROUP BY len ORDER BY len""".stripMargin
+
+  // ---- Q17: MinHash + LSH near-dup pairs --------------------------------
+  def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPairs(tbl(s, dir, "documents"), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  val q17Sql: String = {
+    val mh = ColFns.MinhashA.zip(ColFns.MinhashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> (${a} * (${h60Sql("s")} % 2147483647) + ${b}) % 2147483647))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |shg AS (SELECT id, ${shingles3Sql("toks")} AS sh FROM tok),
+       |sig AS (SELECT id, sh, $mh AS sig FROM shg),
+       |banded AS (SELECT id, sh, b AS band_id,
+       |    md5(concat_ws(',', CAST(sig[2*b+1] AS VARCHAR), CAST(sig[2*b+2] AS VARCHAR))) AS bh
+       |  FROM sig, (SELECT unnest(range(0,8)) AS b) bands),
+       |pairs AS (SELECT l.id AS id_a, r.id AS id_b,
+       |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(l.sh, r.sh))) AS jac
+       |  FROM banded l JOIN banded r
+       |    ON l.band_id = r.band_id AND l.bh = r.bh AND l.id < r.id)
+       |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
+       |GROUP BY id_a, id_b HAVING max(jac) >= 0.0 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- Q18: 64-bit SimHash (one explode + one aggregation) --------------
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  val q18Sql: String = {
+    val sums = (0 until 32).flatMap { j =>
+      Seq(s"sum(CASE WHEN (hi >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS shi$j",
+        s"sum(CASE WHEN (lo >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS slo$j")
+    }.mkString(",\n    ")
+    def asm(p: String) = (0 until 32).map(j =>
+      s"(CASE WHEN $p$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |h AS (SELECT doc_id, ${h32Sql("t", 1)} AS hi, ${h32Sql("t", 9)} AS lo FROM tok),
+       |sm AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, ${asm("shi")} AS simhash_hi, ${asm("slo")} AS simhash_lo
+       |FROM sm ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Q19: char n-gram Jaccard near-dup, lang+length-banded ------------
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "lang",
+      n = 5, lenBand = 64, minJaccard = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  val q19Sql: String =
+    s"""WITH prep AS (SELECT doc_id AS id, lang,
+       |    ${charShinglesSql("lower(text)", 5)} AS g,
+       |    CAST(floor(length(text)/64) AS BIGINT) AS bucket
+       |  FROM documents),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.g, b.g))) AS jac
+       |  FROM prep a JOIN prep b
+       |    ON a.lang = b.lang AND (a.bucket = b.bucket OR a.bucket = b.bucket + 1)
+       |    AND a.id < b.id)
+       |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
+       |GROUP BY id_a, id_b HAVING max(jac) >= 0.05 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- Q20: embedding-cosine near-dup pairs (sign-LSH blocked) ----------
+  // 4 planes / cos >= 0.35 tuned to the synthetic embeddings (max
+  // pairwise cosine ~0.51) so the check exercises nonempty output.
+  private val NearDupPlanes = 4
+  private val NearDupMinCos = 0.35
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(tbl(s, dir, "embeddings"), NearDupMinCos, NearDupPlanes, Dims)
+      .orderBy("id_a", "id_b")
+  val q20Sql: String =
+    s"""WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+       |    ${bucketSql("v", NearDupPlanes, Dims)} AS bkt FROM n)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |    round(${dotSql("a.v", "b.v")}/(a.nrm*b.nrm),6) AS cos
+       |FROM nn a JOIN nn b ON a.bkt = b.bkt AND a.id < b.id
+       |WHERE ${dotSql("a.v", "b.v")}/(a.nrm*b.nrm) >= $NearDupMinCos
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- Q21: language-ID (stopword-hit argmax, earliest lang wins ties) --
+  def q21(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), TextOps.langIdCol(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  val q21Sql: String = {
+    val hits = TextOps.StopWords.map { case (lang, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($in))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.StopWords.map(_._1)
+    val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString("CASE ", " ", " END")
+    s"""WITH tok AS (SELECT lang, $toksSql AS toks FROM documents),
+       |h AS (SELECT lang,
+       |    $hits
+       |  FROM tok),
+       |p AS (SELECT lang, $pred AS predicted FROM (SELECT *, $m AS m FROM h))
+       |SELECT lang, predicted, count(*) AS n FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---- Q22: quality scoring, averaged per lang (exact decimal sums) -----
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.qualityColsRaw(col("text"))
+    def avg15(c: Column) =
+      sum(c.cast("decimal(38,15)")).cast("double") / count(lit(1))
+    tbl(s, dir, "documents")
+      .select(Seq(col("lang")) ++ feats: _*)
+      .groupBy("lang")
+      .agg(sum(col("n_tokens")).as("sum_tokens"),
+        round(avg15(col("mean_tok_len")), 6).as("avg_tok_len"),
+        round(avg15(col("punct_ratio")), 6).as("avg_punct"),
+        round(avg15(col("stopword_ratio")), 6).as("avg_stopword"),
+        round(avg15(col("quality_score")), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+  val q22Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    def avg15(e: String) = s"round(CAST(sum(CAST($e AS DECIMAL(38,15))) AS DOUBLE)/count(*),6)"
+    s"""WITH f AS (SELECT lang,
+       |    len(toks) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT lang, text, $toksSql AS toks FROM documents)),
+       |g AS (SELECT lang, n_tokens, mean_tok_len, punct_ratio, stopword_ratio,
+       |    stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+       |      + least(mean_tok_len / 8.0, 1.0) * 0.3 AS quality_score
+       |  FROM f)
+       |SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |    ${avg15("mean_tok_len")} AS avg_tok_len,
+       |    ${avg15("punct_ratio")} AS avg_punct,
+       |    ${avg15("stopword_ratio")} AS avg_stopword,
+       |    ${avg15("quality_score")} AS avg_quality
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- Q23: token counting (whitespace + BPE-ish regex) -----------------
+  def q23(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), TextOps.wsTokenCount(col("text")).as("ws"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+      .orderBy("lang")
+  val q23Sql: String =
+    s"""SELECT lang,
+       |  CAST(sum(len($toksSql)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS BIGINT) AS bpe_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- Q24: rolling-hash fingerprint, distinct count per lang -----------
+  def q24(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), TextOps.fingerprintCol(col("text")).as("fp"))
+      .groupBy("lang").agg(countDistinct(col("fp")).as("n_fp"))
+      .orderBy("lang")
+  val q24Sql: String =
+    s"""SELECT lang, count(DISTINCT fp) AS n_fp
+       |FROM (SELECT lang,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($toksSql, t -> ${h60Sql("t")} % ${ColFns.FpMod})),
+       |      (acc, x) -> (acc * ${ColFns.FpBase} + x) % ${ColFns.FpMod}) AS fp
+       |  FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- Q25: window function (top-2 orders per status) -------------------
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_orderstatus", "rn")
+  }
+  val q25Sql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice, rn
+      |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2 ORDER BY o_orderstatus, rn""".stripMargin
+
+  // ---- Q26: broadcast join + aggregate ----------------------------------
+  def q26(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .join(broadcast(tbl(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sumMoney(col("o_totalprice")), 6).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  val q26Sql: String =
+    """SELECT c_mktsegment,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_price,
+      | count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- Q27: set ops (EXCEPT = customers with no orders) -----------------
+  def q27(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_custkey"))
+      .except(tbl(s, dir, "orders").select(col("o_custkey")))
+      .agg(count(lit(1)).as("n_no_orders"))
+  val q27Sql: String =
+    """SELECT count(*) AS n_no_orders FROM
+      |(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)""".stripMargin
+
+  // ---- Q28: rollup (grouping-sets surface) ------------------------------
+  def q28(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sumMoney(col("l_quantity")), 6).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  val q28Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_exact_dedup" -> (q14 _),
+    "q15_ann_bruteforce" -> (q15 _),
+    "q15b_ann_lsh" -> (q15b _),
+    "q16_token_len_melt" -> (q16 _),
+    "q17_minhash_lsh" -> (q17 _),
+    "q18_simhash" -> (q18 _),
+    "q19_ngram_jaccard" -> (q19 _),
+    "q20_embed_neardup" -> (q20 _),
+    "q21_langid" -> (q21 _),
+    "q22_quality" -> (q22 _),
+    "q23_token_counts" -> (q23 _),
+    "q24_fingerprint" -> (q24 _),
+    "q25_window_topn" -> (q25 _),
+    "q26_join_agg" -> (q26 _),
+    "q27_set_except" -> (q27 _),
+    "q28_rollup" -> (q28 _))
+
+  val oracles: Map[String, String] = Map(
+    "q14_exact_dedup" -> q14Sql,
+    "q15_ann_bruteforce" -> q15Sql,
+    "q15b_ann_lsh" -> q15bSql,
+    "q16_token_len_melt" -> q16Sql,
+    "q17_minhash_lsh" -> q17Sql,
+    "q18_simhash" -> q18Sql,
+    "q19_ngram_jaccard" -> q19Sql,
+    "q20_embed_neardup" -> q20Sql,
+    "q21_langid" -> q21Sql,
+    "q22_quality" -> q22Sql,
+    "q23_token_counts" -> q23Sql,
+    "q24_fingerprint" -> q24Sql,
+    "q25_window_topn" -> q25Sql,
+    "q26_join_agg" -> q26Sql,
+    "q27_set_except" -> q27Sql,
+    "q28_rollup" -> q28Sql)
+}

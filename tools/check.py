@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local twin of the driver's correctness gate: read each Verify output
+parquet, run the matching oracle SQL in DuckDB over the same testdata,
+and diff (columns sorted by name, rows sorted, values stringified).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            sp = con.execute(
+                f"SELECT * FROM '{spark_path}/*.parquet'").fetch_arrow_table()
+            du = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        sp_cols = sorted(sp.column_names)
+        du_cols = sorted(du.column_names)
+        if sp_cols != du_cols:
+            print(f"FAIL {name}: columns spark={sp_cols} duck={du_cols}")
+            n_fail += 1
+            continue
+        sp_rows = sorted(tuple(norm(sp.column(c)[i].as_py()) for c in sp_cols)
+                         for i in range(sp.num_rows))
+        du_rows = sorted(tuple(norm(du.column(c)[i].as_py()) for c in du_cols)
+                         for i in range(du.num_rows))
+        if sp_rows == du_rows:
+            print(f"PASS {name} ({len(sp_rows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows spark={len(sp_rows)} duck={len(du_rows)}")
+            shown = 0
+            for i in range(max(len(sp_rows), len(du_rows))):
+                a = sp_rows[i] if i < len(sp_rows) else None
+                b = du_rows[i] if i < len(du_rows) else None
+                if a != b and shown < 5:
+                    print(f"  spark={a}\n  duck ={b}")
+                    shown += 1
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
