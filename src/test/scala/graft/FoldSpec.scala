@@ -1,0 +1,68 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure fold-algebra laws (no Spark) — mirrors the reference's foldl
+  * vocabulary semantics (SURVEY §2.1-G) and the Applicative product
+  * law (`Core.hs:211-218`): zip computes the pair of individual
+  * results in one pass. */
+class FoldSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(7)
+  private def sample(n: Int): List[Int] = List.fill(n)(rnd.nextInt(1000) - 500)
+
+  test("sum/count/min/max/mean against direct computation") {
+    for (n <- Seq(0, 1, 3, 100, 1000)) {
+      val xs = sample(n)
+      assert(Folds.sum[Int].fold(xs) == xs.sum)
+      assert(Folds.count[Int].fold(xs) == xs.length.toLong)
+      assert(Folds.min[Int].fold(xs) == (if (xs.isEmpty) None else Some(xs.min)))
+      assert(Folds.max[Int].fold(xs) == (if (xs.isEmpty) None else Some(xs.max)))
+      val ds = xs.map(_.toDouble)
+      val m = Folds.mean.fold(ds)
+      if (xs.isEmpty) assert(m.isNaN)
+      else assert(math.abs(m - ds.sum / ds.length) < 1e-9)
+    }
+  }
+
+  test("zip computes the pair of individual results (Applicative law)") {
+    val xs = sample(200).map(_.toDouble)
+    val f = Folds.sum[Double].zip(Folds.count[Double])
+    assert(f.fold(xs) == ((xs.sum, xs.length.toLong)))
+  }
+
+  test("map/premap compose (Functor/Profunctor)") {
+    val xs = sample(100)
+    val f = Folds.sum[Int].premap[String](_.length).map(_ * 2)
+    val strs = xs.map(i => "x" * (math.abs(i) % 10))
+    assert(f.fold(strs) == strs.map(_.length).sum * 2)
+  }
+
+  test("merge splits arbitrarily = sequential fold (partial aggregation law)") {
+    val xs = sample(500)
+    val f = Folds.sum[Int].zip(Folds.count[Int]).zip(Folds.min[Int])
+    val whole = xs.foldLeft(f.init)(f.step)
+    for (k <- Seq(1, 7, 100)) {
+      val parts = xs.grouped(k).map(_.foldLeft(f.init)(f.step)).toList
+      val merged = parts.reduceOption(f.merge).getOrElse(f.init)
+      assert(f.done(merged) == f.done(whole), s"chunk size $k")
+    }
+  }
+
+  test("list fold preserves order when merged in partition order") {
+    val xs = sample(100)
+    val f = Folds.list[Int]
+    val parts = xs.grouped(9).map(_.foldLeft(f.init)(f.step)).toList
+    assert(f.done(parts.reduce(f.merge)) == xs)
+  }
+
+  test("ofFunction (functionToFold analog) sees the whole container") {
+    val xs = sample(51).map(_.toDouble)
+    val medianF = Folds.ofFunction[Double, Double] { s =>
+      val v = s.toArray.sorted
+      v(v.length / 2)
+    }
+    assert(medianF.fold(xs) == xs.sorted.apply(25))
+  }
+}
