@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.StreamingAgg
 import graft.functions.ColFns
 import graft.functions.ColFns._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -350,7 +351,42 @@ object PipelineQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---- Q29: multimodal plumbing (binary columns, stub codec) ------------
+  // No SQL oracle (binary feature extraction isn't SQL-expressible);
+  // the driver records a rows-only check.  Exercises the full media
+  // path: synthetic binary table → batch feature extraction →
+  // frame-sampling explode.
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, dir)
+    val nFeat = Multimodal.withFeatures(media)
+      .where(size(col("features")) === Multimodal.FeatureDim)
+      .agg(count(lit(1)).as("n_media"))
+    val nFrames = Multimodal.sampleFrames(media, 3)
+      .agg(count(lit(1)).as("n_frames"))
+    nFeat.crossJoin(nFrames)
+  }
+
+  // ---- Q30: event-time windowed aggregation (streaming surface on batch) -
+  // `ts` arrives as raw nanos (nanosAsLong); integer-divide to micros
+  // to keep full precision, then tumble into 1-hour windows.
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    StreamingAgg.windowedAgg(ev, "ts2", "0 seconds", "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+  val q30Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_multimodal" -> (q29 _),
+    "q30_stream_window" -> (q30 _),
     "q14_exact_dedup" -> (q14 _),
     "q15_ann_bruteforce" -> (q15 _),
     "q15b_ann_lsh" -> (q15b _),
@@ -369,6 +405,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q30_stream_window" -> q30Sql,
     "q14_exact_dedup" -> q14Sql,
     "q15_ann_bruteforce" -> q15Sql,
     "q15b_ann_lsh" -> q15bSql,

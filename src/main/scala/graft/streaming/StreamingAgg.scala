@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.core.{Fold, FoldAggregator}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the fold algebra (SURVEY §7.6).
+  *
+  * The reference's "streaming" engines are in-memory pull streams,
+  * not event-time streaming (`Engines/Streaming.hs:24-25`); this is
+  * the Spark-native extension: because reductions are mergeable
+  * [[Fold]]s, they drop into watermarked windowed aggregation and
+  * into `mapGroupsWithState` unchanged — the same `init/step/merge/
+  * done` shape Spark's incremental execution needs.
+  */
+object StreamingAgg {
+
+  /** A [[Fold]] as a SQL-callable UDAF column — usable in both batch
+    * and streaming `groupBy(...).agg(...)`. */
+  def foldUdaf[C, D](fd: Fold[C, D])(
+      implicit ic: Encoder[C], od: Encoder[D]): UserDefinedFunction = {
+    val aux: Fold.Aux[C, fd.Buf, D] = fd
+    udaf(FoldAggregator.kryoBuf(aux), ic)
+  }
+
+  /** Event-time tumbling-window aggregation with watermarking:
+    * `readStream → withWatermark → groupBy(window, keys) → agg`.
+    * Late data beyond `watermarkDelay` is dropped by Spark; state is
+    * bounded (windows close).  Works identically on batch frames. */
+  def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Continuously-updated per-key fold over a stream — the streaming
+    * twin of the batch engine's PerKeyFold path.  State = the fold
+    * buffer (mergeable, so recovery/retry-safe); emits the current
+    * `done(buffer)` per key on every trigger. */
+  def runningFold[K, C, D](ds: Dataset[(K, C)], fd: Fold[C, D])(
+      implicit ek: Encoder[K], ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
+    implicit val bufEnc: Encoder[fd.Buf] =
+      Encoders.kryo(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[fd.Buf]])
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[fd.Buf, (K, D)](GroupStateTimeout.NoTimeout) {
+        (k: K, rows: Iterator[(K, C)], state: GroupState[fd.Buf]) =>
+          val b0 = if (state.exists) state.get else fd.init
+          val b1 = rows.foldLeft(b0)((b, kc) => fd.step(b, kc._2))
+          state.update(b1)
+          (k, fd.done(b1))
+      }
+  }
+
+  /** Convenience: run a streaming Dataset to a named in-memory sink
+    * (testing / interactive inspection). */
+  def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.Folds
+import graft.streaming.StreamingAgg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("windowedAgg: watermarked tumbling window over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "k", "v")
+    val out = StreamingAgg.windowedAgg(df, "ts", "10 seconds", "1 minute",
+      Seq(col("k")), Seq(sum(col("v")).as("s"), count(lit(1)).as("n")))
+    val q = StreamingAgg.toMemorySink(out, "win_sink", OutputMode.Update)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData((t("2026-01-01 00:00:05"), "a", 1.0),
+        (t("2026-01-01 00:00:20"), "a", 2.0),
+        (t("2026-01-01 00:01:10"), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT k, s, n FROM win_sink ORDER BY k").as[(String, Double, Long)].collect()
+      assert(rows.contains(("a", 3.0, 2L))) // both 'a' events in the 00:00 window
+      assert(rows.contains(("b", 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("runningFold: per-key fold state accumulates across triggers") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val out = StreamingAgg.runningFold(in.toDS(), Folds.sum[Double])
+    val q = out.toDF("k", "total").writeStream.format("memory")
+      .queryName("run_sink").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("x", 1.0), ("x", 2.0), ("y", 10.0))
+      q.processAllAvailable()
+      in.addData(("x", 4.0))
+      q.processAllAvailable()
+      // Update mode appends each trigger's emissions; latest per key wins
+      val latest = spark.sql("SELECT k, total FROM run_sink")
+        .as[(String, Double)].collect().groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest == Map("x" -> 7.0, "y" -> 10.0))
+    } finally q.stop()
+  }
+
+  test("foldUdaf: a Fold as a SQL-callable aggregate on batch data") {
+    val meanUdaf = StreamingAgg.foldUdaf(Folds.mean)
+    val got = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+      .groupBy("k").agg(meanUdaf(col("v")).as("m"))
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 2.0), ("b", 10.0)))
+  }
+}
