@@ -35,32 +35,38 @@ object Dedup {
 
   /** LSH candidate pairs: documents sharing any minhash band bucket,
     * verified with exact shingle-set Jaccard.  `bands` × `rows` must
-    * equal the signature width (16).  Self-joins only within
-    * (band_id, band_hash) buckets. */
+    * equal the signature width (16).
+    *
+    * Scale shape: the banded self-join carries only (band_id, bh, id)
+    * — never the shingle arrays — so band-join shuffle volume is
+    * O(rows × bands × ~30 bytes).  Shingle sets are joined in only
+    * for the deduplicated candidate pairs (the LSH guarantee is that
+    * candidates are rare).  The shingle table is persisted because
+    * three plan branches read it; it is spill-safe (MEMORY_AND_DISK). */
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
     val rows = MinhashA.size / bands
     val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
-    val sig = df.select(col(idCol).as("id"), sh.as("sh"))
-      .select(Seq(col("id"), col("sh")) ++ minhashCols(col("sh")): _*)
-    // band hashes: explode to (id, band_id, band_hash, shingles)
+    val shingleTbl = df.select(col(idCol).as("id"), sh.as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = shingleTbl.select(Seq(col("id")) ++ minhashCols(col("sh")): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         bandHash((0 until rows).map(r => col(s"m${b * rows + r}"))).as("bh"))
     }
-    val banded = sig.select(col("id"), col("sh"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("id"), col("sh"), col("band.band_id"), col("band.bh"))
-    val l = banded.select(col("band_id"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band_id"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.bh"))
+    val cands = banded.select(col("band_id"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band_id"), col("bh"), col("id").as("id_b")),
+        Seq("band_id", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // dedup multi-band hits BEFORE fetching shingles
     val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       / size(array_union(col("sh_a"), col("sh_b"))))
-    l.join(r, Seq("band_id", "bh"))
-      .where(col("id_a") < col("id_b"))
+    cands
+      .join(shingleTbl.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleTbl.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard")) // dedup multi-band hits
       .where(col("jaccard") >= minJaccard)
   }
 
