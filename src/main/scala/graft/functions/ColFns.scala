@@ -61,10 +61,16 @@ object ColFns {
   }
 
   /** Strict left-to-right double dot product of two array<double>
-    * columns — `aggregate` with 0.0 init; 0.0 + x1 == x1 exactly, so
-    * this equals DuckDB's init-less `list_reduce` sum. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * columns — native codegen'd Catalyst expression
+    * ([[graft.functions.cat.DotProductD]]); bit-identical to
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to DuckDB's
+    * init-less `list_reduce` sum, but runs as a tight compiled loop
+    * instead of interpreted higher-order lambdas. */
+  def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.cat.DotProductD(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Cast a float vector column to array<double> (exact widening). */
   def vecD(c: Column): Column = c.cast("array<double>")

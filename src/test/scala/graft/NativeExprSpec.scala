@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.ColFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expression semantics: [[graft.functions.cat.DotProductD]]
+  * must be bit-identical to the higher-order-function formulation it
+  * replaces (the DuckDB oracles were validated against that shape). */
+class NativeExprSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  test("native dot == interpreted HOF dot, bit-for-bit, random vectors") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(500) {
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ColFns.dotD(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).as[(Double, Double)].collect()
+    got.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("null array propagates null; empty arrays give 0.0") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double]))).toDF("a", "b")
+    val got = df.select(ColFns.dotD(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 0.0)
+  }
+
+  test("graft_dot registers as a SQL function via GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    // extensions apply at session build time; build a fresh session on
+    // the shared SparkContext, then restore the default
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val r = withExt.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(r == 32.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("dot runs inside whole-stage codegen (no fallback)") {
+    // non-literal input (literals constant-fold to a LocalTableScan)
+    val df = spark.range(100)
+      .select(array(col("id").cast("double"), (col("id") + 1).cast("double")).as("a"))
+    val q = df.select(ColFns.dotD(col("a"), col("a")).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan strings
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+    assert(q.agg(sum(col("d"))).collect().head.getDouble(0) > 0)
+  }
+}
