@@ -124,4 +124,42 @@ object Folds {
   /** Adapt a whole-container function into a buffering fold —
     * the reference's `functionToFold` (`Core.hs:250-259`). */
   def ofFunction[A, B](f: Seq[A] => B): Fold[A, B] = list[A].map(f)
+
+  /** First element in partition/merge order — only deterministic when
+    * the merge order is (single partition or pre-sorted input). */
+  def first[A]: Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      s.orElse(Some(a)))((x, y) => x.orElse(y))(identity)
+
+  /** Last element in partition/merge order (same caveat as [[first]]). */
+  def last[A]: Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      Some(a))((x, y) => y.orElse(x))(identity)
+
+  /** Population variance via Chan's parallel one-pass update —
+    * (count, mean, M2) buffer merges exactly, so the result is
+    * independent of partitioning up to float noise. */
+  def variance: Fold.Aux[Double, (Long, Double, Double), Double] =
+    Fold[Double, (Long, Double, Double), Double]((0L, 0.0, 0.0)) {
+      case ((n, mu, m2), x) =>
+        val n1 = n + 1; val d = x - mu; val mu1 = mu + d / n1
+        (n1, mu1, m2 + d * (x - mu1))
+    } {
+      case ((na, mua, m2a), (nb, mub, m2b)) =>
+        if (na == 0L) (nb, mub, m2b)
+        else if (nb == 0L) (na, mua, m2a)
+        else {
+          val n = na + nb; val d = mub - mua
+          (n, mua + d * nb / n, m2a + m2b + d * d * na * nb / n)
+        }
+    } { case (n, _, m2) => if (n == 0L) Double.NaN else m2 / n }
+
+  def stddev: Fold[Double, Double] = variance.map(math.sqrt)
+
+  /** Top-k by the given ordering, largest first — bounded-size merge
+    * (the reduction analog of ORDER BY ... LIMIT k). */
+  def topK[A](k: Int)(implicit o: Ordering[A]): Fold.Aux[A, List[A], List[A]] =
+    Fold[A, List[A], List[A]](List.empty[A])((s, a) =>
+      (a :: s).sorted(o.reverse).take(k))((x, y) =>
+      (x ::: y).sorted(o.reverse).take(k))(identity)
 }

@@ -159,7 +159,24 @@ object AssignM {
 
 /** Reference `ReduceM`/`ReduceFoldM` (`Core.hs:187-189`), interpreted
   * whole-group (the `reduceFunctionM` dispatch, `Engines.hs:68-72`). */
-final case class ReduceM[K, C, D](f: (K, Iterator[C]) => D) extends Serializable
+final case class ReduceM[K, C, D](f: (K, Iterator[C]) => D) extends Serializable {
+  /** Post-map the result — reference `Functor ReduceM` (`Core.hs:195-199`)
+    * and the `postMapM` shape (`Core.hs:238-241`). */
+  def map[E](g: D => E): ReduceM[K, C, E] =
+    ReduceM((k: K, cs: Iterator[C]) => g(f(k, cs)))
+  /** Pre-map the per-group values (Profunctor; `Core.hs:205-209`). */
+  def premap[B](g: B => C): ReduceM[K, B, D] =
+    ReduceM((k: K, bs: Iterator[B]) => f(k, bs.map(g)))
+  /** Applicative product — reference `Applicative ReduceM`
+    * (`Core.hs:220-227`): both effectful reductions see the same
+    * group; the group is buffered once (the reference's eager-fold
+    * mixed case, preserved per SURVEY §7.7). */
+  def zip[E](that: ReduceM[K, C, E]): ReduceM[K, C, (D, E)] =
+    ReduceM { (k: K, cs: Iterator[C]) =>
+      val buf = cs.toVector
+      (f(k, buf.iterator), that.f(k, buf.iterator))
+    }
+}
 object ReduceM {
   /** Reference `generalizeReduce` (`Core.hs:230-233`). */
   def generalize[K, C, D](r: Reduce[K, C, D]): ReduceM[K, C, D] =

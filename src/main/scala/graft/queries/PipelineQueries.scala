@@ -384,9 +384,59 @@ object PipelineQueries {
       | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
+  // Typed-engine path: Folds.variance compiled to an Aggregator —
+  // per-partition partial (count, mean, M2) buffers merged exactly.
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val ds = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+    DatasetEngine.run(ds, Unpack.none[(String, Double)],
+      Assign.of[(String, Double), String, Double](_._1)(_._2),
+      Reduce.fromFold[String, Double, Double](Folds.variance), ordered = true)
+      .toDF("l_returnflag", "var_qty")
+      .select(col("l_returnflag"), round(col("var_qty"), 6).as("var_qty"))
+  }
+  val q31Sql: String =
+    """SELECT l_returnflag, round(var_pop(l_quantity),6) AS var_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Q32: top-k fold (bounded-buffer reduction, not a window sort) ----
+  // Per event type, the 3 largest (value, event_id) pairs via
+  // Folds.topK — merge keeps only k elements, so the shuffle carries
+  // O(groups × k), not O(rows) (contrast with window row_number which
+  // sorts every group).
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val ds = tbl(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+    val out = DatasetEngine.run(ds, Unpack.none[(String, Double, Long)],
+      Assign.of[(String, Double, Long), String, (Double, Long)](_._1)(r => (r._2, r._3)),
+      Reduce.fromFold[String, (Double, Long), List[(Double, Long)]](
+        Folds.topK[(Double, Long)](3)), ordered = true)
+    out.toDF("event_type", "top")
+      .select(col("event_type"), explode(col("top")).as("p"))
+      .select(col("event_type"), col("p._1").as("value"), col("p._2").as("event_id"))
+      .orderBy(col("event_type"), col("value").desc, col("event_id").desc)
+  }
+  val q32Sql: String =
+    """SELECT event_type, value, event_id
+      |FROM (SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY event_type, value DESC, event_id DESC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal" -> (q29 _),
     "q30_stream_window" -> (q30 _),
+    "q31_variance_fold" -> (q31 _),
+    "q32_topk_fold" -> (q32 _),
     "q14_exact_dedup" -> (q14 _),
     "q15_ann_bruteforce" -> (q15 _),
     "q15b_ann_lsh" -> (q15b _),
@@ -406,6 +456,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Sql,
+    "q31_variance_fold" -> q31Sql,
+    "q32_topk_fold" -> q32Sql,
     "q14_exact_dedup" -> q14Sql,
     "q15_ann_bruteforce" -> q15Sql,
     "q15b_ann_lsh" -> q15bSql,

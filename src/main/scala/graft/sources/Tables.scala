@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.2 row 1).  The reference has no
+  * storage at all (any in-memory Foldable); this is the Spark-native
+  * capability: schema-pinned scans that push filters/pruning into the
+  * format, and sinks whose layout decisions (partitioning, bucketing)
+  * are the levers that remove shuffles at 100 TB.
+  */
+object Tables {
+
+  /** Read one testdata table.  Column pruning + predicate pushdown
+    * reach the parquet scan (verify with `.explain`: `ReadSchema`,
+    * `PushedFilters`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with a usable microsecond timestamp: the testdata
+    * stores TIMESTAMP(NANOS), which Spark reads only as raw long
+    * (`nanosAsLong`); integer-divide (never double-divide — 1.7e18
+    * doesn't fit a double's mantissa) down to micros. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Schema-pinned CSV reader — explicit schema, so no inference pass
+    * over the data (inference = a full extra scan at 100 TB). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+
+  /** Schema-pinned JSON-lines reader (same no-inference rationale). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * partition value → partition pruning on read (a filter on the
+    * partition column skips whole directories). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: joins/aggregations on the
+    * bucket key against an equally-bucketed table need NO shuffle
+    * (both sides are already hash-distributed the same way) — the
+    * co-located-join lever for repeated large-table joins. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+}

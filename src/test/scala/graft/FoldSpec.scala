@@ -57,6 +57,36 @@ class FoldSpec extends AnyFunSuite {
     assert(f.done(parts.reduce(f.merge)) == xs)
   }
 
+  test("variance/stddev merge exactly across arbitrary splits (Chan's update)") {
+    val xs = sample(1000).map(_.toDouble)
+    val direct = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    assert(math.abs(Folds.variance.fold(xs) - direct) < 1e-6)
+    for (k <- Seq(3, 17, 250)) {
+      val parts = xs.grouped(k).map(_.foldLeft(Folds.variance.init)(Folds.variance.step)).toList
+      val merged = Folds.variance.done(parts.reduce(Folds.variance.merge))
+      assert(math.abs(merged - direct) < 1e-6, s"chunk $k")
+    }
+    assert(Folds.variance.fold(Nil).isNaN)
+  }
+
+  test("topK keeps the k largest regardless of split") {
+    val xs = sample(500)
+    val expect = xs.sorted(Ordering[Int].reverse).take(5)
+    assert(Folds.topK[Int](5).fold(xs) == expect)
+    val parts = xs.grouped(13).map(_.foldLeft(Folds.topK[Int](5).init)(Folds.topK[Int](5).step))
+    assert(Folds.topK[Int](5).done(parts.reduce(Folds.topK[Int](5).merge)) == expect)
+  }
+
+  test("first/last in sequential order") {
+    val xs = sample(50)
+    assert(Folds.first[Int].fold(xs) == xs.headOption)
+    assert(Folds.last[Int].fold(xs) == xs.lastOption)
+    assert(Folds.first[Int].fold(Nil) == None)
+  }
+
   test("ofFunction (functionToFold analog) sees the whole container") {
     val xs = sample(51).map(_.toDouble)
     val medianF = Folds.ofFunction[Double, Double] { s =>

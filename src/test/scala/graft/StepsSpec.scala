@@ -83,6 +83,14 @@ class StepsSpec extends AnyFunSuite {
     assert(Reduce.run(r)("g", Iterator("ab", "cde")) == "g=5")
   }
 
+  test("ReduceM algebra: map/premap/zip (Applicative ReduceM, Core.hs:220-227)") {
+    val count = ReduceM.fromFold[String, Int, Long](Folds.count[Int])
+    val sum = ReduceM.fromFold[String, Int, Int](Folds.sum[Int])
+    val both = count.zip(sum).map { case (n, s) => s.toDouble / n }
+      .premap[String](_.length)
+    assert(both.f("k", Iterator("a", "bb", "ccc")) == 2.0)
+  }
+
   test("generalize round-trips pure steps into effectful ones") {
     val uM = UnpackM.generalize(Unpack.Filter[Int](_ > 0))
     uM match {

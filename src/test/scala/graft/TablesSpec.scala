@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class TablesSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("events reader converts nano ts to usable timestamps losslessly") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    val (lo, hi) = ev.agg(min("ts"), max("ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().head
+    assert(lo.before(hi))
+  }
+
+  test("partitioned write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Tables.writePartitioned(docs, dir, Seq("lang"))
+    val back = spark.read.parquet(dir).where(col("lang") === "de")
+    val plan = back.queryExecution.executedPlan.toString
+    // partition filter must be a directory-level prune, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(back.count() == docs.where(col("lang") === "de").count())
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val warehouse = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      val customer = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      // a previous JVM's catalog is gone but its warehouse dirs remain;
+      // managed-table creation refuses existing locations
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("b_orders", "b_customer").foreach { t =>
+        val d = new java.io.File(wh, t)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+      }
+      Tables.writeBucketed(orders.withColumnRenamed("o_custkey", "ck"),
+        "b_orders", 4, Seq("ck"), Seq("ck"))
+      Tables.writeBucketed(customer.withColumnRenamed("c_custkey", "ck"),
+        "b_customer", 4, Seq("ck"), Seq("ck"))
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "ck")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
