@@ -22,6 +22,13 @@ trait Fold[A, B] extends Serializable { self =>
   def merge(x: Buf, y: Buf): Buf
   def done(b: Buf): B
 
+  /** Catalyst encoder for the buffer, when one exists: buffers with
+    * product encoders cross the shuffle codegen'd (unsafe-row),
+    * instead of Kryo-serialized blobs.  The shipped vocabulary
+    * ([[Folds]]) provides them; opaque user folds fall back to Kryo
+    * in the engine. */
+  def bufEncoder: Option[org.apache.spark.sql.Encoder[Buf]] = None
+
   /** Run locally over any collection (the reference's `FL.fold`). */
   final def fold(as: IterableOnce[A]): B =
     done(as.iterator.foldLeft(init)(step))
@@ -34,6 +41,7 @@ trait Fold[A, B] extends Serializable { self =>
       def step(b: Buf, a: A) = self.step(b, a)
       def merge(x: Buf, y: Buf) = self.merge(x, y)
       def done(b: Buf) = f(self.done(b))
+      override def bufEncoder = self.bufEncoder
     }
 
   /** Pre-map the input (Profunctor lmap; reference `Core.hs:201-209`,
@@ -45,6 +53,7 @@ trait Fold[A, B] extends Serializable { self =>
       def step(b: Buf, z: Z) = self.step(b, f(z))
       def merge(x: Buf, y: Buf) = self.merge(x, y)
       def done(b: Buf) = self.done(b)
+      override def bufEncoder = self.bufEncoder
     }
 
   /** Applicative product: one pass, paired buffers
@@ -57,6 +66,9 @@ trait Fold[A, B] extends Serializable { self =>
       def merge(x: Buf, y: Buf) =
         (self.merge(x._1, y._1), that.merge(x._2, y._2))
       def done(b: Buf) = (self.done(b._1), that.done(b._2))
+      override def bufEncoder = for {
+        ea <- self.bufEncoder; eb <- that.bufEncoder
+      } yield org.apache.spark.sql.Encoders.tuple(ea, eb)
     }
 
   final def zipWith[C, D](that: Fold[A, C])(f: (B, C) => D): Fold[A, D] =
@@ -80,23 +92,44 @@ object Fold {
   /** Monoid fold: init=empty, step=combine, merge=combine. */
   def monoid[A](empty: A)(combine: (A, A) => A): Aux[A, A, A] =
     apply(empty)(combine)(combine)(identity)
+
+  /** Attach a Catalyst buffer encoder (see [[Fold.bufEncoder]]). */
+  def withEncoder[A, S, B](f: Aux[A, S, B],
+      enc: org.apache.spark.sql.Encoder[S]): Aux[A, S, B] =
+    new Fold[A, B] {
+      type Buf = S
+      def init = f.init
+      def step(b: S, a: A) = f.step(b, a)
+      def merge(x: S, y: S) = f.merge(x, y)
+      def done(b: S) = f.done(b)
+      override def bufEncoder = Some(enc)
+    }
 }
 
 /** The fold vocabulary the reference actually exercises (SURVEY §2.1-G):
   * sum, mean, count, min, max, list, plus premap/map/zip algebra. */
 object Folds {
+  private val E = org.apache.spark.sql.Encoders
+
   def sum[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
     Fold.monoid(n.zero)(n.plus)
 
+  /** [[sum]] over doubles with a codegen'd buffer encoder. */
+  def sumD: Fold.Aux[Double, Double, Double] =
+    Fold.withEncoder(sum[Double], E.scalaDouble)
+
   def count[A]: Fold.Aux[A, Long, Long] =
-    Fold[A, Long, Long](0L)((s, _) => s + 1L)(_ + _)(identity)
+    Fold.withEncoder(
+      Fold[A, Long, Long](0L)((s, _) => s + 1L)(_ + _)(identity), E.scalaLong)
 
   /** (sum, count) buffer; NaN on empty group like SQL AVG of nothing
     * is NULL — we surface Double.NaN, caller decides. */
   def mean: Fold.Aux[Double, (Double, Long), Double] =
-    Fold[Double, (Double, Long), Double]((0.0, 0L))((s, a) =>
-      (s._1 + a, s._2 + 1L))((x, y) => (x._1 + y._1, x._2 + y._2))(s =>
-      if (s._2 == 0L) Double.NaN else s._1 / s._2)
+    Fold.withEncoder(
+      Fold[Double, (Double, Long), Double]((0.0, 0L))((s, a) =>
+        (s._1 + a, s._2 + 1L))((x, y) => (x._1 + y._1, x._2 + y._2))(s =>
+        if (s._2 == 0L) Double.NaN else s._1 / s._2),
+      E.tuple(E.scalaDouble, E.scalaLong))
 
   def min[A](implicit o: Ordering[A]): Fold.Aux[A, Option[A], Option[A]] =
     Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
@@ -140,6 +173,10 @@ object Folds {
     * (count, mean, M2) buffer merges exactly, so the result is
     * independent of partitioning up to float noise. */
   def variance: Fold.Aux[Double, (Long, Double, Double), Double] =
+    Fold.withEncoder(varianceImpl,
+      E.tuple(E.scalaLong, E.scalaDouble, E.scalaDouble))
+
+  private def varianceImpl: Fold.Aux[Double, (Long, Double, Double), Double] =
     Fold[Double, (Long, Double, Double), Double]((0L, 0.0, 0.0)) {
       case ((n, mu, m2), x) =>
         val n1 = n + 1; val d = x - mu; val mu1 = mu + d / n1

@@ -41,4 +41,14 @@ object FoldAggregator {
       Encoders.kryo(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[S]])
     new FoldAggregator(f)
   }
+
+  /** Preferred constructor: the fold's own product encoder when it
+    * has one (codegen'd unsafe-row buffers across the shuffle), Kryo
+    * fallback otherwise. */
+  def auto[A, S, B](f: Fold.Aux[A, S, B])(
+      implicit outEnc: Encoder[B]): FoldAggregator[A, S, B] =
+    f.bufEncoder match {
+      case Some(enc) => new FoldAggregator(f)(enc, outEnc)
+      case None      => kryoBuf(f)
+    }
 }

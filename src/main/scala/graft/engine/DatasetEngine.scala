@@ -19,13 +19,14 @@ import org.apache.spark.sql.{Dataset, Encoder, TypedColumn}
   */
 object DatasetEngine {
 
-  /** Compile a Fold into a typed aggregation column.  The buffer
-    * crosses the shuffle Kryo-encoded — the general fallback; hot
-    * queries should use the untyped [[FrameQuery]] path where
-    * aggregates are native Catalyst expressions. */
+  /** Compile a Fold into a typed aggregation column.  Folds that
+    * carry a buffer encoder ([[Fold.bufEncoder]], all of the shipped
+    * vocabulary) get codegen'd unsafe-row buffers across the shuffle;
+    * opaque folds fall back to Kryo blobs.  Hot untyped queries
+    * should still prefer [[FrameQuery]] native expressions. */
   def aggOf[C, D](fd: Fold[C, D])(implicit ed: Encoder[D]): TypedColumn[C, D] = {
     val aux: Fold.Aux[C, fd.Buf, D] = fd
-    FoldAggregator.kryoBuf(aux).toColumn
+    FoldAggregator.auto(aux).toColumn
   }
 
   /** Run just the unpack step — reference `unpackOnlyFold`
