@@ -68,6 +68,60 @@ object DatasetEngine {
     if (ordered) out.orderBy(out.col(out.columns.head)) else out
   }
 
+  /** Skew-resistant variant of [[run]] for PerKeyFold reductions:
+    * two-phase aggregation over a salted key.  Phase 1 folds
+    * `(key, salt)` sub-groups (hot keys spread over `saltBuckets`
+    * reducers); phase 2 merges the sub-buffers per key — exactly the
+    * fold's `merge`, so this is semantics-preserving for ANY
+    * mergeable fold.  Use when one key dominates (AQE skew handling
+    * covers joins, not aggregations over pathological key
+    * distributions).  Requires a fold (not a whole-group reduce —
+    * those fundamentally need the full group in one place). */
+  def runSalted[X, Y, K, C, D](
+      ds: Dataset[X],
+      u: Unpack[X, Y],
+      a: Assign[Y, K, C],
+      fd: Fold[C, D],
+      saltBuckets: Int,
+      ordered: Boolean = false)(
+      implicit ey: Encoder[Y],
+      ec: Encoder[C],
+      ek: Encoder[K],
+      ed: Encoder[D],
+      ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val bufEnc: Encoder[fd.Buf] = fd.bufEncoder.getOrElse(
+      Encoders.kryo(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[fd.Buf]]))
+    implicit val ksEnc: Encoder[(K, Int)] = Encoders.tuple(ek, Encoders.scalaInt)
+    implicit val kscEnc: Encoder[((K, Int), C)] = Encoders.tuple(ksEnc, ec)
+    implicit val kbEnc: Encoder[(K, fd.Buf)] = Encoders.tuple(ek, bufEnc)
+    // phase 1: fold (key, salt) sub-groups into buffers
+    val partialAgg = new graft.core.FoldAggregator[C, fd.Buf, fd.Buf](
+      Fold[C, fd.Buf, fd.Buf](fd.init)(fd.step)(fd.merge)(identity))(bufEnc, bufEnc)
+    val phase1 = unpackOnly(ds, u)
+      .mapPartitions { ys =>
+        // deterministic salt from a per-partition counter: spreads a
+        // hot key across buckets without hashing the value
+        var i = 0
+        ys.map { y =>
+          i += 1
+          ((a.key(y), i % saltBuckets), a.value(y))
+        }
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(partialAgg.toColumn)
+    // phase 2: merge the (at most saltBuckets) sub-buffers per key
+    val mergeAgg = new graft.core.FoldAggregator[fd.Buf, fd.Buf, D](
+      Fold[fd.Buf, fd.Buf, D](fd.init)(fd.merge)(fd.merge)(fd.done))(bufEnc, ed)
+    val out = phase1
+      .map { case ((k, _), buf) => (k, buf) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(mergeAgg.toColumn)
+    if (ordered) out.orderBy(out.col(out.columns.head)) else out
+  }
+
   /** Effectful pipeline — reference `*M` engines (`Engines.hs:59`).
     * Effects run inside `mapPartitions`: per-partition input order,
     * concurrent across partitions, re-run on task retry — the

@@ -432,11 +432,33 @@ object PipelineQueries {
       |  FROM events)
       |WHERE rn <= 3 ORDER BY event_type, value DESC, event_id DESC""".stripMargin
 
+  // ---- Q33: skew-resistant salted two-phase aggregation -----------------
+  // Same result as a plain grouped mean (l_quantity is integer-valued,
+  // so double sums are exact under ANY merge topology); the point is
+  // the plan: hot keys spread over 16 salt buckets in phase 1, tiny
+  // phase-2 merge — the aggregation-skew lever AQE doesn't provide.
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val ds = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+    DatasetEngine.runSalted(ds, Unpack.none[(String, Double)],
+      Assign.of[(String, Double), String, Double](_._1)(_._2),
+      Folds.mean, saltBuckets = 16, ordered = true)
+      .toDF("l_returnflag", "mean_qty")
+      .select(col("l_returnflag"), round(col("mean_qty"), 6).as("mean_qty"))
+  }
+  val q33Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity)/count(*),6) AS mean_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal" -> (q29 _),
     "q30_stream_window" -> (q30 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
+    "q33_salted_mean" -> (q33 _),
     "q14_exact_dedup" -> (q14 _),
     "q15_ann_bruteforce" -> (q15 _),
     "q15b_ann_lsh" -> (q15b _),
@@ -458,6 +480,7 @@ object PipelineQueries {
     "q30_stream_window" -> q30Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
+    "q33_salted_mean" -> q33Sql,
     "q14_exact_dedup" -> q14Sql,
     "q15_ann_bruteforce" -> q15Sql,
     "q15b_ann_lsh" -> q15bSql,

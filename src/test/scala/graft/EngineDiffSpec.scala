@@ -96,6 +96,38 @@ class EngineDiffSpec extends AnyFunSuite {
     assert(acc.value == xs.length.toLong)
   }
 
+  test("salted two-phase aggregation == plain engine on skewed keys") {
+    // 90% of rows share one key — the skew case runSalted exists for
+    val xs = List.tabulate(2000)(i => if (i % 10 != 0) 7 else rnd.nextInt(100))
+    val a = Assign.of[Int, Int, Double](_ % 11)(_.toDouble)
+    val fd = Folds.mean.zip(Folds.count[Double])
+    val expected = DatasetEngine.run(spark.createDataset(xs), Unpack.none[Int], a,
+      Reduce.fromFold[Int, Double, (Double, Long)](fd)).collect().toMap
+    val salted = DatasetEngine.runSalted(spark.createDataset(xs), Unpack.none[Int], a,
+      fd, saltBuckets = 8).collect().toMap
+    assert(salted.keySet == expected.keySet)
+    salted.foreach { case (k, (m, n)) =>
+      assert(n == expected(k)._2)
+      assert(math.abs(m - expected(k)._1) < 1e-9)
+    }
+  }
+
+  test("untyped FrameQuery == typed engine (engines as mutual oracles, Test1.hs:38-52)") {
+    import graft.engine.FrameQuery
+    import org.apache.spark.sql.functions._
+    val xs = List.fill(800)((rnd.nextInt(5), rnd.nextInt(1000)))
+    val typed = DatasetEngine.run(spark.createDataset(xs),
+      Unpack.Filter[(Int, Int)](_._2 % 2 == 0),
+      Assign.of[(Int, Int), Int, Long](_._1)(_._2.toLong),
+      Reduce.fromFold[Int, Long, Long](Folds.sum[Long])).collect().toMap
+    val untyped = FrameQuery.on(spark.createDataset(xs).toDF("k", "v"))
+      .filter(col("v") % 2 === 0)
+      .assign(col("k"))
+      .reduce(sum(col("v")).as("s"))
+      .run().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(typed == untyped)
+  }
+
   test("concatFold merges per-key results (monoid concat, Simple.hs:156-162)") {
     val xs = List.fill(100)(rnd.nextInt(100))
     val perKey = DatasetEngine.run(spark.createDataset(xs), Unpack.none[Int],
