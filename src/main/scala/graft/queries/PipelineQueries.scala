@@ -453,7 +453,47 @@ object PipelineQueries {
     """SELECT l_returnflag, round(sum(l_quantity)/count(*),6) AS mean_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q34: left-anti join (nations with customers but no suppliers) ----
+  def q34(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      .join(tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct(),
+        Seq("nk"), "left_anti")
+      .agg(count(lit(1)).as("n_nations"))
+  val q34Sql: String =
+    """SELECT count(*) AS n_nations FROM
+      |(SELECT DISTINCT c_nationkey AS nk FROM customer
+      | WHERE c_nationkey NOT IN (SELECT DISTINCT s_nationkey FROM supplier))""".stripMargin
+
+  // ---- Q35: cube (all grouping-set combinations) ------------------------
+  def q35(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  val q35Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---- Q36: pivot (status columns per priority row) ---------------------
+  def q36(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .orderBy("o_orderpriority")
+  val q36Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_anti_join" -> (q34 _),
+    "q35_cube" -> (q35 _),
+    "q36_pivot" -> (q36 _),
     "q29_multimodal" -> (q29 _),
     "q30_stream_window" -> (q30 _),
     "q31_variance_fold" -> (q31 _),
@@ -481,6 +521,9 @@ object PipelineQueries {
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,
+    "q34_anti_join" -> q34Sql,
+    "q35_cube" -> q35Sql,
+    "q36_pivot" -> q36Sql,
     "q14_exact_dedup" -> q14Sql,
     "q15_ann_bruteforce" -> q15Sql,
     "q15b_ann_lsh" -> q15bSql,

@@ -35,6 +35,24 @@ object StreamingAgg {
       .groupBy(window(col(tsCol), windowDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Sliding-window variant: windows of `windowDuration` advancing
+    * every `slideDuration` (each event lands in w/s windows). */
+  def slidingAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, slideDuration: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows: per-key activity bursts separated by at least
+    * `gapDuration` of silence — state closes when the watermark
+    * passes a session's end, so state stays bounded. */
+  def sessionAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      gapDuration: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Continuously-updated per-key fold over a stream — the streaming
     * twin of the batch engine's PerKeyFold path.  State = the fold
     * buffer (mergeable, so recovery/retry-safe); emits the current

@@ -32,6 +32,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionAgg groups activity bursts split by the gap") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "k", "v")
+    val out = StreamingAgg.sessionAgg(df, "ts", "0 seconds", "30 seconds",
+      Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = StreamingAgg.toMemorySink(
+      out.select(col("k"), col("n")), "sess_sink",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // two bursts for 'a' separated by > 30s, one burst for 'b'
+      in.addData((t("2026-01-01 00:00:00"), "a", 1.0),
+        (t("2026-01-01 00:00:10"), "a", 1.0),
+        (t("2026-01-01 00:02:00"), "a", 1.0),
+        (t("2026-01-01 00:00:05"), "b", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, n FROM sess_sink ORDER BY k, n")
+        .as[(String, Long)].collect().toList
+      assert(rows == List(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("runningFold: per-key fold state accumulates across triggers") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Double)]
