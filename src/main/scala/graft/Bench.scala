@@ -32,6 +32,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -42,7 +43,9 @@ object Bench {
     val charPairs = (1 to 100000).map { _ =>
       (('A' + rnd.nextInt(26)).toChar.toString, rnd.nextInt(100) + 1)
     }
-    val b1ds = spark.createDataset(charPairs).cache()
+    // 8 partitions: 100k in-memory rows over 32 tasks is pure
+    // scheduling overhead; partition count is sized to data, not cores
+    val b1ds = spark.createDataset(charPairs).repartition(8).cache()
     b1ds.count()
 
     // B2 input: 100k ragged maps, A=l, B=l%47, C=l%13 iff l even
@@ -53,7 +56,7 @@ object Bench {
       val base = Map("A" -> l, "B" -> l % 47)
       if (l % 2 == 0) base + ("C" -> (l % 13)) else base
     }
-    val b2ds = spark.createDataset(ragged).cache()
+    val b2ds = spark.createDataset(ragged).repartition(8).cache()
     b2ds.count()
 
     val b1 = median3 {

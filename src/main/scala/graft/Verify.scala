@@ -15,6 +15,7 @@ object Verify {
       // testdata events.parquet stores TIMESTAMP(NANOS) which the
       // vectorized reader rejects; read as long (no query uses ts yet)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

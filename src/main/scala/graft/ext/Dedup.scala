@@ -96,9 +96,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int = 5, lenBand: Long = 64,
       minJaccard: Double = 0.05): DataFrame = {
+    // both join branches read prep; persist so the n-gram arrays are
+    // built once, not once per side
     val prep = df.select(col(idCol).as("id"), col(langCol).as("lang"),
       array_distinct(charShingles(lower(col(textCol)), n)).as("g"),
       floor(length(col(textCol)) / lenBand).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a doc joins its own bucket and the next (so neighbors split by a
     // boundary still pair up)
     val l = prep.select(col("lang"), col("bucket"), col("id").as("id_a"), col("g").as("g_a"))
