@@ -39,6 +39,16 @@ object DatasetEngine {
       ds.flatMap(x => e.f(x).iterator)
   }
 
+  /** Effectful unpack alone — reference `unpackOnlyFoldM`
+    * (`Simple.hs:219-222`); per-partition effect order (SURVEY §7.5). */
+  def unpackOnlyM[X, Y](ds: Dataset[X], u: UnpackM[X, Y])(
+      implicit ey: Encoder[Y]): Dataset[Y] = u match {
+    case f: UnpackM.FilterM[X @unchecked] =>
+      ds.mapPartitions(_.filter(f.p)).asInstanceOf[Dataset[Y]]
+    case e: UnpackM.ExplodeM[X, Y @unchecked] =>
+      ds.mapPartitions(_.flatMap(x => e.f(x).iterator))
+  }
+
   /** Full pipeline: unpack → assign → group → reduce.
     * `ordered = true` sorts the result by key (reference
     * ordered-key engines give key-sorted output as a side effect of
@@ -139,13 +149,7 @@ object DatasetEngine {
       ek: Encoder[K],
       ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
     val in = if (sequential) ds.coalesce(1) else ds
-    val unpacked: Dataset[Y] = u match {
-      case f: UnpackM.FilterM[X @unchecked] =>
-        in.mapPartitions(_.filter(f.p)).asInstanceOf[Dataset[Y]]
-      case e: UnpackM.ExplodeM[X, Y @unchecked] =>
-        in.mapPartitions(_.flatMap(x => e.f(x).iterator))
-    }
-    unpacked
+    unpackOnlyM(in, u)
       .mapPartitions(_.map(a.kv))
       .groupByKey(_._1)
       .mapGroups((k, it) => (k, r.f(k, it.map(_._2))))

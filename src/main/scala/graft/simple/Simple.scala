@@ -72,6 +72,11 @@ object Simple {
       implicit ey: Encoder[Y]): Dataset[Y] =
     DatasetEngine.unpackOnly(ds, u)
 
+  /** Reference `unpackOnlyFoldM` (`Simple.hs:219-222`). */
+  def unpackOnlyM[X, Y](ds: Dataset[X], u: UnpackM[X, Y])(
+      implicit ey: Encoder[Y]): Dataset[Y] =
+    DatasetEngine.unpackOnlyM(ds, u)
+
   /** Reference `concatFold` (`Simple.hs:156-162`): monoid-merge the
     * per-key results into one value.  Driver-side by design — only
     * call on demand; the distributed form is simply keeping the
