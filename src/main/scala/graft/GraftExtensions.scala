@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.cat.DotProductD
+import graft.functions.cat.{DotProductD, DotProductRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProductD(children.head, children(1))
       }))
+    // auto-rewrite the interpreted HOF dot-product shape into the
+    // native expression (semantics-preserving, see DotProductRewrite)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -73,6 +73,50 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer of `nCentroids`
+    * deterministic centroids (the vectors with the lowest ids — a
+    * fixed "sample" codebook, so the oracle can derive the identical
+    * centroids from the table), every vector assigned to its
+    * nearest-cosine cell, probes searching only their `nProbe`
+    * nearest cells.
+    *
+    * Scale shape: centroids are collected (tiny by construction) and
+    * embedded as literals, so cell assignment is ONE shuffle-free
+    * codegen'd projection over the corpus (nCentroids native dot
+    * products per row); the corpus then shuffles once by cell id,
+    * and each probe touches ~corpus×nProbe/nCentroids candidates. */
+  def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int, nCentroids: Int,
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nn = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", normD(col("v")))
+    val cent = nn.where(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centLocal = cent.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
+    }
+    // per-row argmax over (cos, -cid): highest cosine, ties to lowest cid
+    val best = array_max(array(centLocal.map { case (cid, cv, cnrm) =>
+      struct((dotD(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("c"),
+        lit(-cid).as("n"))
+    }.toIndexedSeq: _*))
+    val asg = nn.withColumn("cid", best.getField("n") * -1)
+    // probes rank centroids and keep their nProbe nearest cells
+    val pc = nn.where(col("id").isInCollection(probeIds))
+      .crossJoin(broadcast(cent))
+      .select(col("id").as("probe_id"), col("cid"),
+        (dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"),
+        col("v").as("pv"), col("nrm").as("pn"))
+    val cwin = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("ccos").desc, col("cid").asc)
+    val pcells = pc.withColumn("rn", row_number().over(cwin))
+      .where(col("rn") <= nProbe).select("probe_id", "cid", "pv", "pn")
+    val scored = asg.join(broadcast(pcells), Seq("cid"))
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        cosineWithNorms(dotD(col("pv"), col("v")), col("pn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH blocking then exact
     * cosine ≥ `minCos`.  Never an all-pairs cross join. */
   def nearDupPairs(emb: DataFrame, minCos: Double, planes: Int, dims: Int,

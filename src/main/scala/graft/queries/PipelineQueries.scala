@@ -490,7 +490,42 @@ object PipelineQueries {
       | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Q37: IVF-flat ANN (coarse-quantized cells, nProbe search) --------
+  private val IvfCentroids = 16
+  private val IvfProbe = 4
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(tbl(s, dir, "embeddings"), Seq(1L, 2L, 3L, 4L, 5L), 3,
+      IvfCentroids, IvfProbe).orderBy("vec_id", "neighbor_id")
+  val q37Sql: String = {
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM n),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nn
+       |         WHERE vec_id < $IvfCentroids),
+       |ac AS (SELECT e.vec_id, c.cid,
+       |         ${dotSql("e.v", "c.cv")}/(e.nrm*c.cnrm) AS cos
+       |       FROM nn e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
+       |pcells AS (SELECT vec_id AS probe_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac
+       |         WHERE vec_id IN (1,2,3,4,5)) WHERE rn <= $IvfProbe),
+       |sc AS (SELECT pc.probe_id AS vec_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.v", "e.v")}/(p.nrm*e.nrm) AS cos
+       |       FROM pcells pc
+       |       JOIN asg a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+       |       JOIN nn p ON p.vec_id = pc.probe_id
+       |       JOIN nn e ON e.vec_id = a.vec_id),
+       |rk AS (SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_ann_ivf" -> (q37 _),
     "q34_anti_join" -> (q34 _),
     "q35_cube" -> (q35 _),
     "q36_pivot" -> (q36 _),
@@ -522,6 +557,7 @@ object PipelineQueries {
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,
     "q34_anti_join" -> q34Sql,
+    "q37_ann_ivf" -> q37Sql,
     "q35_cube" -> q35Sql,
     "q36_pivot" -> q36Sql,
     "q14_exact_dedup" -> q14Sql,

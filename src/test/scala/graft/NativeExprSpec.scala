@@ -57,6 +57,30 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule rewrites HOF dot into graft_dot on extension sessions") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      import s.implicits._
+      val df = s.range(50)
+        .select(array(col("id").cast("double"), (col("id") * 2).cast("double")).as("a"))
+      val q = df.select(hofDot(col("a"), col("a")).as("d"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), optimized)
+      // and the rewritten plan computes the right value
+      val expect = (0 until 50).map { i =>
+        val a = Seq(i.toDouble, i * 2.0); a.map(x => x * x).sum
+      }.sum
+      assert(q.agg(sum(col("d"))).as[Double].collect().head == expect)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("dot runs inside whole-stage codegen (no fallback)") {
     // non-literal input (literals constant-fold to a LocalTableScan)
     val df = spark.range(100)
