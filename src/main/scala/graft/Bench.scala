@@ -33,6 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // NOTE: sf0.1 parquet files are single-row-group, so lowering
+      // spark.sql.files.maxPartitionBytes cannot parallelize the scan
+      // (measured: it only adds empty-split overhead)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -524,7 +524,23 @@ object PipelineQueries {
        |ORDER BY vec_id, neighbor_id""".stripMargin
   }
 
+  // ---- Q38: JSON scalar functions (semi-structured column access) -------
+  // props is a JSON string; extract k, bucket it, aggregate — the
+  // from_json path stays codegen'd and the parse cost is one pass.
+  def q38(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("kmod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "kmod")
+  val q38Sql: String =
+    """SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kmod,
+      | count(*) AS n
+      |FROM events GROUP BY event_type, kmod ORDER BY event_type, kmod""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_json_extract" -> (q38 _),
     "q37_ann_ivf" -> (q37 _),
     "q34_anti_join" -> (q34 _),
     "q35_cube" -> (q35 _),
@@ -558,6 +574,7 @@ object PipelineQueries {
     "q33_salted_mean" -> q33Sql,
     "q34_anti_join" -> q34Sql,
     "q37_ann_ivf" -> q37Sql,
+    "q38_json_extract" -> q38Sql,
     "q35_cube" -> q35Sql,
     "q36_pivot" -> q36Sql,
     "q14_exact_dedup" -> q14Sql,
