@@ -83,4 +83,15 @@ object Simple {
     * `Dataset[(K, D)]` (SURVEY E8). */
   def concatFold[D](ds: Dataset[D])(combine: (D, D) => D): D =
     ds.reduce(combine)
+
+  /** Reference `concatFoldM` (`Simple.hs:160-162`): same merge for
+    * results of effectful pipelines — in Scala the effect is inside
+    * `combine`, executed driver-side in reduction order. */
+  def concatFoldM[D](ds: Dataset[D])(combine: (D, D) => D): D =
+    concatFold(ds)(combine)
+
+  /** Reference `postMapM` (`Core.hs:238-241`): post-process an
+    * effectful reduce's result. */
+  def postMapM[K, C, D, E](f: D => E)(r: ReduceM[K, C, D]): ReduceM[K, C, E] =
+    r.map(f)
 }

@@ -71,6 +71,16 @@ object StreamingAgg {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate keys with state bounded by
+    * the watermark — late duplicates beyond `watermarkDelay` are
+    * already expired from state (and dropped as late data), so this
+    * runs indefinitely on an unbounded stream.  The streaming twin of
+    * `Dedup.exact` for ingest-time dedup of a training-data feed. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Convenience: run a streaming Dataset to a named in-memory sink
     * (testing / interactive inspection). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)

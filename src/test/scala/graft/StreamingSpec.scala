@@ -74,6 +74,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "id", "payload")
+    val out = StreamingAgg.dedupStream(df, Seq("id"), "ts", "1 minute")
+    val q = out.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData((t("2026-01-01 00:00:01"), 1L, "a"),
+        (t("2026-01-01 00:00:01"), 1L, "a"), // exact duplicate
+        (t("2026-01-01 00:00:02"), 2L, "b"))
+      q.processAllAvailable()
+      in.addData((t("2026-01-01 00:00:01"), 1L, "a")) // duplicate, later trigger
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_sink").collect().head.getLong(0)
+      assert(n == 2L)
+    } finally q.stop()
+  }
+
   test("foldUdaf: a Fold as a SQL-callable aggregate on batch data") {
     val meanUdaf = StreamingAgg.foldUdaf(Folds.mean)
     val got = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
