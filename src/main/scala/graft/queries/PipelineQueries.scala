@@ -539,8 +539,23 @@ object PipelineQueries {
       | count(*) AS n
       |FROM events GROUP BY event_type, kmod ORDER BY event_type, kmod""".stripMargin
 
+  // ---- Q39: date/time scalar functions ----------------------------------
+  def q39(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+        quarter(col("l_shipdate")).cast("long").as("qtr"))
+      .agg(count(lit(1)).as("n"),
+        round(sumMoney(col("l_quantity")), 6).as("sum_qty"))
+      .orderBy("yr", "qtr")
+  val q39Sql: String =
+    """SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, EXTRACT(QUARTER FROM l_shipdate) AS qtr,
+      | count(*) AS n,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_qty
+      |FROM lineitem GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_json_extract" -> (q38 _),
+    "q39_date_parts" -> (q39 _),
     "q37_ann_ivf" -> (q37 _),
     "q34_anti_join" -> (q34 _),
     "q35_cube" -> (q35 _),
@@ -575,6 +590,7 @@ object PipelineQueries {
     "q34_anti_join" -> q34Sql,
     "q37_ann_ivf" -> q37Sql,
     "q38_json_extract" -> q38Sql,
+    "q39_date_parts" -> q39Sql,
     "q35_cube" -> q35Sql,
     "q36_pivot" -> q36Sql,
     "q14_exact_dedup" -> q14Sql,
