@@ -11,16 +11,16 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/bench/MapReduce.hs:47-52,280-306`, n=100,000,
   * fixed seed) onto the typed engine; B3–B5 run Q01/Q03/Q08 on the
   * `SPARK_GRAFT_SF_DIR` parquet.  Prints ONE JSON line.
-  * Timing: 1 warmup + median of 3.
+  * Timing: 1 warmup + median of 5 (per BASELINE.md).
   */
 object Bench {
 
-  private def median3(f: => Unit): Double = {
+  private def median5(f: => Unit): Double = {
     f // warmup
-    val ts = (1 to 3).map { _ =>
+    val ts = (1 to 5).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    ts.sorted.apply(1)
+    ts.sorted.apply(2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,13 +62,13 @@ object Bench {
     val b2ds = spark.createDataset(ragged).repartition(8).cache()
     b2ds.count()
 
-    val b1 = median3 {
+    val b1 = median5 {
       Simple.hashableMapReduce(b1ds,
         Unpack.Filter[(String, Int)](_._2 % 2 == 0),
         Assign.of[(String, Int), String, Double](_._1)(_._2.toDouble),
         Reduce.fromFold[String, Double, Double](Folds.mean)).count()
     }
-    val b2 = median3 {
+    val b2 = median5 {
       Simple.hashableMapReduce(b2ds,
         Unpack.Explode[Map[String, Int], (Int, Double)] { m =>
           for { a <- m.get("A").iterator; b <- m.get("B").iterator
@@ -77,9 +77,9 @@ object Bench {
         Assign.of[(Int, Double), Int, Double](_._1)(_._2),
         Reduce.fromFold[Int, Double, Double](Folds.mean)).count()
     }
-    val b3 = median3 { RefQueries.q01(spark, sfDir).count() }
-    val b4 = median3 { RefQueries.q03(spark, sfDir).count() }
-    val b5 = median3 { RefQueries.q08(spark, sfDir).count() }
+    val b3 = median5 { RefQueries.q01(spark, sfDir).count() }
+    val b4 = median5 { RefQueries.q03(spark, sfDir).count() }
+    val b5 = median5 { RefQueries.q08(spark, sfDir).count() }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5)

@@ -83,6 +83,18 @@ class StepsSpec extends AnyFunSuite {
     assert(Reduce.run(r)("g", Iterator("ab", "cde")) == "g=5")
   }
 
+  test("Unpack.premap and Assign.mapValue compose (Profunctor surface)") {
+    val u = Unpack.Filter[Int](_ % 2 == 0).premap[String](_.length)
+    u match {
+      case Unpack.Explode(f) =>
+        assert(f("abcd").iterator.toList == List(4))
+        assert(f("abc").iterator.toList == Nil)
+      case _ => fail("premapped Filter must become Explode")
+    }
+    val a = Assign.of[Int, Int, Int](_ % 2)(identity).mapValue(_ * 10)
+    assert(a.key(7) == 1 && a.value(7) == 70)
+  }
+
   test("ReduceM algebra: map/premap/zip (Applicative ReduceM, Core.hs:220-227)") {
     val count = ReduceM.fromFold[String, Int, Long](Folds.count[Int])
     val sum = ReduceM.fromFold[String, Int, Int](Folds.sum[Int])
