@@ -133,13 +133,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-probe top-k as a bounded AGGREGATION, not a window sort: one
+    * hash aggregate whose buffer is a k-bounded priority queue
+    * (Catalyst `CollectTopK`), so map-side partials already hold ≤ k
+    * candidates and the shuffle carries O(probes × k) rows.  The
+    * row_number-window shape this replaces shuffled every scored
+    * candidate into at most |probes| partitions and fully sorted each
+    * — at corpus scale, parallelism collapses to the probe count and
+    * one hot partition sorts ~the corpus.
+    *
+    * Selection order: cos descending, ties to the lowest neighbor_id
+    * — encoded as the k largest `(cos, -neighbor_id)` structs under
+    * field-wise ordering. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(win))
-      .where(col("rn") <= k)
-      .select(col("probe_id").as("vec_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("sim"))
+    val item = struct(col("cos").as("cos"), (-col("neighbor_id")).as("nn"))
+    scored.groupBy(col("probe_id"))
+      .agg(org.apache.spark.sql.graftshim.Bridge.collectTopK(item, k).as("top"))
+      .select(col("probe_id").as("vec_id"), explode(col("top")).as("p"))
+      .select(col("vec_id"), (-col("p.nn")).as("neighbor_id"),
+        round(col("p.cos"), 6).as("sim"))
   }
 }

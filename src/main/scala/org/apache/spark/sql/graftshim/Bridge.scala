@@ -2,6 +2,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal access shim: `ExpressionUtils` is `private[sql]`, so the
@@ -11,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bounded top-k collect aggregate: the buffer is a k-bounded
+    * priority queue, so map-side partials hold at most k elements and
+    * the shuffle carries O(groups × k) — the reduction analog of
+    * ORDER BY ... LIMIT k without ever sorting a whole group.
+    * `reverse = false` keeps the k LARGEST items under the natural
+    * ordering of `item`'s type (struct items compare field-wise). */
+  def collectTopK(item: Column, k: Int, reverse: Boolean = false): Column =
+    ExpressionUtils.column(
+      new CollectTopK(ExpressionUtils.expression(item), k, reverse, 0, 0)
+        .toAggregateExpression())
 }
