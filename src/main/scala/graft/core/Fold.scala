@@ -194,9 +194,36 @@ object Folds {
   def stddev: Fold[Double, Double] = variance.map(math.sqrt)
 
   /** Top-k by the given ordering, largest first — bounded-size merge
-    * (the reduction analog of ORDER BY ... LIMIT k). */
-  def topK[A](k: Int)(implicit o: Ordering[A]): Fold.Aux[A, List[A], List[A]] =
-    Fold[A, List[A], List[A]](List.empty[A])((s, a) =>
-      (a :: s).sorted(o.reverse).take(k))((x, y) =>
-      (x ::: y).sorted(o.reverse).take(k))(identity)
+    * (the reduction analog of ORDER BY ... LIMIT k).
+    *
+    * Buffer: an ascending sorted list of ≤ k elements, head = the
+    * current cutoff.  Once warm, a non-qualifying row is rejected in
+    * O(1) (compare against the cutoff); a qualifying row is a single
+    * O(k) insertion — not the O(k log k) full re-sort per row of the
+    * naive shape.  Merge is one linear merge of two sorted lists. */
+  def topK[A](k: Int)(implicit o: Ordering[A]): Fold.Aux[A, List[A], List[A]] = {
+    require(k > 0, s"topK needs k > 0, got $k")
+    // insert into ascending-sorted s (iterative: no stack growth at large k)
+    def insertAsc(s: List[A], a: A): List[A] = {
+      val smaller = scala.collection.mutable.ListBuffer.empty[A]
+      var rest = s
+      while (rest.nonEmpty && o.lt(rest.head, a)) { smaller += rest.head; rest = rest.tail }
+      smaller.prependToList(a :: rest)
+    }
+    Fold[A, List[A], List[A]](List.empty[A]) { (s, a) =>
+      if (s.lengthCompare(k) >= 0) {
+        if (o.lteq(a, s.head)) s else insertAsc(s.tail, a)
+      } else insertAsc(s, a)
+    } { (x, y) =>
+      val out = scala.collection.mutable.ListBuffer.empty[A]
+      var (l, r) = (x, y)
+      while (l.nonEmpty && r.nonEmpty) {
+        if (o.lteq(l.head, r.head)) { out += l.head; l = l.tail }
+        else { out += r.head; r = r.tail }
+      }
+      val merged = out.prependToList(l ::: r)
+      val drop = merged.length - k
+      if (drop > 0) merged.drop(drop) else merged
+    } (_.reverse)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftshim.Bridge
 
 /** Untyped fast-path engine: the same unpack → assign → group →
   * reduce pipeline with every step a Catalyst `Column` expression,
@@ -55,15 +56,30 @@ final case class FrameQuery(
       else df.groupBy(keys: _*).agg(aggsAcc.head, aggsAcc.tail: _*)
     val relabeled = post.fold(aggregated)(cols => aggregated.select(cols: _*))
     if (orderedByKey && keys.nonEmpty) {
-      // sort by the key columns that survived the relabel
+      // sort by each key: resolve its NAME against the (possibly
+      // relabeled) output.  A key whose name was renamed away by the
+      // relabel sorts by the name as seen in the aggregate output —
+      // the analyzer pulls it up through the projection.  A nameless
+      // computed key sorts by its expression.  Either resolves, or
+      // analysis fails loudly — NEVER a silent skip of a sort the
+      // API promised.
       val names = relabeled.columns.toSet
-      val sortCols = keys.flatMap { k =>
-        val n = k.toString
-        if (names.contains(n)) Some(relabeled.col(n)) else None
+      val sortCols = keys.map { k =>
+        keyName(k) match {
+          case Some(n) if names.contains(n) => relabeled.col(n)
+          case Some(n) => org.apache.spark.sql.functions.col(n)
+          case None    => unaliased(k)
+        }
       }
-      if (sortCols.nonEmpty) relabeled.orderBy(sortCols: _*) else relabeled
+      relabeled.orderBy(sortCols: _*)
     } else relabeled
   }
+
+  /** Output-column name a key expression binds to, when it has one. */
+  private def keyName(k: Column): Option[String] = Bridge.columnName(k)
+
+  /** Strip a top-level alias (aliases are meaningless inside ORDER BY). */
+  private def unaliased(k: Column): Column = Bridge.stripAlias(k)
 }
 
 object FrameQuery {

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** result → the MEMORY_AND_DISK inputs its plan reads, so callers
+    * can release them once the result is consumed.  Weakly keyed:
+    * dropping the result without cleanup just leaves the cache block
+    * to session teardown (the pre-existing behavior). */
+  private val persistedInputs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
+
+  private def registerCleanup(result: DataFrame, handles: DataFrame*): DataFrame = {
+    persistedInputs.put(result, handles.toSeq)
+    result
+  }
+
+  /** Release the cached intermediate tables behind a DataFrame
+    * returned by [[lshPairs]] / [[ngramJaccardPairs]].  Call after
+    * the result has been consumed (written / collected); a no-op for
+    * anything else. */
+  def unpersistInputsOf(result: DataFrame): Unit = {
+    val hs = persistedInputs.remove(result)
+    if (hs != null) hs.foreach(_.unpersist())
+  }
+
   /** Exact dedup: one survivor per distinct value of `keyCols`, the
     * row minimizing `tieBreak` (deterministic).  Single hash-agg
     * shuffle on the dedup key; `min_by` keeps whole rows without
@@ -42,7 +63,12 @@ object Dedup {
     * O(rows × bands × ~30 bytes).  Shingle sets are joined in only
     * for the deduplicated candidate pairs (the LSH guarantee is that
     * candidates are rare).  The shingle table is persisted because
-    * three plan branches read it; it is spill-safe (MEMORY_AND_DISK). */
+    * three plan branches read it; it is spill-safe (MEMORY_AND_DISK).
+    *
+    * Cache ownership: the persisted prep block lives until the
+    * session ends or the caller releases it — consume the result,
+    * then call [[unpersistInputsOf]] on it (long-lived sessions
+    * issuing many dedup calls should always do so). */
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
     val rows = MinhashA.size / bands
@@ -63,11 +89,13 @@ object Dedup {
       .select("id_a", "id_b").distinct() // dedup multi-band hits BEFORE fetching shingles
     val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       / size(array_union(col("sh_a"), col("sh_b"))))
-    cands
-      .join(shingleTbl.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingleTbl.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    registerCleanup(
+      cands
+        .join(shingleTbl.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shingleTbl.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .where(col("jaccard") >= minJaccard),
+      shingleTbl)
   }
 
   /** 64-bit simhash over token hashes, returned as two unsigned
@@ -109,10 +137,12 @@ object Dedup {
       .select(col("lang"), col("bucket"), col("id").as("id_b"), col("g").as("g_b"))
     val jac = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
       size(array_union(col("g_a"), col("g_b")))
-    l.join(r, Seq("lang", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
-      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    registerCleanup(
+      l.join(r, Seq("lang", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
+        .where(col("jaccard") >= minJaccard),
+      prep)
   }
 }

@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage-codegen'd tight loop below — the hot inner loop of
   * every similarity/ANN operator at scale.
   *
-  * Length mismatch takes the common prefix; null arrays propagate
-  * null (null elements are not expected — cast vectors are non-null).
+  * Null semantics match the HOF form EXACTLY (so the optimizer
+  * rewrite is unconditionally semantics-preserving): null array →
+  * null; length mismatch → null (`zip_with` null-pads, and the
+  * summation lambda then yields null); any null element → null.
+  * The per-element null checks compile away when both child array
+  * types declare `containsNull = false`.
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -28,15 +32,27 @@ case class DotProductD(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null also on length mismatch / null elements, not just null inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
+
+  private def elemsMayBeNull: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val checkNulls = elemsMayBeNull
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -45,14 +61,22 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (elemsMayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
-         |if ($b.numElements() < $n) $n = $b.numElements();
-         |double $s = 0.0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.DoubleType
   * Users (and the engine's own older call sites) writing the
   * idiomatic HOF form get the 7× compiled loop automatically; the
   * rewrite is semantics-preserving because DotProductD performs the
-  * identical strict left-to-right summation from 0.0.
+  * identical strict left-to-right summation from 0.0 AND matches the
+  * HOF null semantics exactly (null on null array, length mismatch,
+  * or null element — see DotProductD's scaladoc), so it is safe to
+  * fire on ragged or null-element data.
   *
   * Injected by [[graft.GraftExtensions]] via `injectOptimizerRule`.
   */

@@ -18,11 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingAgg {
 
   /** A [[Fold]] as a SQL-callable UDAF column — usable in both batch
-    * and streaming `groupBy(...).agg(...)`. */
+    * and streaming `groupBy(...).agg(...)`.  Folds carrying a
+    * Catalyst buffer encoder (the shipped vocabulary) keep the
+    * codegen'd unsafe-row buffer across the shuffle; only opaque
+    * user folds fall back to Kryo. */
   def foldUdaf[C, D](fd: Fold[C, D])(
       implicit ic: Encoder[C], od: Encoder[D]): UserDefinedFunction = {
     val aux: Fold.Aux[C, fd.Buf, D] = fd
-    udaf(FoldAggregator.kryoBuf(aux), ic)
+    udaf(FoldAggregator.auto(aux), ic)
   }
 
   /** Event-time tumbling-window aggregation with watermarking:
@@ -71,15 +74,16 @@ object StreamingAgg {
       }
   }
 
-  /** Streaming exact dedup: drop duplicate keys with state bounded by
-    * the watermark — late duplicates beyond `watermarkDelay` are
-    * already expired from state (and dropped as late data), so this
-    * runs indefinitely on an unbounded stream.  The streaming twin of
-    * `Dedup.exact` for ingest-time dedup of a training-data feed. */
+  /** Streaming exact dedup ON THE KEY COLUMNS ALONE (a duplicate key
+    * arriving with a different event time is still dropped — the true
+    * streaming twin of `Dedup.exact`), with state bounded by the
+    * watermark: `dropDuplicatesWithinWatermark` expires a key's state
+    * once the watermark passes its event time plus the delay, so this
+    * runs indefinitely on an unbounded stream. */
   def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
       watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Convenience: run a streaming Dataset to a named in-memory sink
     * (testing / interactive inspection). */

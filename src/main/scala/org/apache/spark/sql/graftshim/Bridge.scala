@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.internal.{Alias => NodeAlias, UnresolvedAttribute => NodeAttr}
 
 /** Minimal access shim: `ExpressionUtils` is `private[sql]`, so the
   * Column↔Expression bridge our native expressions need lives in an
@@ -23,4 +24,18 @@ object Bridge {
     ExpressionUtils.column(
       new CollectTopK(ExpressionUtils.expression(item), k, reverse, 0, 0)
         .toAggregateExpression())
+
+  /** Output-column name a Column binds to: its alias, or its
+    * attribute name.  None for nameless computed expressions. */
+  def columnName(c: Column): Option[String] = c.node match {
+    case a: NodeAlias => a.name.lastOption
+    case u: NodeAttr  => u.nameParts.lastOption
+    case _            => None
+  }
+
+  /** Strip a top-level alias (meaningless inside ORDER BY). */
+  def stripAlias(c: Column): Column = c.node match {
+    case a: NodeAlias => Column(a.child)
+    case _            => c
+  }
 }

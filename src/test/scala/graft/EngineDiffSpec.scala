@@ -128,6 +128,28 @@ class EngineDiffSpec extends AnyFunSuite {
     assert(typed == untyped)
   }
 
+  test("FrameQuery.ordered sorts computed/aliased keys — never a silent skip") {
+    import graft.engine.FrameQuery
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataset(
+      List.fill(200)((rnd.nextInt(1000), rnd.nextInt(50)))).toDF("k", "v")
+    // computed key under an alias: the old name-string match missed
+    // "(k % 7) AS kmod" and silently returned unsorted output
+    val got = FrameQuery.on(df)
+      .assign((col("k") % 7).as("kmod"))
+      .reduce(sum(col("v")).as("s"))
+      .ordered.run().collect().map(_.getInt(0)).toSeq
+    assert(got == got.sorted, "aliased computed key must be sorted")
+    // key renamed away by relabel: sort falls back to the key
+    // expression, resolved through the projection
+    val renamed = FrameQuery.on(df)
+      .assign((col("k") % 7).as("kmod"))
+      .reduce(sum(col("v")).as("s"))
+      .relabel(col("kmod").as("m"), col("s"))
+      .ordered.run().collect().map(_.getInt(0)).toSeq
+    assert(renamed == renamed.sorted, "relabeled key must still sort")
+  }
+
   test("concatFold merges per-key results (monoid concat, Simple.hs:156-162)") {
     val xs = List.fill(100)(rnd.nextInt(100))
     val perKey = DatasetEngine.run(spark.createDataset(xs), Unpack.none[Int],

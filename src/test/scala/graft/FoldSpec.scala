@@ -80,6 +80,20 @@ class FoldSpec extends AnyFunSuite {
     assert(Folds.topK[Int](5).done(parts.reduce(Folds.topK[Int](5).merge)) == expect)
   }
 
+  test("topK bounded-insert edges: k=1, k>n, duplicates, empty") {
+    assert(Folds.topK[Int](1).fold(Seq(5, 1, 9, 9, 3)) == Seq(9))
+    assert(Folds.topK[Int](10).fold(Seq(3, 1, 2)) == Seq(3, 2, 1))
+    assert(Folds.topK[Int](3).fold(Seq(7, 7, 7, 7)) == Seq(7, 7, 7))
+    assert(Folds.topK[Int](3).fold(Nil) == Nil)
+    // large k: merge of uneven partial buffers still exact
+    val xs = sample(2000)
+    val k = 1000
+    val expect = xs.sorted(Ordering[Int].reverse).take(k)
+    val f = Folds.topK[Int](k)
+    val parts = xs.grouped(37).map(_.foldLeft(f.init)(f.step))
+    assert(f.done(parts.reduce(f.merge)) == expect)
+  }
+
   test("first/last in sequential order") {
     val xs = sample(50)
     assert(Folds.first[Int].fold(xs) == xs.headOption)

@@ -37,6 +37,20 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got(1).getDouble(0) == 0.0)
   }
 
+  test("length mismatch / null elements: native matches HOF exactly (null)") {
+    val df = Seq(
+      (Seq(Option(1.0), Option(2.0), Option(3.0)), Seq(Option(1.0), Option(2.0))),
+      (Seq(Option(1.0), None, Option(3.0)), Seq(Option(1.0), Option(2.0), Option(3.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    val got = df.select(ColFns.dotD(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    got.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1)))
+    assert(got(0).isNullAt(0)) // ragged → null, like zip_with null-padding
+    assert(got(1).isNullAt(0)) // null element → null
+    assert(got(2).getDouble(0) == 11.0)
+  }
+
   test("graft_dot registers as a SQL function via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     // extensions apply at session build time; build a fresh session on

@@ -88,6 +88,9 @@ class StreamingSpec extends AnyFunSuite {
         (t("2026-01-01 00:00:02"), 2L, "b"))
       q.processAllAvailable()
       in.addData((t("2026-01-01 00:00:01"), 1L, "a")) // duplicate, later trigger
+      // same KEY at a different event time: still a duplicate —
+      // dedup is on the key columns alone (Dedup.exact's contract)
+      in.addData((t("2026-01-01 00:00:07"), 1L, "a2"))
       q.processAllAvailable()
       val n = spark.sql("SELECT count(*) FROM dedup_sink").collect().head.getLong(0)
       assert(n == 2L)
