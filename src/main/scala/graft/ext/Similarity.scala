@@ -73,34 +73,85 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic cosine k-means codebook: seeds = the `nCentroids`
+    * lowest-id vectors, then `iters` Lloyd rounds of (argmax-cosine
+    * assignment, per-dimension mean update).  Returns
+    * `(cid, centroid, norm)` triples.
+    *
+    * Determinism (so the DuckDB oracle replays the codebook
+    * bit-identically from the table alone): assignment ties break to
+    * the lowest cid; each dimension's sum is taken over
+    * DECIMAL(38,15) — exact, hence independent of partition/merge
+    * order — and only divided (as double) at the end; empty clusters
+    * keep their previous centroid; centroid norms are left-to-right
+    * sums of squares (the same association as the SQL `list_reduce`).
+    *
+    * Scale shape: each round is one shuffle-free codegen'd argmax
+    * projection over the corpus plus one (nCentroids × dims)-group
+    * aggregation; only nCentroids × dims means ever reach the
+    * driver.  `iters` is fixed and small — at real scale you'd train
+    * the codebook on a sample, which this is the exact kernel of. */
+  def kmeansCodebook(emb: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Long, Seq[Double], Double)] = {
+    val nn = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
+    def seqNorm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    var cents: Seq[(Long, Seq[Double], Double)] =
+      nn.where(col("id") < nCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).map { case (cid, cv) => (cid, cv, seqNorm(cv)) }
+    for (_ <- 1 to iters) {
+      val cell = assignCell(col("v"), normD(col("v")), cents)
+      val dimMeans = nn
+        .select(cell.as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(38,15)")).cast("double")
+          / count(lit(1))).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val byCid = dimMeans.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+      cents = cents.map { case (cid, oldCv, _) =>
+        val cv = byCid.getOrElse(cid, oldCv)
+        (cid, cv, seqNorm(cv))
+      }
+    }
+    cents
+  }
+
+  /** Argmax-cosine cell id over literal centroids: highest cosine,
+    * ties to the lowest cid — one codegen'd projection, no shuffle. */
+  private def assignCell(v: Column, nrm: Column,
+      cents: Seq[(Long, Seq[Double], Double)]): Column =
+    array_max(array(cents.map { case (cid, cv, cnrm) =>
+      struct((dotD(v, typedLit(cv)) / (nrm * lit(cnrm))).as("c"),
+        lit(-cid).as("n"))
+    }.toIndexedSeq: _*)).getField("n") * -1
+
   /** IVF-flat approximate top-k: a coarse quantizer of `nCentroids`
-    * deterministic centroids (the vectors with the lowest ids — a
-    * fixed "sample" codebook, so the oracle can derive the identical
-    * centroids from the table), every vector assigned to its
+    * centroids from [[kmeansCodebook]] (`kmeansIters` = 0 degrades to
+    * the raw lowest-id seeds), every vector assigned to its
     * nearest-cosine cell, probes searching only their `nProbe`
     * nearest cells.
     *
-    * Scale shape: centroids are collected (tiny by construction) and
-    * embedded as literals, so cell assignment is ONE shuffle-free
-    * codegen'd projection over the corpus (nCentroids native dot
-    * products per row); the corpus then shuffles once by cell id,
-    * and each probe touches ~corpus×nProbe/nCentroids candidates. */
+    * Scale shape: the codebook is tiny by construction and embedded
+    * as literals, so cell assignment is ONE shuffle-free codegen'd
+    * projection over the corpus (nCentroids native dot products per
+    * row); the corpus then shuffles once by cell id, and each probe
+    * touches ~corpus×nProbe/nCentroids candidates. */
   def ivfTopK(emb: DataFrame, probeIds: Seq[Long], k: Int, nCentroids: Int,
-      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nProbe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      kmeansIters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
     val nn = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
       .withColumn("nrm", normD(col("v")))
-    val cent = nn.where(col("id") < nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val centLocal = cent.collect().map { r =>
-      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
-    }
-    // per-row argmax over (cos, -cid): highest cosine, ties to lowest cid
-    val best = array_max(array(centLocal.map { case (cid, cv, cnrm) =>
-      struct((dotD(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("c"),
-        lit(-cid).as("n"))
-    }.toIndexedSeq: _*))
-    val asg = nn.withColumn("cid", best.getField("n") * -1)
-    // probes rank centroids and keep their nProbe nearest cells
+    val centLocal = kmeansCodebook(emb, nCentroids, kmeansIters, idCol, vecCol)
+    import spark.implicits._
+    val cent = centLocal.toDF("cid", "cv", "cnrm")
+    val asg = nn.withColumn("cid", assignCell(col("v"), col("nrm"), centLocal))
+    // probes rank centroids and keep their nProbe nearest cells —
+    // the window is bounded at |probes| × nCentroids rows, broadcast
     val pc = nn.where(col("id").isInCollection(probeIds))
       .crossJoin(broadcast(cent))
       .select(col("id").as("probe_id"), col("cid"),

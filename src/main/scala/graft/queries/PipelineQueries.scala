@@ -490,20 +490,48 @@ object PipelineQueries {
       | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  // ---- Q37: IVF-flat ANN (coarse-quantized cells, nProbe search) --------
+  // ---- Q37: IVF-flat ANN (k-means codebook, coarse cells, nProbe search) -
+  // The codebook is deterministic (exact decimal dimension sums,
+  // lowest-cid tie-breaks, empty cells keep their centroid), so the
+  // oracle REPLAYS the two Lloyd rounds as unrolled CTEs and the
+  // result hash-matches bit-for-bit.
   private val IvfCentroids = 16
   private val IvfProbe = 4
+  private val IvfKmeansIters = 2
   def q37(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(tbl(s, dir, "embeddings"), Seq(1L, 2L, 3L, 4L, 5L), 3,
-      IvfCentroids, IvfProbe).orderBy("vec_id", "neighbor_id")
+      IvfCentroids, IvfProbe, kmeansIters = IvfKmeansIters)
+      .orderBy("vec_id", "neighbor_id")
   val q37Sql: String = {
+    // one Lloyd round: assign (argmax cosine, ties to lowest cid) →
+    // exact per-dimension decimal means → empty cells keep centroid
+    def round(i: Int): String = {
+      val prev = s"c${i - 1}"
+      val cvNew = "COALESCE(n.cv, o.cv)"
+      s"""a$i AS (SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.v", "c.cv")}/(e.nrm*c.cnrm) DESC, c.cid ASC) AS rn
+         |       FROM nn e CROSS JOIN $prev c),
+         |s$i AS (SELECT a.cid, d.i AS pos,
+         |         CAST(sum(CAST(a.v[d.i] AS DECIMAL(38,15))) AS DOUBLE)/count(*) AS m
+         |       FROM (SELECT * FROM a$i WHERE rn = 1) a
+         |       CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i) d
+         |       GROUP BY a.cid, d.i),
+         |n$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM s$i GROUP BY cid),
+         |c$i AS (SELECT o.cid, $cvNew AS cv,
+         |         sqrt(${dotSql(cvNew, cvNew)}) AS cnrm
+         |       FROM $prev o LEFT JOIN n$i n USING (cid))""".stripMargin
+    }
+    val rounds = (1 to IvfKmeansIters).map(round).mkString(",\n")
+    val cFinal = s"c$IvfKmeansIters"
     s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM n),
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nn
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nn
        |         WHERE vec_id < $IvfCentroids),
+       |$rounds,
        |ac AS (SELECT e.vec_id, c.cid,
        |         ${dotSql("e.v", "c.cv")}/(e.nrm*c.cnrm) AS cos
-       |       FROM nn e CROSS JOIN cent c),
+       |       FROM nn e CROSS JOIN $cFinal c),
        |asg AS (SELECT vec_id, cid FROM
        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |           ORDER BY cos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
