@@ -164,6 +164,10 @@ final case class ReduceM[K, C, D](f: (K, Iterator[C]) => D) extends Serializable
     * and the `postMapM` shape (`Core.hs:238-241`). */
   def map[E](g: D => E): ReduceM[K, C, E] =
     ReduceM((k: K, cs: Iterator[C]) => g(f(k, cs)))
+  /** Key-dependent relabel — reference `reduceMMapWithKey`
+    * (`Simple.hs:112-117`). */
+  def mapWithKey[E](g: (K, D) => E): ReduceM[K, C, E] =
+    ReduceM((k: K, cs: Iterator[C]) => g(k, f(k, cs)))
   /** Pre-map the per-group values (Profunctor; `Core.hs:205-209`). */
   def premap[B](g: B => C): ReduceM[K, B, D] =
     ReduceM((k: K, bs: Iterator[B]) => f(k, bs.map(g)))

@@ -143,15 +143,19 @@ object DatasetEngine {
       u: UnpackM[X, Y],
       a: AssignM[Y, K, C],
       r: ReduceM[K, C, D],
-      sequential: Boolean = false)(
+      sequential: Boolean = false,
+      ordered: Boolean = false)(
       implicit ey: Encoder[Y],
       ekc: Encoder[(K, C)],
       ek: Encoder[K],
       ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
     val in = if (sequential) ds.coalesce(1) else ds
-    unpackOnlyM(in, u)
+    val out = unpackOnlyM(in, u)
       .mapPartitions(_.map(a.kv))
       .groupByKey(_._1)
       .mapGroups((k, it) => (k, r.f(k, it.map(_._2))))
+    // reference mapReduceFoldM defaults to ordered-key output
+    // (Simple.hs:175-187); sort positionally (tuple column "_1")
+    if (ordered) out.orderBy(out.col(out.columns.head)) else out
   }
 }

@@ -384,6 +384,69 @@ object PipelineQueries {
       | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---- Q40: the SAME windowed aggregation, STREAM-EXECUTED ---------------
+  // q30 runs the streaming surface on a batch frame; this one actually
+  // executes it: events are fed through a MemoryStream in ascending
+  // event-time chunks, the watermarked tumbling-window aggregation
+  // runs in Append mode (windows emit only once the watermark passes
+  // them — the honest streaming path), and a far-future sentinel
+  // event closes the final windows.  The sink must match the same
+  // DuckDB oracle as the batch run.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = tbl(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
+        col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime)
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingAgg.windowedAgg(
+      in.toDF().toDF("ts2", "event_type", "value"),
+      "ts2", "0 seconds", "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    val sink = "q40_stream_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val sentinel = new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L)
+      in.addData((sentinel, "__sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).where(col("event_type") =!= "__sentinel")
+      .orderBy("hour", "event_type")
+  }
+  // identical oracle to q30: stream execution must not change results
+  val q40Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---- Q42: multimodal metadata aggregation (the oracle-checkable half) --
+  // Metadata lives beside the bytes; this aggregates meta WITHOUT
+  // touching content (parquet/column pruning — proven in
+  // MultimodalSpec), and is SQL-expressible, so the codec stub stays
+  // the only rows-only surface (q29).
+  def q42(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMedia(s, dir)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("meta.width").cast("long")).as("sum_w"),
+        sum(col("meta.height").cast("long")).as("sum_h"))
+      .orderBy("kind")
+  val q42Sql: String =
+    """SELECT 'image' AS kind, count(*) AS n_media,
+      | CAST(sum(length(text) % 640) AS BIGINT) AS sum_w,
+      | CAST(sum(length(text) % 480) AS BIGINT) AS sum_h
+      |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -590,6 +653,8 @@ object PipelineQueries {
     "q36_pivot" -> (q36 _),
     "q29_multimodal" -> (q29 _),
     "q30_stream_window" -> (q30 _),
+    "q40_stream_exec" -> (q40 _),
+    "q42_media_meta" -> (q42 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -612,6 +677,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Sql,
+    "q40_stream_exec" -> q40Sql,
+    "q42_media_meta" -> q42Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

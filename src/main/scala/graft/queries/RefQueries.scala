@@ -244,7 +244,33 @@ object RefQueries {
     """SELECT event_type, count(*) AS n FROM events WHERE value > 10
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // Q41 — the full effectful Simple surface in one ordered pipeline
+  // (reference Simple.hs:112-153, 175-187): FilterM effect →
+  // foldAndLabelM (effectful fold + relabel) → reduceMMapWithKey
+  // (effectful key-dependent relabel) → mapReduceM (ordered-key
+  // default, like the reference's mapReduceFoldM).
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seen = s.sparkContext.longAccumulator("q41_rows_seen")
+    val ds = tbl(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    val reduce = graft.simple.Simple.reduceMMapWithKey[String, Long, String, String](
+      (k, lbl) => s"$k|$lbl")(
+      graft.simple.Simple.foldAndLabelM(Folds.count[Long])((_, n) => s"n=$n"))
+    val out = graft.simple.Simple.mapReduceM(ds,
+      UnpackM.FilterM[(String, Double)] { x => seen.add(1); x._2 > 10.0 },
+      AssignM[(String, Double), String, Long](x => (x._1, 1L)),
+      reduce)
+    out.toDF("event_type", "labeled")
+  }
+  val q41Sql: String =
+    """SELECT event_type, event_type || '|n=' || CAST(count(*) AS VARCHAR) AS labeled
+      |FROM events WHERE value > 10
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_effectful_ordered" -> (q41 _),
     "q01_group_sum" -> (q01 _),
     "q02_filter_sum" -> (q02 _),
     "q03_multi_agg" -> (q03 _),
@@ -260,6 +286,7 @@ object RefQueries {
     "q13_effectful_filter" -> (q13 _))
 
   val oracles: Map[String, String] = Map(
+    "q41_effectful_ordered" -> q41Sql,
     "q01_group_sum" -> q01Sql,
     "q02_filter_sum" -> q02Sql,
     "q03_multi_agg" -> q03Sql,

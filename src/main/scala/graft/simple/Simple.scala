@@ -43,6 +43,26 @@ object Simple {
   def reduceMapWithKey[K, C, D, E](f: (K, D) => E)(
       r: Reduce[K, C, D]): Reduce[K, C, E] = r.mapWithKey(f)
 
+  /** Reference `reduceMMapWithKey` (`Simple.hs:112-117`): the
+    * effectful twin — relabel the result of an effectful reduce. */
+  def reduceMMapWithKey[K, C, D, E](f: (K, D) => E)(
+      r: ReduceM[K, C, D]): ReduceM[K, C, E] = r.mapWithKey(f)
+
+  /** Reference `processAndLabelM` (`Simple.hs:131-141`): effectful
+    * whole-group function + key-dependent relabel.  The effect runs
+    * inside the engine's mapGroups (per-partition order, SURVEY §7.5). */
+  def processAndLabelM[K, C, Y, Z](process: Iterator[C] => Y)(
+      label: (K, Y) => Z): ReduceM[K, C, Z] =
+    ReduceM((k: K, cs: Iterator[C]) => label(k, process(cs)))
+
+  /** Reference `foldAndLabelM` (`Simple.hs:148-153`): effectful fold
+    * + relabel.  In Scala the "FoldM" is a Fold whose step/done may
+    * side-effect; it runs whole-group on the ReduceM path, so effects
+    * fire once per group element in group order. */
+  def foldAndLabelM[K, C, Y, Z](fd: Fold[C, Y])(
+      label: (K, Y) => Z): ReduceM[K, C, Z] =
+    ReduceM((k: K, cs: Iterator[C]) => label(k, fd.fold(cs)))
+
   /** Default engine, ordered-key output — reference `mapReduceFold`
     * (`Simple.hs:164-173`). */
   def mapReduce[X, Y, K, C, D](
@@ -60,12 +80,21 @@ object Simple {
     DatasetEngine.run(ds, u, a, r, ordered = false)
 
   /** Effectful default engine — reference `mapReduceFoldM`
-    * (`Simple.hs:175-187`); per-partition effect order (SURVEY §7.5). */
+    * (`Simple.hs:175-187`): ordered-key output, like its pure twin;
+    * per-partition effect order (SURVEY §7.5). */
   def mapReduceM[X, Y, K, C, D](
       ds: Dataset[X], u: UnpackM[X, Y], a: AssignM[Y, K, C], r: ReduceM[K, C, D])(
       implicit ey: Encoder[Y], ekc: Encoder[(K, C)], ek: Encoder[K],
       ekd: Encoder[(K, D)]): Dataset[(K, D)] =
-    DatasetEngine.runM(ds, u, a, r)
+    DatasetEngine.runM(ds, u, a, r, ordered = true)
+
+  /** Unordered effectful engine — reference `hashableMapReduceFoldM`
+    * (`Simple.hs:200-212`); result is a bag. */
+  def hashableMapReduceM[X, Y, K, C, D](
+      ds: Dataset[X], u: UnpackM[X, Y], a: AssignM[Y, K, C], r: ReduceM[K, C, D])(
+      implicit ey: Encoder[Y], ekc: Encoder[(K, C)], ek: Encoder[K],
+      ekd: Encoder[(K, D)]): Dataset[(K, D)] =
+    DatasetEngine.runM(ds, u, a, r, ordered = false)
 
   /** Reference `unpackOnlyFold` (`Simple.hs:215-222`). */
   def unpackOnly[X, Y](ds: Dataset[X], u: Unpack[X, Y])(

@@ -96,6 +96,20 @@ class EngineDiffSpec extends AnyFunSuite {
     assert(acc.value == xs.length.toLong)
   }
 
+  test("mapReduceM is key-sorted; hashableMapReduceM is the same bag (Simple.hs:175-212)") {
+    val xs = List.fill(300)(rnd.nextInt(100))
+    val u = UnpackM.FilterM[Int](_ % 3 != 0)
+    val a = AssignM[Int, Int, Long](x => (x % 11, x.toLong))
+    val r = ReduceM.fromFold[Int, Long, Long](Folds.sum[Long])
+    val ordered = Simple.mapReduceM(spark.createDataset(xs), u, a, r).collect().toSeq
+    assert(ordered.map(_._1) == ordered.map(_._1).sorted, "ordered-key default")
+    val bag = Simple.hashableMapReduceM(spark.createDataset(xs), u, a, r).collect().toSeq
+    assert(bag.toMap == ordered.toMap)
+    val expected = xs.filter(_ % 3 != 0).groupBy(_ % 11)
+      .map { case (k, g) => k -> g.map(_.toLong).sum }
+    assert(ordered.toMap == expected)
+  }
+
   test("salted two-phase aggregation == plain engine on skewed keys") {
     // 90% of rows share one key — the skew case runSalted exists for
     val xs = List.tabulate(2000)(i => if (i % 10 != 0) 7 else rnd.nextInt(100))

@@ -103,6 +103,38 @@ class StepsSpec extends AnyFunSuite {
     assert(both.f("k", Iterator("a", "bb", "ccc")) == 2.0)
   }
 
+  test("effectful Simple aliases agree with their pure twins (Simple.hs:112-153)") {
+    import graft.simple.Simple
+    val xs = (1 to 50).map(i => (i % 4, i.toDouble))
+    def runM[D](r: ReduceM[Int, Double, D]): Map[Int, D] =
+      xs.groupBy(_._1).map { case (k, g) => k -> r.f(k, g.iterator.map(_._2)) }
+    // foldAndLabelM == foldAndLabel
+    val pureFL = localRun(xs, Unpack.none[(Int, Double)],
+      Assign.of[(Int, Double), Int, Double](_._1)(_._2),
+      Simple.foldAndLabel[Int, Double, Double, String](Folds.sumD)((k, s) => s"$k:$s"))
+    assert(runM(Simple.foldAndLabelM[Int, Double, Double, String](
+      Folds.sumD)((k, s) => s"$k:$s")) == pureFL)
+    // processAndLabelM == processAndLabel
+    val purePL = localRun(xs, Unpack.none[(Int, Double)],
+      Assign.of[(Int, Double), Int, Double](_._1)(_._2),
+      Simple.processAndLabel[Int, Double, Double, Double](_.max)((k, m) => m + k))
+    assert(runM(Simple.processAndLabelM[Int, Double, Double, Double](_.max)(
+      (k, m) => m + k)) == purePL)
+    // reduceMMapWithKey == reduceMapWithKey over generalized reduce
+    val base = Reduce.fromFold[Int, Double, Double](Folds.sumD)
+    val pureMW = localRun(xs, Unpack.none[(Int, Double)],
+      Assign.of[(Int, Double), Int, Double](_._1)(_._2),
+      Simple.reduceMapWithKey[Int, Double, Double, (Int, Double)]((k, d) => (k, d))(base))
+    assert(runM(Simple.reduceMMapWithKey[Int, Double, Double, (Int, Double)](
+      (k, d) => (k, d))(ReduceM.generalize(base))) == pureMW)
+    // effects fire once per group on the M path
+    var calls = 0
+    val eff = Simple.foldAndLabelM[Int, Double, Long, Long](
+      Folds.count[Double])((k, n) => { calls += 1; n })
+    runM(eff)
+    assert(calls == 4)
+  }
+
   test("generalize round-trips pure steps into effectful ones") {
     val uM = UnpackM.generalize(Unpack.Filter[Int](_ > 0))
     uM match {
