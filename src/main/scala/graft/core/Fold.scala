@@ -193,6 +193,15 @@ object Folds {
 
   def stddev: Fold[Double, Double] = variance.map(math.sqrt)
 
+  /** Approximate quantile via the mergeable [[QSketch]]: O(k log n)
+    * memory per group at ANY group size — the scale-safe twin of a
+    * whole-group exact median ([[ofFunction]] + sort).  Exact (and
+    * merge-order independent) while n ≤ capacity; bounded rank error
+    * after compaction kicks in.  percentile_disc convention. */
+  def approxQuantile(capacity: Int, q: Double): Fold.Aux[Double, QSketch, Double] =
+    Fold[Double, QSketch, Double](QSketch.empty(capacity))((s, x) =>
+      s.insert(x))((a, b) => a.merge(b))(_.quantile(q))
+
   /** Top-k by the given ordering, largest first — bounded-size merge
     * (the reduction analog of ORDER BY ... LIMIT k).
     *

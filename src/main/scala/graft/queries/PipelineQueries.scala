@@ -447,6 +447,30 @@ object PipelineQueries {
       | CAST(sum(length(text) % 480) AS BIGINT) AS sum_h
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
+  // ---- Q43: approximate-quantile sketch fold (q12's scale-safe twin) ----
+  // The KLL-style QSketch is exact (and merge-order independent)
+  // while a group fits its capacity, so the gate checks it
+  // hash-exactly against quantile_disc at sf0.01 (max group ~20k <
+  // 32768); the compaction regime's error bound is pinned in
+  // FoldSpec.  At 100 TB you'd drop capacity and accept ε rank error
+  // — same plan, O(k log n) state instead of a whole buffered group.
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val ds = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+    DatasetEngine.run(ds, Unpack.none[(String, Double)],
+      Assign.of[(String, Double), String, Double](_._1)(_._2),
+      Reduce.fromFold[String, Double, Double](
+        Folds.approxQuantile(32768, 0.5)), ordered = true)
+      .toDF("l_returnflag", "median_qty")
+      .select(col("l_returnflag"), round(col("median_qty"), 6).as("median_qty"))
+  }
+  val q43Sql: String =
+    """SELECT l_returnflag, round(quantile_disc(l_quantity, 0.5),6) AS median_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -655,6 +679,7 @@ object PipelineQueries {
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
+    "q43_quantile_sketch" -> (q43 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -679,6 +704,7 @@ object PipelineQueries {
     "q30_stream_window" -> q30Sql,
     "q40_stream_exec" -> q40Sql,
     "q42_media_meta" -> q42Sql,
+    "q43_quantile_sketch" -> q43Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

@@ -94,6 +94,42 @@ class FoldSpec extends AnyFunSuite {
     assert(f.done(parts.reduce(f.merge)) == expect)
   }
 
+  test("approxQuantile exact below capacity, any split (percentile_disc)") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(900)(rnd.nextDouble() * 1000)
+    def disc(q: Double): Double = {
+      val v = xs.sorted
+      v.zipWithIndex.find { case (_, i) => (i + 1).toDouble >= q * v.length }.get._1
+    }
+    for (q <- Seq(0.1, 0.5, 0.9); chunk <- Seq(1000, 97, 13)) {
+      val f = Folds.approxQuantile(1024, q)
+      val parts = xs.grouped(chunk).map(_.foldLeft(f.init)(f.step))
+      assert(f.done(parts.reduce(f.merge)) == disc(q), s"q=$q chunk=$chunk")
+    }
+  }
+
+  test("approxQuantile compaction regime: bounded rank error, conserved weight") {
+    val rnd = new scala.util.Random(12)
+    val n = 20000
+    val xs = Seq.fill(n)(rnd.nextDouble())
+    val f = Folds.approxQuantile(256, 0.5)
+    // build via uneven partial buffers, like a real shuffle
+    val parts = xs.grouped(631).map(_.foldLeft(f.init)(f.step)).toSeq
+    val sk = parts.reduce(f.merge)
+    assert(sk.n == n.toLong)
+    // compaction conserves total weight: Σ |level_i| · 2^i == n
+    val weight = sk.levels.zipWithIndex.map { case (b, i) => b.length.toLong << i }.sum
+    assert(weight == n.toLong)
+    val sorted = xs.sorted.toIndexedSeq
+    for (q <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val est = sk.quantile(q)
+      val trueRank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(trueRank - q) < 0.04, s"q=$q rank=$trueRank est=$est")
+    }
+    // memory bound: every level buffer within capacity
+    assert(sk.levels.forall(_.length <= 256))
+  }
+
   test("first/last in sequential order") {
     val xs = sample(50)
     assert(Folds.first[Int].fold(xs) == xs.headOption)
