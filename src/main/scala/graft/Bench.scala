@@ -80,9 +80,23 @@ object Bench {
     val b3 = median5 { RefQueries.q01(spark, sfDir).count() }
     val b4 = median5 { RefQueries.q03(spark, sfDir).count() }
     val b5 = median5 { RefQueries.q08(spark, sfDir).count() }
+    // B6-B8: the expensive pipeline operators (MinHash-LSH dedup,
+    // n-gram Jaccard near-dup, LSH-bucketed ANN).  q17/q19 persist
+    // their prep tables; clear the cache inside the timed body so
+    // every iteration measures a cold operator, not a warm cache.
+    import graft.queries.PipelineQueries
+    val b6 = median5 {
+      PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
+    }
+    val b7 = median5 {
+      PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
+    }
+    val b8 = median5 { PipelineQueries.q15b(spark, sfDir).count() }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
-      "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5)
+      "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
+      "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
+      "b8_q15b_ann_lsh" -> b8)
     val qjson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = qs.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")

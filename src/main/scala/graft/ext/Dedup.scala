@@ -75,7 +75,12 @@ object Dedup {
     val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
     val shingleTbl = df.select(col(idCol).as("id"), sh.as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = shingleTbl.select(Seq(col("id")) ++ minhashCols(col("sh")): _*)
+    // materialize per-shingle hashes in their own projection: ONE md5
+    // pass per document; the 16 permutations are cheap modular maps
+    // over it (HOF subtrees are excluded from codegen CSE, so inlining
+    // would re-run the md5 pass 16×)
+    val hashed = shingleTbl.select(col("id"), shingleHashes(col("sh")).as("hs"))
+    val sig = hashed.select(Seq(col("id")) ++ minhashColsFromHashes(col("hs")): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         bandHash((0 until rows).map(r => col(s"m${b * rows + r}"))).as("bh"))
@@ -87,8 +92,12 @@ object Dedup {
         Seq("band_id", "bh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct() // dedup multi-band hits BEFORE fetching shingles
-    val jac = (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      / size(array_union(col("sh_a"), col("sh_b"))))
+    // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: counting the union
+    // via the intersect avoids materializing a second merged array
+    // per candidate pair (bit-identical result, integer math)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = inter /
+      ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
     registerCleanup(
       cands
         .join(shingleTbl.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -135,11 +144,19 @@ object Dedup {
     val l = prep.select(col("lang"), col("bucket"), col("id").as("id_a"), col("g").as("g_a"))
     val r = prep.withColumn("bucket", explode(array(col("bucket"), col("bucket") + 1)))
       .select(col("lang"), col("bucket"), col("id").as("id_b"), col("g").as("g_b"))
-    val jac = size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-      size(array_union(col("g_a"), col("g_b")))
+    // |A∪B| = |A|+|B|-|A∩B| (distinct arrays): skip building the
+    // union array; and jac ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    // whose size ratio is below the threshold can be pruned BEFORE
+    // the O(|A|+|B|) intersect — semantics-preserving (only drops
+    // pairs that mathematically cannot reach minJaccard)
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val jac = inter /
+      ((size(col("g_a")) + size(col("g_b"))).cast("double") - inter)
     registerCleanup(
       l.join(r, Seq("lang", "bucket"))
         .where(col("id_a") < col("id_b"))
+        .where(least(size(col("g_a")), size(col("g_b"))).cast("double") >=
+          lit(minJaccard) * greatest(size(col("g_a")), size(col("g_b"))).cast("double"))
         .select(col("id_a"), col("id_b"), jac.as("jaccard"))
         .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
         .where(col("jaccard") >= minJaccard),

@@ -96,15 +96,27 @@ object ColFns {
     982451653L, 57885161L, 74207281L, 30402457L, 20996011L, 6972593L,
     3021377L, 2976221L, 1398269L, 859433L)
 
-  /** k-minhash signature (k columns) of a shingle array: for each
-    * permutation i, min over shingles of (a_i * (h60 % p) + b_i) % p.
-    * h is reduced mod p BEFORE multiplying so a*h fits in int64. */
-  def minhashCols(shingles: Column): Seq[Column] =
+  /** Per-shingle base hashes, reduced mod p (so a*h fits in int64).
+    * Materialize this ONCE per document — md5 is the expensive part,
+    * and the k permutations below only do cheap modular arithmetic
+    * over it (16× fewer md5 evaluations than hashing inside each
+    * permutation). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => h60(s) % MinhashP)
+
+  /** k-minhash signature (k columns) over prehashed shingles
+    * ([[shingleHashes]]): permutation i = min over h of (a_i*h+b_i)%p. */
+  def minhashColsFromHashes(hs: Column): Seq[Column] =
     MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(shingles, s =>
-        (lit(a) * (h60(s) % MinhashP) + lit(b)) % MinhashP))
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashP))
         .as(s"m$i")
     }
+
+  /** k-minhash signature of a raw shingle array (hashes inline; for
+    * one-shot use — pipelines should materialize [[shingleHashes]]
+    * first so the md5 pass runs once, not k times). */
+  def minhashCols(shingles: Column): Seq[Column] =
+    minhashColsFromHashes(shingleHashes(shingles))
 
   /** LSH band hash over a slice of minhash columns. */
   def bandHash(ms: Seq[Column]): Column = md5(concat_ws(",", ms.map(_.cast("string")): _*))

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{PipelineQueries, RefQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gate for the hottest queries: the things
+  * `.explain` review established once (pushdown, pruning, broadcast
+  * strategies, bounded top-k aggregation, no cartesian blowups, no
+  * per-group global sorts) must FAIL CI if a refactor regresses them
+  * — not wait for a judge or a 100 TB run to notice.
+  *
+  * Plan shape is scale-independent, so sf0.001 inputs suffice.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** FINAL adaptive plan: collect first so AQE has re-planned and
+    * codegen stage markers are present. */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // keep only the FINAL adaptive plan (the string repeats the
+    // pre-AQE plan under "== Initial Plan ==")
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("q01: single partial-agg shuffle + order-by range exchange, codegen'd") {
+    val p = plan(RefQueries.q01(spark, sf))
+    assert(countOf(p, "Exchange ") == 2, s"expected 2 exchanges:\n$p")
+    assert(p.contains("*("), "whole-stage codegen must cover the agg path")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02: filter pushed to the parquet scan; columns pruned") {
+    val p = plan(RefQueries.q02(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount,0.05)]"),
+      s"filter must reach the scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("q15: ANN top-k is a bounded aggregation, not a window sort") {
+    val p = plan(PipelineQueries.q15(spark, sf))
+    assert(p.contains("partial_collect_top_k"),
+      s"map-side k-bounded partial aggregation required:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, s"no per-probe window sort allowed:\n$p")
+    assert(p.contains("BroadcastExchange"), "probes must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q37: IVF keeps the bounded top-k tail and broadcast probe cells") {
+    val p = plan(PipelineQueries.q37(spark, sf))
+    assert(p.contains("partial_collect_top_k"))
+    // the only Window allowed is probe-centroid ranking over a
+    // broadcast-bounded input (|probes| x nCentroids rows)
+    assert(countOf(p, "\\bWindow\\b") <= 1, s"unexpected windows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17: LSH band join never degenerates into a cartesian product") {
+    val p = plan(PipelineQueries.q17(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"banded self-join must stay an equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"), "shingle prep must be cached, built once")
+  }
+
+  test("q26: small dimension join is broadcast, not shuffled") {
+    val p = plan(PipelineQueries.q26(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no full shuffle join for a broadcastable dim")
+  }
+}
