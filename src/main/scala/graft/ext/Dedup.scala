@@ -72,7 +72,9 @@ object Dedup {
   def lshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
     val rows = MinhashA.size / bands
-    val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
+    // sorted+distinct ONCE at prep so pair verification can use the
+    // allocation-free sorted merge-walk intersect count
+    val sh = array_sort(array_distinct(wordShingles(tokens(col(textCol)), n)))
     val shingleTbl = df.select(col(idCol).as("id"), sh.as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize per-shingle hashes in their own projection: ONE md5
@@ -95,7 +97,7 @@ object Dedup {
     // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: counting the union
     // via the intersect avoids materializing a second merged array
     // per candidate pair (bit-identical result, integer math)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val jac = inter /
       ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
     registerCleanup(
@@ -135,8 +137,10 @@ object Dedup {
       minJaccard: Double = 0.05): DataFrame = {
     // both join branches read prep; persist so the n-gram arrays are
     // built once, not once per side
+    // sorted+distinct once per doc → pair verification runs the
+    // allocation-free sorted merge-walk intersect count
     val prep = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      array_distinct(charShingles(lower(col(textCol)), n)).as("g"),
+      array_sort(array_distinct(charShingles(lower(col(textCol)), n))).as("g"),
       floor(length(col(textCol)) / lenBand).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a doc joins its own bucket and the next (so neighbors split by a
@@ -149,7 +153,7 @@ object Dedup {
     // whose size ratio is below the threshold can be pruned BEFORE
     // the O(|A|+|B|) intersect — semantics-preserving (only drops
     // pairs that mathematically cannot reach minJaccard)
-    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val inter = sortedIntersectCount(col("g_a"), col("g_b")).cast("double")
     val jac = inter /
       ((size(col("g_a")) + size(col("g_b"))).cast("double") - inter)
     registerCleanup(

@@ -75,6 +75,17 @@ object ColFns {
   /** Cast a float vector column to array<double> (exact widening). */
   def vecD(c: Column): Column = c.cast("array<double>")
 
+  /** `|A ∩ B|` of two SORTED DISTINCT null-free arrays — native
+    * merge-walk ([[graft.functions.cat.SortedIntersectCount]]):
+    * O(n+m) comparisons, zero per-pair allocation, vs
+    * `size(array_intersect(...))`'s per-pair hash set + discarded
+    * output array.  Callers must sort+distinct at prep time. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.cat.SortedIntersectCount(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** L2 norm, computed from [[dotD]] so it parenthesizes identically
     * to the oracle. */
   def normD(a: Column): Column = sqrt(dotD(a, a))

@@ -51,6 +51,25 @@ class NativeExprSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 11.0)
   }
 
+  test("sortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(5)
+    def randSet() = Seq.fill(rnd.nextInt(40))(s"g${rnd.nextInt(60)}")
+      .distinct.sorted
+    val rows = Seq.fill(300)((randSet(), randSet())) ++ Seq(
+      (Seq.empty[String], Seq("a")), (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b"), Seq("a", "b")))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ColFns.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (f, r) => assert(f == r) }
+    // codegen'd longs too, not just strings
+    val dl = Seq((Seq(1L, 3L, 7L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+    assert(dl.select(ColFns.sortedIntersectCount(col("a"), col("b")))
+      .collect().head.getInt(0) == 2)
+  }
+
   test("graft_dot registers as a SQL function via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     // extensions apply at session build time; build a fresh session on
