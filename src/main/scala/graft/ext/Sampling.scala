@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.functions.ColFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Everything here keys on a content-stable hash of the row id
+  * (md5-derived [[graft.functions.ColFns.h60]]), NOT on `rand()`:
+  * the same row lands in the same split/sample on every run, on any
+  * cluster, from any engine — which is what makes train/val/test
+  * membership reproducible, joinable across derived tables, and
+  * oracle-checkable.  All per-row codegen'd scalars: zero shuffle,
+  * linear scans at any scale.
+  */
+object Sampling {
+
+  /** Hash-bucket resolution for split fractions (1/10000). */
+  val SplitMod: Long = 10000L
+
+  private def hashBucket(idCol: Column): Column =
+    h60(idCol.cast("string")) % SplitMod
+
+  /** Assign each row a named split (e.g. train/val/test) by hash
+    * bucket.  `fractions` must sum to 1 (±1e-9); boundaries are
+    * cumulative-fraction thresholds over the 10000 hash buckets, so
+    * split sizes are within 1e-4 of the requested fractions in
+    * expectation and membership is deterministic in the id. */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val h = hashBucket(col(idCol))
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * SplitMod))
+    val expr = fractions.init.zip(thresholds.init) match {
+      case Seq() => lit(fractions.head._1)
+      case ((n0, _), t0) +: rest =>
+        rest.foldLeft(when(h < lit(t0), lit(n0))) {
+          case (c, ((nm, _), t)) => c.when(h < lit(t), lit(nm))
+        }.otherwise(lit(fractions.last._1))
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic ~`fraction` Bernoulli sample by id hash — the
+    * reproducible twin of `df.sample(fraction)`. */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.where(hashBucket(col(idCol)) < lit(math.round(fraction * SplitMod)))
+  }
+
+  /** Deterministic k-per-group sample: the k rows with the smallest
+    * id hashes per group (ties broken by id).  Implemented as a
+    * bounded priority-queue aggregation (CollectTopK, reverse=true):
+    * map-side partials hold ≤ k ids, the shuffle carries
+    * O(groups × k), and the picked ids broadcast back as a semi-join
+    * — never a per-group window sort, never a shuffle of the full
+    * rows.  The evaluation-set constructor for a 100 TB corpus. */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    val h = h60(col(idCol).cast("string"))
+    val picks = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(org.apache.spark.sql.graftshim.Bridge
+        .collectTopK(struct(h.as("h"), col(idCol).as("id")), k, reverse = true)
+        .as("top"))
+      .select(groupCols.map(col) :+ explode(col("top")).as("p"): _*)
+      .select(groupCols.map(col) :+ col("p.id").as(idCol): _*)
+    df.join(broadcast(picks), groupCols :+ idCol, "left_semi")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.StreamingAgg
 import graft.functions.ColFns
 import graft.functions.ColFns._
@@ -471,6 +471,39 @@ object PipelineQueries {
     """SELECT l_returnflag, round(quantile_disc(l_quantity, 0.5),6) AS median_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q44: deterministic hash split (train/val/test) --------------------
+  // Membership is a pure function of the id hash — reproducible on
+  // any run/cluster/engine; sum(doc_id) pins the exact membership,
+  // not just the split sizes.
+  def q44(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(tbl(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  val q44Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |  FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN hb < 8000 THEN 'train'
+       |    WHEN hb < 9000 THEN 'val' ELSE 'test' END AS split FROM h)
+       |SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ---- Q45: deterministic k-per-group sample (bounded top-k agg) ---------
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Sampling.samplePerGroup(tbl(s, dir, "documents"), Seq("lang"), "doc_id", 7)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy("lang")
+  val q45Sql: String =
+    s"""WITH h AS (SELECT lang, doc_id,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
+       |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM r WHERE rn <= 7 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -680,6 +713,8 @@ object PipelineQueries {
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
     "q43_quantile_sketch" -> (q43 _),
+    "q44_hash_split" -> (q44 _),
+    "q45_group_sample" -> (q45 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -705,6 +740,8 @@ object PipelineQueries {
     "q40_stream_exec" -> q40Sql,
     "q42_media_meta" -> q42Sql,
     "q43_quantile_sketch" -> q43Sql,
+    "q44_hash_split" -> q44Sql,
+    "q45_group_sample" -> q45Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

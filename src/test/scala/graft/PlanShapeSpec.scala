@@ -67,6 +67,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "shingle prep must be cached, built once")
   }
 
+  test("q45: per-group sample is a bounded agg + broadcast semi-join") {
+    val p = plan(PipelineQueries.q45(spark, sf))
+    assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, "no per-group window sort")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"picked ids must broadcast back as a semi-join:\n$p")
+  }
+
   test("q26: small dimension join is broadcast, not shuffled") {
     val p = plan(PipelineQueries.q26(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
