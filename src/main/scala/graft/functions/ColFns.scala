@@ -30,16 +30,21 @@ object ColFns {
   /** Exact mean built from [[sumMoney]] / count — deterministic. */
   def avgMoney(c: Column): Column = sumMoney(c) / count(c)
 
-  /** 60-bit positive hash of a string: first 15 hex chars of md5.
-    * md5 is bit-identical across Spark/DuckDB/everything. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def md5Slice(c: Column, start: Int, len: Int): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.cat.Md5HexSlice(
+      Bridge.expression(c), start, len))
+  }
+
+  /** 60-bit positive hash of a string: first 15 hex chars of md5
+    * (md5 is bit-identical across Spark/DuckDB/everything), computed
+    * natively off the digest bytes — no hex string, no conv parse
+    * ([[graft.functions.cat.Md5HexSlice]]). */
+  def h60(c: Column): Column = md5Slice(c, 1, 15)
 
   /** 32-bit halves of md5 (for 64-bit simhash assembly). */
-  def h32hi(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-  def h32lo(c: Column): Column =
-    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+  def h32hi(c: Column): Column = md5Slice(c, 1, 8)
+  def h32lo(c: Column): Column = md5Slice(c, 9, 8)
 
   /** Lowercased whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =

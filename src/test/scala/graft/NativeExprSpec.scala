@@ -70,6 +70,23 @@ class NativeExprSpec extends AnyFunSuite {
       .collect().head.getInt(0) == 2)
   }
 
+  test("h60/h32 native md5 slices == conv(substring(md5)) bit-for-bit") {
+    val rnd = new scala.util.Random(9)
+    val strs = Seq.fill(400)(rnd.alphanumeric.take(rnd.nextInt(20)).mkString) ++
+      Seq("", " ", "héllo wörld", "日本語テキスト", "a b c")
+    val df = strs.toDF("s")
+    def ref(start: Int, len: Int) =
+      conv(substring(md5(col("s")), start, len), 16, 10).cast("long")
+    val got = df.select(
+      ColFns.h60(col("s")).as("h60"), ref(1, 15).as("h60r"),
+      ColFns.h32hi(col("s")).as("hi"), ref(1, 8).as("hir"),
+      ColFns.h32lo(col("s")).as("lo"), ref(9, 8).as("lor"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (a, ar, b, br, c, cr) =>
+      assert(a == ar && b == br && c == cr)
+    }
+  }
+
   test("graft_dot registers as a SQL function via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     // extensions apply at session build time; build a fresh session on
