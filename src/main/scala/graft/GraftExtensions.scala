@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.cat.{DotProductD, DotProductRewrite}
+import graft.functions.cat.{DotProductD, DotProductRewrite, Md5HexSlice, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL-callable functions.
@@ -22,6 +22,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_sorted_intersect_count(sortedArrayA, sortedArrayB) takes 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_slice"),
+      new ExpressionInfo(classOf[Md5HexSlice].getName, "graft_md5_slice"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_md5_slice(str, startHexChar, lenHexChars) takes 3 arguments")
+        (children(1), children(2)) match {
+          case (Literal(s: Int, _), Literal(l: Int, _)) =>
+            Md5HexSlice(children.head, s, l)
+          case _ => throw new IllegalArgumentException(
+            "graft_md5_slice start/len must be integer literals")
+        }
       }))
     // auto-rewrite the interpreted HOF dot-product shape into the
     // native expression (semantics-preserving, see DotProductRewrite)

@@ -101,6 +101,14 @@ class NativeExprSpec extends AnyFunSuite {
         "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
         .collect().head.getDouble(0)
       assert(r == 32.0)
+      val ic = withExt.sql(
+        "SELECT graft_sorted_intersect_count(array('a','b','d'), array('b','c','d')) AS c")
+        .collect().head.getInt(0)
+      assert(ic == 2)
+      val hs = withExt.sql(
+        "SELECT graft_md5_slice('x', 1, 15) AS h, conv(substring(md5('x'),1,15),16,10) AS r")
+        .collect().head
+      assert(hs.getLong(0) == hs.getString(1).toLong)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
