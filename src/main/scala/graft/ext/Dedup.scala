@@ -38,10 +38,21 @@ object Dedup {
   /** Exact dedup: one survivor per distinct value of `keyCols`, the
     * row minimizing `tieBreak` (deterministic).  Single hash-agg
     * shuffle on the dedup key; `min_by` keeps whole rows without
-    * materializing groups. */
-  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    * materializing groups.
+    *
+    * `hashKey = true` groups by `md5` of the key columns instead of
+    * the raw values: on long-text keys the shuffle row then carries
+    * the text once (inside the survivor struct) rather than twice —
+    * the right call when the key IS the document.  md5 collisions
+    * (2^-64-ish at corpus scale) would merge distinct documents;
+    * NUL-joined keys assume no embedded NULs. */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String,
+      hashKey: Boolean = false): DataFrame = {
     val all = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.groupBy(keyCols.map(col): _*)
+    val groupCols =
+      if (hashKey) Seq(md5(concat_ws("\u0000", keyCols.map(col): _*)).as("__gk"))
+      else keyCols.map(col)
+    df.groupBy(groupCols: _*)
       .agg(min_by(all, col(tieBreak)).as("survivor"))
       .select("survivor.*")
   }

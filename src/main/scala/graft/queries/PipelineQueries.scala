@@ -504,6 +504,55 @@ object PipelineQueries {
        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
        |FROM r WHERE rn <= 7 GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- Q46: end-to-end training-data pipeline composition ----------------
+  // The flagship composition: exact dedup (hashed key) → per-doc
+  // quality scoring → threshold filter → deterministic hash split →
+  // per-split stats.  Every stage is a library operator; the whole
+  // chain is one declarative plan (dedup agg → scalar projections →
+  // final agg, two shuffles total) and hash-checks against DuckDB.
+  // sum(doc_id) pins exact membership through all four stages.
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.exact(tbl(s, dir, "documents"), Seq("text"), "doc_id",
+      hashKey = true)
+    val scored = deduped
+      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(scored, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  val q46Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |d AS (SELECT doc.doc_id, doc.text, $toksSql AS toks
+       |      FROM documents doc JOIN surv ON doc.doc_id = surv.doc_id),
+       |q AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM d),
+       |f AS (SELECT doc_id, n_tokens FROM q
+       |  WHERE stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+       |      + least(mean_tok_len / 8.0, 1.0) * 0.3 >= 0.5),
+       |sp AS (SELECT doc_id, n_tokens,
+       |    CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *, ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |        FROM f))
+       |SELECT split, count(*) AS n,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -715,6 +764,7 @@ object PipelineQueries {
     "q43_quantile_sketch" -> (q43 _),
     "q44_hash_split" -> (q44 _),
     "q45_group_sample" -> (q45 _),
+    "q46_pipeline_e2e" -> (q46 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -742,6 +792,7 @@ object PipelineQueries {
     "q43_quantile_sketch" -> q43Sql,
     "q44_hash_split" -> q44Sql,
     "q45_group_sample" -> q45Sql,
+    "q46_pipeline_e2e" -> q46Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

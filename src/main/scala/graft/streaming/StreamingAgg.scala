@@ -90,4 +90,17 @@ object StreamingAgg {
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Durable parquet sink with exactly-once file commits: the
+    * checkpoint tracks progress, so restarts resume without
+    * duplicating output — the production sink for an ingest-dedup /
+    * windowed-feature stream. Append mode (parquet sinks can't
+    * update), so aggregations need a watermark to finalize rows. */
+  def toParquetSink(df: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
 }
