@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.streaming.StreamingAgg
 import graft.functions.ColFns
 import graft.functions.ColFns._
@@ -553,6 +553,42 @@ object PipelineQueries {
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- Q47: sequence packing (token-budget context windows) --------------
+  // Greedy no-split packing via one bucket-parallel windowed prefix
+  // sum; pack-level stats then aggregate globally.  Deterministic in
+  // the id hash, so DuckDB replays the identical packing.
+  private val PackCapacity = 512L
+  private val PackBuckets = 8
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tokens"))
+    val packed = Packing.packBySize(docs, "doc_id", "n_tokens",
+      PackCapacity, PackBuckets)
+    packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        max(col("pack_tokens")).as("max_pack_tokens"),
+        round(sum(col("pack_tokens").cast("decimal(38,15)")).cast("double")
+          / count(lit(1)), 6).as("avg_pack_tokens"))
+  }
+  val q47Sql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket FROM d),
+       |p AS (SELECT bucket, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS prefix
+       |  FROM b),
+       |packs AS (SELECT bucket * ${1L << 32} + prefix // $PackCapacity AS pack_id,
+       |    count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+       |  FROM p GROUP BY 1)
+       |SELECT count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       |  round(CAST(sum(CAST(pack_tokens AS DECIMAL(38,15))) AS DOUBLE)/count(*),6)
+       |    AS avg_pack_tokens
+       |FROM packs""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -765,6 +801,7 @@ object PipelineQueries {
     "q44_hash_split" -> (q44 _),
     "q45_group_sample" -> (q45 _),
     "q46_pipeline_e2e" -> (q46 _),
+    "q47_seq_pack" -> (q47 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -793,6 +830,7 @@ object PipelineQueries {
     "q44_hash_split" -> q44Sql,
     "q45_group_sample" -> q45Sql,
     "q46_pipeline_e2e" -> q46Sql,
+    "q47_seq_pack" -> q47Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,
