@@ -589,6 +589,34 @@ object PipelineQueries {
        |    AS avg_pack_tokens
        |FROM packs""".stripMargin
 
+  // ---- Q48: session windows vs a gaps-and-islands oracle -----------------
+  // Spark's session_window merges events whose gap to the previous
+  // event is < gapDuration; the DuckDB twin is the classic islands
+  // construction (lag → break flag → running session id).  Closes the
+  // gate gap where session semantics were only spec-covered.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    StreamingAgg.sessionAgg(ev, "ts2", "0 seconds", "5 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select(col("event_type"), col("session_window.start").as("sess_start"),
+        col("n"))
+      .orderBy("event_type", "sess_start")
+  }
+  val q48Sql: String =
+    """WITH l AS (SELECT event_type, ts,
+      |    lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+      |  FROM events),
+      |f AS (SELECT event_type, ts,
+      |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |g AS (SELECT event_type, ts,
+      |    sum(brk) OVER (PARTITION BY event_type ORDER BY ts) AS sid
+      |  FROM f)
+      |SELECT event_type, min(ts) AS sess_start, count(*) AS n
+      |FROM g GROUP BY event_type, sid ORDER BY event_type, sess_start""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -802,6 +830,7 @@ object PipelineQueries {
     "q45_group_sample" -> (q45 _),
     "q46_pipeline_e2e" -> (q46 _),
     "q47_seq_pack" -> (q47 _),
+    "q48_session_window" -> (q48 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -831,6 +860,7 @@ object PipelineQueries {
     "q45_group_sample" -> q45Sql,
     "q46_pipeline_e2e" -> q46Sql,
     "q47_seq_pack" -> q47Sql,
+    "q48_session_window" -> q48Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,
