@@ -396,6 +396,10 @@ object PipelineQueries {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // NOTE: the collect below is the TEST FEED — MemoryStream takes
+    // driver-side batches by design.  The operator under test
+    // (windowedAgg) is fully distributed; a production pipeline reads
+    // from a real streaming source instead.
     val ev = tbl(s, dir, "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
         col("event_type"), col("value"))
@@ -508,8 +512,10 @@ object PipelineQueries {
   // The flagship composition: exact dedup (hashed key) → per-doc
   // quality scoring → threshold filter → deterministic hash split →
   // per-split stats.  Every stage is a library operator; the whole
-  // chain is one declarative plan (dedup agg → scalar projections →
-  // final agg, two shuffles total) and hash-checks against DuckDB.
+  // chain is one declarative plan whose only exchanges are the two
+  // aggregations (dedup, per-split) plus the output sort — scoring,
+  // filtering and splitting all fuse into the scan-side projection —
+  // and it hash-checks against DuckDB.
   // sum(doc_id) pins exact membership through all four stages.
   def q46(s: SparkSession, dir: String): DataFrame = {
     val deduped = Dedup.exact(tbl(s, dir, "documents"), Seq("text"), "doc_id",

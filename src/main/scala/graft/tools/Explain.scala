@@ -13,7 +13,8 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_group_sum", "q02_filter_sum", "q15_ann_bruteforce",
-        "q17_minhash_lsh", "q26_join_agg")
+        "q17_minhash_lsh", "q19_ngram_jaccard", "q26_join_agg",
+        "q45_group_sample", "q46_pipeline_e2e", "q47_seq_pack")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
