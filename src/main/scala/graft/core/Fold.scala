@@ -199,8 +199,10 @@ object Folds {
     * merge-order independent) while n ≤ capacity; bounded rank error
     * after compaction kicks in.  percentile_disc convention. */
   def approxQuantile(capacity: Int, q: Double): Fold.Aux[Double, QSketch, Double] =
-    Fold[Double, QSketch, Double](QSketch.empty(capacity))((s, x) =>
-      s.insert(x))((a, b) => a.merge(b))(_.quantile(q))
+    Fold.withEncoder(
+      Fold[Double, QSketch, Double](QSketch.empty(capacity))((s, x) =>
+        s.insert(x))((a, b) => a.merge(b))(_.quantile(q)),
+      org.apache.spark.sql.Encoders.product[QSketch])
 
   /** Top-k by the given ordering, largest first — bounded-size merge
     * (the reduction analog of ORDER BY ... LIMIT k).
