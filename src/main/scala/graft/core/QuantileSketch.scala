@@ -23,19 +23,22 @@ package graft.core
   * Quantile convention: `percentile_disc` — the smallest retained
   * value whose cumulative weight reaches q·N.
   */
-final case class QSketch(k: Int, n: Long, levels: List[List[Double]]) {
+final case class QSketch(k: Int, n: Long, sizes: List[Int],
+    levels: List[List[Double]]) {
 
   def insert(x: Double): QSketch =
     QSketch.compact(copy(n = n + 1,
+      sizes = (sizes.head + 1) :: sizes.tail,
       levels = (x :: levels.head) :: levels.tail))
 
   def merge(that: QSketch): QSketch = {
     require(k == that.k, s"merging sketches of different capacity: $k vs ${that.k}")
     val depth = math.max(levels.length, that.levels.length)
-    val a = levels.padTo(depth, Nil)
-    val b = that.levels.padTo(depth, Nil)
-    QSketch.compact(QSketch(k, n + that.n,
-      a.lazyZip(b).map(_ ::: _).toList))
+    val sz = sizes.padTo(depth, 0).lazyZip(that.sizes.padTo(depth, 0))
+      .map(_ + _).toList
+    val lv = levels.padTo(depth, Nil).lazyZip(that.levels.padTo(depth, Nil))
+      .map(_ ::: _).toList
+    QSketch.compact(QSketch(k, n + that.n, sz, lv))
   }
 
   /** Smallest retained value with cumulative weight ≥ q·N
@@ -69,27 +72,31 @@ final case class QSketch(k: Int, n: Long, levels: List[List[Double]]) {
 object QSketch {
   def empty(k: Int): QSketch = {
     require(k >= 2, s"sketch capacity must be >= 2, got $k")
-    QSketch(k, 0L, List(Nil))
+    QSketch(k, 0L, List(0), List(Nil))
   }
 
   /** Restore the invariant: every level buffer ≤ k items.  Promotes
     * odd-sorted-index items (weight doubles, total weight conserved);
-    * an odd leftover stays at its level. */
+    * an odd leftover stays at its level.  Buffer sizes are tracked
+    * explicitly so the per-insert capacity check is O(1), not a walk
+    * of the level-0 list. */
   private def compact(s: QSketch): QSketch = {
+    var sz = s.sizes.toVector
     var lv = s.levels.toVector
     var i = 0
     while (i < lv.length) {
-      val buf = lv(i)
-      if (buf.lengthCompare(s.k) > 0) {
-        val sorted = buf.sorted.toVector
+      if (sz(i) > s.k) {
+        val sorted = lv(i).sorted.toVector
         val m = sorted.length / 2 * 2
         val promoted = (1 until m by 2).map(sorted).toList
         lv = lv.updated(i, sorted.drop(m).toList)
-        if (i + 1 >= lv.length) lv = lv :+ Nil
+        sz = sz.updated(i, sorted.length - m)
+        if (i + 1 >= lv.length) { lv = lv :+ Nil; sz = sz :+ 0 }
         lv = lv.updated(i + 1, promoted ::: lv(i + 1))
+        sz = sz.updated(i + 1, sz(i + 1) + promoted.length)
       }
       i += 1
     }
-    s.copy(levels = lv.toList)
+    s.copy(sizes = sz.toList, levels = lv.toList)
   }
 }
