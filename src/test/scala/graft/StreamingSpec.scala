@@ -74,6 +74,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("toParquetSink: checkpointed file sink lands rows readable as a table") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    val q = StreamingAgg.toParquetSink(
+      in.toDF().toDF("id", "payload"), s"$base/data", s"$base/ckpt")
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/data")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
