@@ -204,6 +204,36 @@ object Folds {
         s.insert(x))((a, b) => a.merge(b))(_.quantile(q)),
       org.apache.spark.sql.Encoders.product[QSketch])
 
+  /** HyperLogLog distinct-count sketch over PRE-HASHED 60-bit values
+    * (e.g. `ColFns.h60` upstream): 2^p max-registers, merged by
+    * elementwise max — associative, commutative AND idempotent, so
+    * the estimate is bit-identical under any partitioning/merge order
+    * (and retry-safe).  Flajolet et al. estimator with the
+    * linear-counting small-range correction.  Memory: 2^p ints per
+    * group regardless of cardinality — the distinct-count analog of
+    * [[approxQuantile]]. */
+  def hll(p: Int): Fold.Aux[Long, Vector[Int], Double] = {
+    require(p >= 4 && p <= 16, s"hll precision must be in [4,16], got $p")
+    val m = 1 << p
+    val width = 60 - p
+    Fold.withEncoder(
+      Fold[Long, Vector[Int], Double](Vector.fill(m)(0)) { (s, h) =>
+        val b = (h & (m - 1)).toInt
+        val w = h >>> p
+        val r = width + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (r > s(b)) s.updated(b, r) else s
+      } { (x, y) =>
+        x.lazyZip(y).map(math.max).toVector
+      } { regs =>
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val sum = regs.foldLeft(0.0)((a, r) => a + math.pow(2.0, -r))
+        val e = alpha * m * m / sum
+        val zeros = regs.count(_ == 0)
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+      },
+      E.kryo[Vector[Int]])
+  }
+
   /** Top-k by the given ordering, largest first — bounded-size merge
     * (the reduction analog of ORDER BY ... LIMIT k).
     *

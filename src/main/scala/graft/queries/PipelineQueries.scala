@@ -623,6 +623,53 @@ object PipelineQueries {
       |SELECT event_type, min(ts) AS sess_start, count(*) AS n
       |FROM g GROUP BY event_type, sid ORDER BY event_type, sess_start""".stripMargin
 
+  // ---- Q49: HyperLogLog distinct estimate vs exact -----------------------
+  // Registers merge by max (order-independent); the register sum is
+  // taken over DECIMAL(38,0) of exact powers of two, so the estimate
+  // is bit-replayable in DuckDB.  ln() is the one libm call — rounded
+  // to 2 decimals for cross-engine safety.
+  private val HllP = 12
+  private val HllM = 1 << HllP
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val h = h60(col("text"))
+    val msb = length(ltrim(bin(shiftrightunsigned(h, HllP)), "0"))
+    val rho = lit(60 - HllP + 1) - msb
+    val regs = docs
+      .select(h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("reg"))
+    val mD = lit(HllM.toDouble)
+    val two64d = pow(lit(2.0), lit(64.0))
+    val agg = regs.agg(
+      sum(pow(lit(2.0), lit(64) - col("reg")).cast("decimal(38,0)")).as("sp"),
+      count(lit(1)).as("nb"))
+    val sTotal = (col("sp") +
+      (lit(HllM) - col("nb")).cast("decimal(38,0)") * two64d.cast("decimal(38,0)"))
+      .cast("double")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / mD) * mD * mD * two64d / sTotal
+    val est = when(raw <= lit(2.5) * mD && col("nb") < lit(HllM),
+      mD * log(mD / (mD - col("nb")))).otherwise(raw)
+    docs.agg(countDistinct(col("text")).as("n_exact"))
+      .crossJoin(agg.select(round(est, 2).as("hll_estimate")))
+  }
+  val q49Sql: String =
+    s"""WITH h AS (SELECT ${h60Sql("text")} AS hv FROM documents),
+       |b AS (SELECT hv & ${HllM - 1} AS bucket,
+       |    ${60 - HllP + 1} - length(ltrim(bin(hv >> $HllP), '0')) AS rho FROM h),
+       |r AS (SELECT bucket, max(rho) AS reg FROM b GROUP BY bucket),
+       |a AS (SELECT sum(CAST(power(2, 64 - reg) AS DECIMAL(38,0))) AS sp,
+       |    count(*) AS nb FROM r),
+       |e AS (SELECT CAST(sp + CAST($HllM - nb AS DECIMAL(38,0))
+       |        * CAST(power(2, 64) AS DECIMAL(38,0)) AS DOUBLE) AS st, nb FROM a),
+       |est AS (SELECT CASE
+       |    WHEN 0.7213/(1.0 + 1.079/$HllM.0) * $HllM.0 * $HllM.0 * power(2,64)/st
+       |           <= 2.5 * $HllM.0 AND nb < $HllM
+       |    THEN $HllM.0 * ln($HllM.0 / ($HllM.0 - nb))
+       |    ELSE 0.7213/(1.0 + 1.079/$HllM.0) * $HllM.0 * $HllM.0 * power(2,64)/st
+       |    END AS ev FROM e)
+       |SELECT (SELECT count(DISTINCT text) FROM documents) AS n_exact,
+       |  round(ev, 2) AS hll_estimate FROM est""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -837,6 +884,7 @@ object PipelineQueries {
     "q46_pipeline_e2e" -> (q46 _),
     "q47_seq_pack" -> (q47 _),
     "q48_session_window" -> (q48 _),
+    "q49_hll_distinct" -> (q49 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -867,6 +915,7 @@ object PipelineQueries {
     "q46_pipeline_e2e" -> q46Sql,
     "q47_seq_pack" -> q47Sql,
     "q48_session_window" -> q48Sql,
+    "q49_hll_distinct" -> q49Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

@@ -130,6 +130,29 @@ class FoldSpec extends AnyFunSuite {
     assert(sk.levels.forall(_.length <= 256))
   }
 
+  test("hll: bit-identical across merge orders; estimate within 5%") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val distinct = 5000
+    val hashes = (1 to distinct).map(i => h60(s"doc$i"))
+    val withDups = hashes ++ hashes.take(1700) ++ hashes.take(400)
+    val f = Folds.hll(12)
+    val direct = f.fold(withDups)
+    for (chunk <- Seq(97, 1024, withDups.length)) {
+      val parts = withDups.grouped(chunk).map(_.foldLeft(f.init)(f.step))
+      val merged = f.done(parts.reduce(f.merge))
+      assert(java.lang.Double.doubleToLongBits(merged) ==
+        java.lang.Double.doubleToLongBits(direct), s"chunk=$chunk")
+    }
+    assert(math.abs(direct - distinct) / distinct < 0.05, s"estimate=$direct")
+    // idempotent: re-folding the same values changes nothing
+    val twice = f.fold(withDups ++ withDups)
+    assert(twice == direct)
+  }
+
   test("first/last in sequential order") {
     val xs = sample(50)
     assert(Folds.first[Int].fold(xs) == xs.headOption)
