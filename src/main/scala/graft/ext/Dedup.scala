@@ -58,11 +58,14 @@ object Dedup {
   }
 
   /** doc_id + k minhash columns (m0..m15) over word `n`-gram
-    * shingles of `textCol`. */
+    * shingles of `textCol`.  Shingle hashes are materialized in their
+    * own projection so the md5 pass runs once, not once per
+    * permutation (same reasoning as [[lshPairs]]). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
-    df.select(Seq(col(idCol)) ++ minhashCols(sh): _*)
+    df.select(col(idCol), shingleHashes(sh).as("__hs"))
+      .select(Seq(col(idCol)) ++ minhashColsFromHashes(col("__hs")): _*)
   }
 
   /** LSH candidate pairs: documents sharing any minhash band bucket,

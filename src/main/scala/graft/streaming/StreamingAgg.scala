@@ -85,6 +85,26 @@ object StreamingAgg {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream equi-join with an event-time interval bound:
+    * right rows join left rows whose timestamp lies in
+    * `[right.ts - lowerBound, right.ts + upperBound]`.  BOTH sides
+    * must be watermarked (done here) — that plus the time bound is
+    * what lets Spark expire join state, so state stays bounded on
+    * unbounded streams.  The streaming twin of an as-of/interval
+    * join for feature enrichment at ingest. */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, keys: Seq[String], watermarkDelay: String,
+      lowerBound: String, upperBound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond =
+      l(leftTs) >= r(rightTs) - expr(s"INTERVAL $lowerBound") &&
+        l(leftTs) <= r(rightTs) + expr(s"INTERVAL $upperBound")
+    // keep one copy of each key column (the left one)
+    keys.foldLeft(l.join(r, keyCond && timeCond))((d, k) => d.drop(r(k)))
+  }
+
   /** Convenience: run a streaming Dataset to a named in-memory sink
     * (testing / interactive inspection). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)

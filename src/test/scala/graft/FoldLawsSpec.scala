@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.{Fold, Folds}
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pinning of the ONE law the distributed engine
+  * depends on: for every shipped fold, splitting the input
+  * arbitrarily, folding the pieces, and merging the partial buffers
+  * must equal the sequential fold (exactly, or within float noise
+  * for the non-exact reductions).  This is precisely what map-side
+  * partial aggregation does to a Fold at scale.
+  */
+class FoldLawsSpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property and fail the suite on falsification. */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val inputs: Gen[(List[Int], Int)] = for {
+    xs <- Gen.listOfN(300, Gen.chooseNum(-1000, 1000))
+    chunk <- Gen.chooseNum(1, 50)
+  } yield (xs, chunk)
+
+  private def viaMerge[A, B](f: Fold[A, B], xs: Seq[A], chunk: Int): B = {
+    val parts = xs.grouped(chunk).map(_.foldLeft(f.init)(f.step)).toList
+    f.done(parts.foldLeft(f.init)(f.merge))
+  }
+
+  private def exactLaw[B](f: Fold[Int, B]): Prop =
+    forAll(inputs) { case (xs, chunk) => viaMerge(f, xs, chunk) == f.fold(xs) }
+
+  test("merge law: sum/count/min/max/topK/first-nonempty (exact)") {
+    check(exactLaw(Folds.sum[Int]))
+    check(exactLaw(Folds.count[Int]))
+    check(exactLaw(Folds.min[Int]))
+    check(exactLaw(Folds.max[Int]))
+    check(exactLaw(Folds.topK[Int](5)))
+  }
+
+  test("merge law: mean/variance within float noise; quantile exact below capacity") {
+    check(forAll(inputs) { case (xs, chunk) =>
+      val ds = xs.map(_.toDouble)
+      val m1 = viaMerge(Folds.mean, ds, chunk)
+      val m2 = Folds.mean.fold(ds)
+      xs.isEmpty || math.abs(m1 - m2) <= 1e-9 * math.max(1.0, math.abs(m2))
+    })
+    check(forAll(inputs) { case (xs, chunk) =>
+      val ds = xs.map(_.toDouble)
+      val v1 = viaMerge(Folds.variance, ds, chunk)
+      val v2 = Folds.variance.fold(ds)
+      xs.isEmpty || math.abs(v1 - v2) <= 1e-6 * math.max(1.0, math.abs(v2))
+    })
+    check(forAll(inputs) { case (xs, chunk) =>
+      val ds = xs.map(_.toDouble)
+      viaMerge(Folds.approxQuantile(1024, 0.5), ds, chunk) ==
+        Folds.approxQuantile(1024, 0.5).fold(ds) // exact regime: any split
+    })
+  }
+
+  test("merge law: hll bit-identical under any split (max-merge idempotence)") {
+    val hashes = for {
+      xs <- Gen.listOfN(300, Gen.chooseNum(0L, (1L << 60) - 1))
+      chunk <- Gen.chooseNum(1, 50)
+    } yield (xs, chunk)
+    check(forAll(hashes) { case (xs, chunk) =>
+      val f = Folds.hll(8)
+      java.lang.Double.doubleToLongBits(viaMerge(f, xs, chunk)) ==
+        java.lang.Double.doubleToLongBits(f.fold(xs))
+    })
+  }
+
+  test("zip preserves the merge law (Applicative product of partials)") {
+    val f = Folds.sum[Int].zip(Folds.count[Int]).zip(Folds.topK[Int](3))
+    check(forAll(inputs) { case (xs, chunk) => viaMerge(f, xs, chunk) == f.fold(xs) })
+  }
+}

@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join bounded by event-time interval") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamingAgg.intervalJoin(
+      clicks.toDF().toDF("cts", "uid", "page"),
+      "cts",
+      buys.toDF().toDF("bts", "uid", "amount"),
+      "bts",
+      Seq("uid"), "10 seconds", "1 minute", "0 seconds")
+      .select(col("uid"), col("page"), col("amount"))
+    val q = joined.writeStream.format("memory").queryName("ij_sink")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      clicks.addData((t("2026-01-01 00:00:10"), 1L, "home"),
+        (t("2026-01-01 00:05:00"), 1L, "far_page"), // > 1 min before the buy? no — far AFTER
+        (t("2026-01-01 00:00:05"), 2L, "other"))
+      buys.addData((t("2026-01-01 00:00:40"), 1L, 9.99))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT uid, page, amount FROM ij_sink")
+        .as[(Long, String, Double)].collect().toSet
+      // only the click within [buy-1min, buy] for uid 1 joins
+      assert(rows == Set((1L, "home", 9.99)))
+    } finally q.stop()
+  }
+
   test("toParquetSink: checkpointed file sink lands rows readable as a table") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
