@@ -670,6 +670,34 @@ object PipelineQueries {
        |SELECT (SELECT count(DISTINCT text) FROM documents) AS n_exact,
        |  round(ev, 2) AS hll_estimate FROM est""".stripMargin
 
+  // ---- Q50: as-of join (point-in-time lookup) ----------------------------
+  // Each purchase gets the latest prior (or simultaneous) view's
+  // value per user; checked against DuckDB's native ASOF LEFT JOIN.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts2"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts2"))
+      .agg(max(col("value")).as("r_value")) // unique per (key, ts) precondition
+    graft.ext.AsOf.asOfJoin(purchases, views, Seq("user_id"), "ts2", "ts2")
+      .groupBy((col("user_id") % 10).as("ug"))
+      .agg(count(lit(1)).as("n"), count(col("r_value")).as("n_matched"),
+        round(sum(col("r_value").cast("decimal(38,15)")).cast("double"), 6)
+          .as("sum_rv"))
+      .orderBy("ug")
+  }
+  val q50Sql: String =
+    """WITH l AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, ts, max(value) AS r_value FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |j AS (SELECT l.user_id, r.r_value
+      |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+      |SELECT user_id % 10 AS ug, count(*) AS n, count(r_value) AS n_matched,
+      |  round(CAST(sum(CAST(r_value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_rv
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -885,6 +913,7 @@ object PipelineQueries {
     "q47_seq_pack" -> (q47 _),
     "q48_session_window" -> (q48 _),
     "q49_hll_distinct" -> (q49 _),
+    "q50_asof_join" -> (q50 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -916,6 +945,7 @@ object PipelineQueries {
     "q47_seq_pack" -> q47Sql,
     "q48_session_window" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
+    "q50_asof_join" -> q50Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

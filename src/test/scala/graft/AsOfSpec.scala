@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.AsOf
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("asOfJoin: backward match, >= tie, and unmatched-null semantics") {
+    val left = Seq( // (key, lts, label)
+      ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 5L, "l0"),
+      ("b", 7L, "l3")).toDF("k", "t", "label")
+    val right = Seq( // (key, rts, payload)
+      ("a", 10L, "r@10"), ("a", 15L, "r@15"), ("c", 1L, "r-other"))
+      .toDF("k", "t", "p")
+    val got = AsOf.asOfJoin(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "label", "p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("a", 10L, "l1", Some("r@10")), // exact tie matches (>= semantics)
+      ("a", 20L, "l2", Some("r@15")), // latest prior wins
+      ("a", 5L, "l0", None),          // nothing at-or-before
+      ("b", 7L, "l3", None)))         // key with no right rows at all
+  }
+
+  test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
+    val rnd = new scala.util.Random(17)
+    val left = Seq.fill(500)((rnd.nextInt(20), rnd.nextInt(1000).toLong, rnd.nextInt()))
+      .toDF("k", "t", "v")
+    val right = Seq.fill(300)((rnd.nextInt(20), rnd.nextInt(1000).toLong, rnd.nextInt()))
+      .distinct.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      .toDF("k", "t", "p")
+    assert(AsOf.asOfJoin(left, right, Seq("k"), "t", "t").count() == 500L)
+  }
+}
