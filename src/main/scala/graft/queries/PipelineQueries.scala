@@ -698,6 +698,34 @@ object PipelineQueries {
       |  round(CAST(sum(CAST(r_value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_rv
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Q51: binned range join (point-in-interval) ------------------------
+  // Order dates joined into lineitem delivery windows
+  // [shipdate, shipdate + orderkey%30 days] containing them — binned
+  // equi-join (one shuffle), never a nested loop; the oracle is
+  // DuckDB's native inequality join.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val pts = tbl(s, dir, "orders").select(col("o_orderdate").as("dt")).distinct()
+      .withColumn("d", datediff(col("dt"), epoch).cast("long"))
+    val iv = tbl(s, dir, "lineitem").select(
+      datediff(col("l_shipdate"), epoch).cast("long").as("lo"),
+      (datediff(col("l_shipdate"), epoch).cast("long")
+        + col("l_orderkey") % 30).as("hi"))
+    graft.ext.RangeJoin.pointInInterval(pts, "d", iv, "lo", "hi", binWidth = 16)
+      .groupBy(year(col("dt")).cast("long").as("yr"),
+        month(col("dt")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("yr", "mo")
+  }
+  val q51Sql: String =
+    """WITH pts AS (SELECT DISTINCT o_orderdate AS dt FROM orders)
+      |SELECT EXTRACT(YEAR FROM dt) AS yr, EXTRACT(MONTH FROM dt) AS mo,
+      |  count(*) AS n_pairs
+      |FROM pts JOIN lineitem
+      |  ON CAST(dt AS DATE) BETWEEN CAST(l_shipdate AS DATE)
+      |        AND CAST(l_shipdate AS DATE) + CAST(l_orderkey % 30 AS INTEGER)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- Q31: variance fold (Chan's mergeable one-pass update) ------------
   // Typed-engine path: Folds.variance compiled to an Aggregator —
   // per-partition partial (count, mean, M2) buffers merged exactly.
@@ -914,6 +942,7 @@ object PipelineQueries {
     "q48_session_window" -> (q48 _),
     "q49_hll_distinct" -> (q49 _),
     "q50_asof_join" -> (q50 _),
+    "q51_range_join" -> (q51 _),
     "q31_variance_fold" -> (q31 _),
     "q32_topk_fold" -> (q32 _),
     "q33_salted_mean" -> (q33 _),
@@ -946,6 +975,7 @@ object PipelineQueries {
     "q48_session_window" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
     "q50_asof_join" -> q50Sql,
+    "q51_range_join" -> q51Sql,
     "q31_variance_fold" -> q31Sql,
     "q32_topk_fold" -> q32Sql,
     "q33_salted_mean" -> q33Sql,

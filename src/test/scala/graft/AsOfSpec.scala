@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.AsOf
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class AsOfSpec extends AnyFunSuite {
@@ -23,6 +24,24 @@ class AsOfSpec extends AnyFunSuite {
       ("a", 20L, "l2", Some("r@15")), // latest prior wins
       ("a", 5L, "l0", None),          // nothing at-or-before
       ("b", 7L, "l3", None)))         // key with no right rows at all
+  }
+
+  test("binned range join == naive inequality join, any bin width") {
+    import graft.ext.RangeJoin
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(200)((rnd.nextInt(1000).toLong, rnd.nextInt()))
+      .toDF("v", "pid")
+    val ivs = Seq.fill(100)({
+      val lo = rnd.nextInt(1000).toLong
+      (lo, lo + rnd.nextInt(60), rnd.nextInt())
+    }).toDF("lo", "hi", "iid")
+    val naive = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    for (width <- Seq(1L, 16L, 64L, 5000L)) {
+      val binned = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(binned == naive, s"binWidth=$width")
+    }
   }
 
   test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
