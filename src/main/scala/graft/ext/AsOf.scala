@@ -44,6 +44,7 @@ object AsOf {
     l2.unionByName(r2)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col("__l.*") +: rPayload.map(c => col(s"__match.$c").as(c)): _*)
+      .select(col("__l.*") +: rPayload.toIndexedSeq.map(c =>
+        col(s"__match.$c").as(c)): _*)
   }
 }

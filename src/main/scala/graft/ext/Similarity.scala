@@ -100,6 +100,7 @@ object Similarity {
     var cents: Seq[(Long, Seq[Double], Double)] =
       nn.where(col("id") < nCentroids).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toIndexedSeq
         .sortBy(_._1).map { case (cid, cv) => (cid, cv, seqNorm(cv)) }
     for (_ <- 1 to iters) {
       val cell = assignCell(col("v"), normD(col("v")), cents)
