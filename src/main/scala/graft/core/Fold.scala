@@ -225,7 +225,15 @@ object Folds {
       } { (x, y) =>
         x.lazyZip(y).map(math.max).toVector
       } { regs =>
-        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        // Flajolet et al. bias-correction constants: the closed form
+        // 0.7213/(1+1.079/m) is the asymptotic value, standard only
+        // for m >= 128; the small-m registers have their own constants
+        val alpha = m match {
+          case 16 => 0.673
+          case 32 => 0.697
+          case 64 => 0.709
+          case _  => 0.7213 / (1.0 + 1.079 / m)
+        }
         val sum = regs.foldLeft(0.0)((a, r) => a + math.pow(2.0, -r))
         val e = alpha * m * m / sum
         val zeros = regs.count(_ == 0)

@@ -28,6 +28,15 @@ object AsOf {
       leftTs: String, rightTs: String): DataFrame = {
     val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
     require(rPayload.nonEmpty, "right side needs at least one payload column")
+    val clashing = left.columns.intersect(rPayload)
+    require(clashing.isEmpty,
+      s"asOfJoin: right payload column(s) ${clashing.mkString(", ")} collide " +
+        "with left columns — rename or drop them on one side first " +
+        "(the output carries all left columns plus the right payload)")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asOfJoin: column(s) ${reserved.distinct.mkString(", ")} use the " +
+        "reserved '__' prefix (internal tags __ts/__side/__l/__r/__match)")
     val rStruct = struct(rPayload.map(col).toIndexedSeq: _*)
     val rType = right.select(rStruct.as("__r")).schema("__r").dataType
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)

@@ -35,6 +35,18 @@ object Dedup {
     if (hs != null) hs.foreach(_.unpersist())
   }
 
+  /** Injective string encoding of a key tuple for hashing: per field,
+    * `v<len>:<value>` for non-null values and a bare `n;` tag for
+    * NULL.  The length prefix pins field boundaries (no value can
+    * bleed into the next field) and the tag keeps NULL distinct from
+    * every string including "", so `md5(encoding)` groups exactly
+    * like GROUP BY on the raw columns (modulo md5 collisions). */
+  private def nullSafeKeyEncoding(keyCols: Seq[String]): Column =
+    concat(keyCols.map { k =>
+      val sv = col(k).cast("string")
+      coalesce(concat(lit("v"), length(sv).cast("string"), lit(":"), sv), lit("n;"))
+    }.toIndexedSeq: _*)
+
   /** Exact dedup: one survivor per distinct value of `keyCols`, the
     * row minimizing `tieBreak` (deterministic).  Single hash-agg
     * shuffle on the dedup key; `min_by` keeps whole rows without
@@ -44,13 +56,17 @@ object Dedup {
     * the raw values: on long-text keys the shuffle row then carries
     * the text once (inside the survivor struct) rather than twice —
     * the right call when the key IS the document.  md5 collisions
-    * (2^-64-ish at corpus scale) would merge distinct documents;
-    * NUL-joined keys assume no embedded NULs. */
+    * (2^-64-ish at corpus scale) would merge distinct documents.
+    * The hashed encoding is injective on the key tuple: each field
+    * is length-prefixed and NULL carries its own tag, so NULL vs
+    * empty string, NULLs in different positions, and
+    * boundary-straddling values all hash apart — exactly the groups
+    * `hashKey = false` (and a SQL GROUP BY) would form. */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String,
       hashKey: Boolean = false): DataFrame = {
     val all = struct(df.columns.map(col).toIndexedSeq: _*)
     val groupCols =
-      if (hashKey) Seq(md5(concat_ws("\u0000", keyCols.map(col): _*)).as("__gk"))
+      if (hashKey) Seq(md5(nullSafeKeyEncoding(keyCols)).as("__gk"))
       else keyCols.map(col)
     df.groupBy(groupCols: _*)
       .agg(min_by(all, col(tieBreak)).as("survivor"))

@@ -23,15 +23,35 @@ object RangeJoin {
   /** Join each point row to every interval row whose
     * `[loCol, hiCol]` contains `ptCol` (inclusive).  `ptCol`, `loCol`,
     * `hiCol` must be mutually comparable numeric columns (cast dates
-    * to day numbers first).  Output: point columns + interval columns. */
+    * to day numbers first).  Output: point columns + interval columns.
+    *
+    * Misuse fails loudly instead of corrupting the plan: an inverted
+    * interval (`lo > hi`) raises rather than silently exploding a
+    * descending (empty-semantics) bin sequence, and an interval
+    * spanning more than `maxBinsPerInterval` bins raises with a hint
+    * to enlarge `binWidth` — long before Spark's own sequence-length
+    * cap would kill the job with an opaque error. */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Long): DataFrame = {
-    require(binWidth > 0)
+      binWidth: Long, maxBinsPerInterval: Long = 65536): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be > 0, got $maxBinsPerInterval")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
     val p = points.withColumn("__bin", bin(col(ptCol)))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val lo = bin(col(loCol))
+    val hi = bin(col(hiCol))
+    val bins = when(col(loCol) > col(hiCol), raise_error(concat(
+        lit("pointInInterval: inverted interval lo > hi ("),
+        col(loCol).cast("string"), lit(" > "), col(hiCol).cast("string"),
+        lit(")"))))
+      .when(hi - lo >= maxBinsPerInterval, raise_error(concat(
+        lit(s"pointInInterval: interval spans more than $maxBinsPerInterval " +
+          s"bins at binWidth=$binWidth ("),
+        col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
+        lit(") — raise binWidth or maxBinsPerInterval"))))
+      .otherwise(sequence(lo, hi))
+    val i = intervals.withColumn("__bin", explode(bins))
     p.join(i, Seq("__bin"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")

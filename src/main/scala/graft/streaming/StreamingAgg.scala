@@ -74,12 +74,16 @@ object StreamingAgg {
       }
   }
 
-  /** Streaming exact dedup ON THE KEY COLUMNS ALONE (a duplicate key
-    * arriving with a different event time is still dropped — the true
-    * streaming twin of `Dedup.exact`), with state bounded by the
-    * watermark: `dropDuplicatesWithinWatermark` expires a key's state
-    * once the watermark passes its event time plus the delay, so this
-    * runs indefinitely on an unbounded stream. */
+  /** Streaming dedup ON THE KEY COLUMNS ALONE (a duplicate key
+    * arriving with a different event time is still dropped), with
+    * state bounded by the watermark.  The guarantee is
+    * WITHIN-WATERMARK-DELAY dedup, weaker than `Dedup.exact`:
+    * `dropDuplicatesWithinWatermark` expires a key's state once the
+    * watermark passes its event time plus the delay, so a duplicate
+    * arriving AFTER its first occurrence's state expired is emitted
+    * again.  That bounded state is exactly what lets it run
+    * indefinitely on an unbounded stream — pick the delay ≥ the
+    * maximum duplicate spread you need suppressed. */
   def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
       watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

@@ -44,6 +44,42 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin rejects payload/name collisions and reserved __ columns loudly") {
+    val left = Seq(("a", 10L, "x")).toDF("k", "t", "p")
+    val right = Seq(("a", 5L, "y")).toDF("k", "t", "p")
+    // right payload 'p' collides with left 'p' → must throw, not emit dup names
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, Seq("k"), "t", "t")
+    }
+    assert(e1.getMessage.contains("collide"))
+    val l2 = Seq(("a", 10L, "x")).toDF("k", "t", "__side")
+    val r2 = Seq(("a", 5L, "y")).toDF("k", "t", "q")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(l2, r2, Seq("k"), "t", "t")
+    }
+    assert(e2.getMessage.contains("__"))
+  }
+
+  test("range join rejects inverted intervals and runaway bin explosions loudly") {
+    import graft.ext.RangeJoin
+    // task failures arrive wrapped; scan the whole cause chain
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("|")
+    val pts = Seq((5L, 1)).toDF("v", "pid")
+    val inverted = Seq((10L, 2L, 7)).toDF("lo", "hi", "iid")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "v", inverted, "lo", "hi", 4L).collect()
+    }
+    assert(chain(e1).contains("inverted interval"))
+    val huge = Seq((0L, 10000000L, 7)).toDF("lo", "hi", "iid")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "v", huge, "lo", "hi", 1L,
+        maxBinsPerInterval = 1000L).collect()
+    }
+    assert(chain(e2).contains("bins"))
+  }
+
   test("asOfJoin keeps every left row exactly once (left-join cardinality)") {
     val rnd = new scala.util.Random(17)
     val left = Seq.fill(500)((rnd.nextInt(20), rnd.nextInt(1000).toLong, rnd.nextInt()))

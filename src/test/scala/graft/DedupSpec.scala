@@ -30,4 +30,32 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L)) // (a b, c) dedups; (a, b c) stays distinct
   }
+
+  test("hash key keeps NULL its own group — never merged with '' or shifted NULLs") {
+    // keys differing only in NULL placement, or NULL vs empty string,
+    // must survive as distinct groups (SQL GROUP BY semantics)
+    val rows = Seq[(Long, String, String)](
+      (1L, null, "x"), (2L, "", "x"),     // (NULL,x) vs ("",x)
+      (3L, "x", null), (4L, null, "x"),   // (x,NULL) vs (NULL,x); 4 dups 1
+      (5L, null, null), (6L, "", ""),     // all-NULL vs all-empty
+      (7L, "x", null))                    // dup of 3
+    val df = rows.toDF("id", "k1", "k2")
+    val raw = Dedup.exact(df, Seq("k1", "k2"), "id")
+      .collect().map(_.getLong(0)).toSet
+    val hashed = Dedup.exact(df, Seq("k1", "k2"), "id", hashKey = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 2L, 3L, 5L, 6L))
+    assert(hashed == raw)
+  }
+
+  test("hash key length-prefix blocks boundary-straddling merges") {
+    // "v1:a" + "v2:bc" vs "v1:a" + ... : without length prefixes
+    // ("ab","c") and ("a","bc") or values containing the encoding's
+    // own tags could collide; assert a nasty set stays fully distinct
+    val rows = Seq((1L, "ab", "c"), (2L, "a", "bc"), (3L, "v1:a", "n;"),
+      (4L, "v1:an;", ""), (5L, "a", "b"), (6L, "ab", ""))
+    val df = rows.toDF("id", "k1", "k2")
+    val hashed = Dedup.exact(df, Seq("k1", "k2"), "id", hashKey = true)
+    assert(hashed.count() == 6L)
+  }
 }
