@@ -275,4 +275,94 @@ object Folds {
       if (drop > 0) merged.drop(drop) else merged
     } (_.reverse)
   }
+
+  /** Misra–Gries heavy hitters: at most `capacity` counters per
+    * buffer.  EXACT while a group's distinct-key count stays ≤
+    * capacity (no decrement ever fires — the regime the oracle
+    * checks); beyond it, every reported count is an undercount by at
+    * most n/(capacity+1) and every key with true frequency >
+    * n/(capacity+1) is guaranteed present (the classic MG bound,
+    * preserved under [[merge]] per Agarwal et al., "Mergeable
+    * Summaries", PODS'12: sum counters, then subtract the
+    * (capacity+1)-th largest count and drop non-positives).
+    * Memory: O(capacity) per group at ANY group size — the
+    * frequent-items analog of [[approxQuantile]]/[[hll]].  All paths
+    * (step decrement, merge rebase) are uniform over keys, so the
+    * result is independent of partitioning and merge order. */
+  def heavyHitters[A](capacity: Int): Fold.Aux[A, Map[A, Long], Map[A, Long]] = {
+    require(capacity > 0, s"heavyHitters needs capacity > 0, got $capacity")
+    Fold.withEncoder(
+      Fold[A, Map[A, Long], Map[A, Long]](Map.empty[A, Long]) { (s, a) =>
+        s.get(a) match {
+          case Some(c) => s.updated(a, c + 1L)
+          case None if s.size < capacity => s.updated(a, 1L)
+          case None => // decrement-all: drops ≥1 counter, admits nothing
+            s.iterator.collect { case (k, c) if c > 1L => (k, c - 1L) }.toMap
+        }
+      } { (x, y) =>
+        val summed = y.foldLeft(x) { case (m, (k, c)) =>
+          m.updated(k, m.getOrElse(k, 0L) + c)
+        }
+        if (summed.size <= capacity) summed
+        else {
+          // subtract the (capacity+1)-th largest count, keep positives
+          val cut = summed.valuesIterator.toIndexedSeq.sorted(
+            Ordering[Long].reverse).apply(capacity)
+          summed.iterator.collect {
+            case (k, c) if c > cut => (k, c - cut)
+          }.toMap
+        }
+      } (identity),
+      E.kryo[Map[A, Long]])
+  }
+
+  /** Bloom-filter fold over PRE-HASHED 64-bit values (e.g.
+    * `ColFns.h60` upstream): fixed `numBits` bitset, `numHashes`
+    * probes per value by double hashing.  Merge = bitwise OR —
+    * associative, commutative AND idempotent, so (like [[hll]]) the
+    * filter is bit-identical under any partitioning/merge order and
+    * retry-safe.  No false negatives ever; false-positive rate ≈
+    * (1-e^(-kn/m))^k.  Use with [[Folds.bloomContains]] for the probe
+    * side (same probe derivation by construction). */
+  def bloom(numBits: Int, numHashes: Int): Fold.Aux[Long, Vector[Long], Vector[Long]] = {
+    require(numBits > 0 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val words = numBits / 64
+    Fold.withEncoder(
+      Fold[Long, Vector[Long], Vector[Long]](Vector.fill(words)(0L)) { (s, h) =>
+        var v = s
+        var i = 0
+        while (i < numHashes) {
+          val pos = bloomPos(h, i, numBits)
+          v = v.updated(pos >>> 6, v(pos >>> 6) | (1L << (pos & 63)))
+          i += 1
+        }
+        v
+      } { (x, y) =>
+        x.lazyZip(y).map(_ | _).toVector
+      } (identity),
+      E.kryo[Vector[Long]])
+  }
+
+  /** Probe a [[bloom]] bitset: true if `h` may have been inserted
+    * (false ⇒ definitely absent).  Must be called with the same
+    * `numBits`/`numHashes` the filter was built with. */
+  def bloomContains(bits: Array[Long], numHashes: Int, h: Long): Boolean = {
+    val numBits = bits.length * 64
+    var i = 0
+    while (i < numHashes) {
+      val pos = bloomPos(h, i, numBits)
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** i-th probe position: double hashing (h, odd-ified upper half) —
+    * the standard Kirsch–Mitzenmacher construction. */
+  private def bloomPos(h: Long, i: Int, numBits: Int): Int = {
+    val h2 = (h >>> 33) | 1L
+    (((h + i * h2) & Long.MaxValue) % numBits).toInt
+  }
 }

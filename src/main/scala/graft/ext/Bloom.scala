@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.core.Folds
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pruning — the classic runtime-filter
+  * pattern for the case where the small side is too big to broadcast
+  * as a hash table but its KEY SET compresses into a few hundred KB
+  * of bitset: build a bloom over the small side's keys in one
+  * distributed pass (our mergeable [[Folds.bloom]] fold through the
+  * UDAF bridge — merge is bitwise OR, so partial aggregation applies),
+  * ship the bitset to every executor, and drop big-side rows that
+  * cannot possibly match BEFORE they reach the join shuffle.
+  *
+  * Semantics are exactly left-semi join: the bloom never produces
+  * false negatives, and its false positives are removed by the exact
+  * semi join that follows.  What changes is the PLAN: at 100 TB the
+  * big side's shuffle carries ~|matching rows| (+ the fp rate) instead
+  * of every row — for selective keys that is a 10-1000× cut in
+  * shuffle volume, the difference between a job that finishes and one
+  * that doesn't.
+  */
+object Bloom {
+
+  /** Rows of `big` whose `bigKey` equals some `small.smallKey`
+    * (left-semi semantics, exact).  `numBits` sizes the filter
+    * (default 2^20 bits = 128 KB shipped per executor; fp ≈ 2% at
+    * ~100k distinct keys); `numHashes` per standard k ≈ (m/n)·ln2. */
+  def semiJoinPrune(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val fold = Folds.bloom(numBits, numHashes)
+    // array-typed output encoder so the bitset lands as a SQL
+    // array<bigint> (readable off the Row), not a Kryo blob
+    val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(fold)(
+      Encoders.scalaLong, newSequenceEncoder[Vector[Long]])
+    // one distributed pass over the small side's hashed keys; the
+    // result is a bounded numBits/8-byte vector on the driver
+    val bits = small.select(xxhash64(col(smallKey)).as("h"))
+      .where(col(smallKey).isNotNull)
+      .agg(bloomUdaf(col("h")).as("bloom"))
+      .head().getSeq[Long](0).toArray
+    val bc = spark.sparkContext.broadcast(bits)
+    val mightContain = udf((h: Long) =>
+      Folds.bloomContains(bc.value, numHashes, h))
+    big.where(mightContain(xxhash64(col(bigKey))))
+      .join(small.select(col(smallKey)).distinct(),
+        big(bigKey) === small(smallKey), "left_semi")
+  }
+}

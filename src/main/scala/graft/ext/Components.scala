@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the missing tail of every near-dup dedup pipeline: [[Dedup]] emits
+  * PAIRS (LSH / n-gram / embedding candidates), but choosing one
+  * survivor per duplicate *cluster* needs the transitive closure of
+  * those pairs.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round is two hash-shuffle aggregations + joins over the edge set,
+  * converging in O(log n) rounds to the star graph where every node
+  * points at its component's minimum id.  No driver-side graph state:
+  * the only driver values are per-round convergence counts.  At 100 TB
+  * the edge set (near-dup pairs) is orders of magnitude smaller than
+  * the corpus, and per-round cost is O(|E|) shuffle — this is the
+  * plan that survives scale, unlike label propagation whose round
+  * count is the graph DIAMETER (a 1M-long chain needs 1M rounds;
+  * large-star/small-star needs ~20).
+  *
+  * Lineage is cut every round with `localCheckpoint` (iterative
+  * self-joins otherwise grow the plan exponentially); on a cluster
+  * with a checkpoint dir configured, reliable `checkpoint()` would be
+  * the durable choice — localCheckpoint keeps the library free of a
+  * checkpoint-dir requirement.
+  */
+object Components {
+
+  /** Label every node of `nodes` with the minimum node id reachable
+    * through `edges` (undirected); isolated nodes label themselves.
+    * Ids must be a single orderable numeric/string column.  Output:
+    * (`nodeCol`, "component"), one row per distinct node. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, s"maxIter must be > 0, got $maxIter")
+    var cur = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint()
+    var converged = cur.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // star-graph fixed point reached ⇔ the edge set stops changing;
+      // counts first (cheap), set-difference only on count equality
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (expected rounds ~ log(maxComponentSize))")
+    val labels = cur.select(col("u").as(nodeCol), col("v").as("component"))
+    nodes.select(col(nodeCol)).distinct()
+      .join(labels, Seq(nodeCol), "left")
+      .select(col(nodeCol),
+        coalesce(col("component"), col(nodeCol)).as("component"))
+  }
+
+  /** Drop self-loops, orient (larger, smaller), dedupe. */
+  private def canon(e: DataFrame): DataFrame =
+    e.where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** For each node u: connect every STRICTLY LARGER neighbor to the
+    * minimum of Γ(u) ∪ {u}.  Works on the symmetric neighbor view. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** For each node u (edges oriented larger→smaller): connect every
+    * smaller neighbor AND u itself to the minimum of Γ⁻(u) ∪ {u}. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = canon(e)
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val neighborEdges = dir.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+    val selfEdges = mins.select(col("u"), col("m").as("v"))
+    neighborEdges.union(selfEdges)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+}

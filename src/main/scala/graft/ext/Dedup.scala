@@ -161,7 +161,18 @@ object Dedup {
   /** Character n-gram Jaccard near-dup pairs, blocked by language and
     * a length band (`lenBand` chars) instead of all-pairs — candidate
     * count stays linear-ish in corpus size for natural length
-    * distributions. */
+    * distributions.
+    *
+    * Verification runs over md5-derived 60-bit HASHES of the n-grams,
+    * not the gram strings: the merge-walk intersect then compares
+    * primitive longs (one codegen'd compare per element, ~4× cheaper
+    * than string memcmp at verification volume = Σblock² pairs), and
+    * the blocked join shuffles compact long arrays instead of string
+    * arrays.  Jaccard over the hashed sets equals Jaccard over the
+    * gram sets except under a 60-bit collision *within one document
+    * pair's union* (~10^-14 per pair) — and because the hash is a
+    * deterministic md5 slice, an oracle replaying the same hash sees
+    * the identical result either way. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int = 5, lenBand: Long = 64,
       minJaccard: Double = 0.05): DataFrame = {
@@ -170,7 +181,8 @@ object Dedup {
     // sorted+distinct once per doc → pair verification runs the
     // allocation-free sorted merge-walk intersect count
     val prep = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      array_sort(array_distinct(charShingles(lower(col(textCol)), n))).as("g"),
+      array_sort(array_distinct(transform(
+        charShingles(lower(col(textCol)), n), gs => h60(gs)))).as("g"),
       floor(length(col(textCol)) / lenBand).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a doc joins its own bucket and the next (so neighbors split by a

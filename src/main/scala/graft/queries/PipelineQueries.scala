@@ -128,11 +128,15 @@ object PipelineQueries {
     Dedup.lshPairs(tbl(s, dir, "documents"), "doc_id", "text")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-  val q17Sql: String = {
+  /** Shared CTE chain replaying MinHash-LSH candidate pairs in DuckDB
+    * (tok → shingles → minhash signature → banded buckets → verified
+    * pairs with exact shingle Jaccard) — used by q17 and, with a
+    * threshold, by q52's connected-components closure. */
+  private def lshPairsCtes: String = {
     val mh = ColFns.MinhashA.zip(ColFns.MinhashB).map { case (a, b) =>
       s"list_min(list_transform(sh, s -> (${a} * (${h60Sql("s")} % 2147483647) + ${b}) % 2147483647))"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+    s"""tok AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
        |shg AS (SELECT id, ${shingles3Sql("toks")} AS sh FROM tok),
        |sig AS (SELECT id, sh, $mh AS sig FROM shg),
        |banded AS (SELECT id, sh, b AS band_id,
@@ -142,10 +146,12 @@ object PipelineQueries {
        |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
        |      / len(list_distinct(list_concat(l.sh, r.sh))) AS jac
        |  FROM banded l JOIN banded r
-       |    ON l.band_id = r.band_id AND l.bh = r.bh AND l.id < r.id)
+       |    ON l.band_id = r.band_id AND l.bh = r.bh AND l.id < r.id)""".stripMargin
+  }
+  val q17Sql: String =
+    s"""WITH $lshPairsCtes
        |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
        |GROUP BY id_a, id_b HAVING max(jac) >= 0.0 ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---- Q18: 64-bit SimHash (one explode + one aggregation) --------------
   def q18(s: SparkSession, dir: String): DataFrame =
@@ -174,7 +180,8 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   val q19Sql: String =
     s"""WITH prep AS (SELECT doc_id AS id, lang,
-       |    ${charShinglesSql("lower(text)", 5)} AS g,
+       |    list_distinct(list_transform(${charShinglesSql("lower(text)", 5)},
+       |      gs -> ${h60Sql("gs")})) AS g,
        |    CAST(floor(length(text)/64) AS BIGINT) AS bucket
        |  FROM documents),
        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
@@ -923,7 +930,97 @@ object PipelineQueries {
       | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_qty
       |FROM lineitem GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
 
+  // ---- Q52: near-dup CLUSTERS — LSH pairs → connected components --------
+  // The missing tail of pair-producing dedup: transitive closure of
+  // the near-dup pairs (alternating large-star/small-star, O(log n)
+  // rounds of O(|E|) shuffles), every doc labeled with its cluster's
+  // min doc_id.  Oracle: the same pairs replayed in DuckDB + a
+  // recursive min-label closure.
+  private val ClusterMinJaccard = 0.5
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      minJaccard = ClusterMinJaccard)
+    graft.ext.Components.connectedComponents(
+      pairs, "id_a", "id_b", docs, "doc_id")
+      .orderBy("doc_id")
+  }
+  val q52Sql: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |dup AS (SELECT id_a, id_b FROM pairs
+       |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |reach(n, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.n),
+       |lbl AS (SELECT n, min(c) AS comp FROM reach GROUP BY n)
+       |SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
+       |FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
+  // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
+  // q43's sketch): reported counts equal true counts and the oracle
+  // can hash-match plain GROUP BY counts.  At 100 TB you size
+  // capacity to k×headroom and accept MG's n/(capacity+1) bound.
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val ds = tbl(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+    val out = DatasetEngine.run(ds, Unpack.none[(String, String)],
+      Assign.of[(String, String), String, String](_._1)(_._2),
+      Reduce.fromFold[String, String, Map[String, Long]](
+        Folds.heavyHitters[String](64)), ordered = true)
+    out.toDF("lang", "hh")
+      .select(col("lang"), explode(col("hh")))
+      .toDF("lang", "tok", "cnt")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+      .where(col("rn") <= 3).drop("rn")
+      .orderBy("lang", "tok")
+  }
+  val q53Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+       |c AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+       |r AS (SELECT lang, tok, cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+       |  FROM c)
+       |SELECT lang, tok, cnt FROM r WHERE rn <= 3 ORDER BY lang, tok""".stripMargin
+
+  // ---- Q54: bloom-pruned semi join (runtime-filter pattern) -------------
+  // Selective orders filter → bloom over o_orderkey (one distributed
+  // pass, OR-merged) → lineitem pre-filtered BEFORE the join shuffle
+  // → exact semi join removes bloom false positives.  Result is
+  // bit-equal to a plain semi join; only the plan differs.
+  private val BloomPriceMin = 400000.0
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val small = tbl(s, dir, "orders")
+      .where(col("o_totalprice") > BloomPriceMin)
+    graft.ext.Bloom.semiJoinPrune(
+      tbl(s, dir, "lineitem"), "l_orderkey", small, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6)
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+  val q54Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $BloomPriceMin)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_components" -> (q52 _),
+    "q53_heavy_hitters" -> (q53 _),
+    "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
     "q39_date_parts" -> (q39 _),
     "q37_ann_ivf" -> (q37 _),
@@ -964,6 +1061,9 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q52_components" -> q52Sql,
+    "q53_heavy_hitters" -> q53Sql,
+    "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,
     "q40_stream_exec" -> q40Sql,
     "q42_media_meta" -> q42Sql,

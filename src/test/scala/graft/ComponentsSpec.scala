@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.{Bloom, Components}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Local union-find oracle. */
+  private def ufComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root = min of component because unions always point larger→smaller
+    (0 until n).map(i => (i.toLong, find(i).toLong)).toMap
+  }
+
+  test("random graphs match a union-find oracle (incl. singletons)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val got = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b",
+        (0 until n).map(_.toLong).toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == ufComponents(n, edges), s"trial $trial")
+    }
+  }
+
+  test("long chain converges in O(log n) rounds, not O(diameter)") {
+    // a 200-node path — label propagation would need 200 rounds;
+    // large-star/small-star must finish well inside maxIter=15
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until 200L).toDF("id")
+    val got = Components.connectedComponents(edges, "a", "b", nodes, "id",
+      maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("bloom semi-join prune == exact semi join (random keys)") {
+    val rnd = new scala.util.Random(31)
+    val big = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt()))
+      .toDF("k", "v")
+    val small = Seq.fill(40)(rnd.nextInt(500).toLong).toDF("sk")
+    val expected = big.join(small.distinct(), big("k") === small("sk"),
+      "left_semi").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = Bloom.semiJoinPrune(big, "k", small, "sk",
+      numBits = 4096, numHashes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected)
+  }
+}

@@ -78,4 +78,51 @@ class FoldLawsSpec extends AnyFunSuite {
     val f = Folds.sum[Int].zip(Folds.count[Int]).zip(Folds.topK[Int](3))
     check(forAll(inputs) { case (xs, chunk) => viaMerge(f, xs, chunk) == f.fold(xs) })
   }
+
+  test("heavyHitters: exact regime below capacity; MG bound under any split") {
+    // exact regime: distinct keys ≤ capacity ⇒ counts are exact for
+    // any split (this is what q53's oracle relies on)
+    val smallKey = for {
+      xs <- Gen.listOfN(300, Gen.chooseNum(0, 30))
+      chunk <- Gen.chooseNum(1, 50)
+    } yield (xs, chunk)
+    check(forAll(smallKey) { case (xs, chunk) =>
+      val f = Folds.heavyHitters[Int](32)
+      viaMerge(f, xs, chunk) == xs.groupBy(identity).map { case (k, v) =>
+        (k, v.size.toLong) }
+    })
+    // approximate regime: every reported count is an undercount by at
+    // most n/(capacity+1), and every key with true frequency above
+    // that bound is present — under any split (mergeable-summary bound)
+    val skewed = for {
+      xs <- Gen.listOfN(400, Gen.frequency(
+        6 -> Gen.const(0), 3 -> Gen.const(1), // heavy keys
+        8 -> Gen.chooseNum(2, 200)))          // long tail
+      chunk <- Gen.chooseNum(1, 50)
+    } yield (xs, chunk)
+    check(forAll(skewed) { case (xs, chunk) =>
+      val cap = 8
+      val got = viaMerge(Folds.heavyHitters[Int](cap), xs, chunk)
+      val truth = xs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val bound = xs.size.toLong / (cap + 1)
+      got.forall { case (k, c) =>
+        val t = truth.getOrElse(k, 0L); c <= t && t - c <= bound
+      } && truth.forall { case (k, t) => t <= bound || got.contains(k) }
+    })
+  }
+
+  test("bloom: no false negatives under any split; merge bit-identical to sequential") {
+    val hashes = for {
+      xs <- Gen.listOfN(300, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      chunk <- Gen.chooseNum(1, 50)
+    } yield (xs, chunk)
+    check(forAll(hashes) { case (xs, chunk) =>
+      val f = Folds.bloom(1024, 5)
+      val merged = viaMerge(f, xs, chunk)
+      merged == f.fold(xs) && {
+        val bits = merged.toArray
+        xs.forall(h => Folds.bloomContains(bits, 5, h))
+      }
+    })
+  }
 }
