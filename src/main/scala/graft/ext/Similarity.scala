@@ -123,7 +123,7 @@ object Similarity {
 
   /** Argmax-cosine cell id over literal centroids: highest cosine,
     * ties to the lowest cid — one codegen'd projection, no shuffle. */
-  private def assignCell(v: Column, nrm: Column,
+  private[ext] def assignCell(v: Column, nrm: Column,
       cents: Seq[(Long, Seq[Double], Double)]): Column =
     array_max(array(cents.map { case (cid, cv, cnrm) =>
       struct((dotD(v, typedLit(cv)) / (nrm * lit(cnrm))).as("c"),
@@ -167,6 +167,38 @@ object Similarity {
       .select(col("probe_id"), col("id").as("neighbor_id"),
         cosineWithNorms(dotD(col("pv"), col("v")), col("pn"), col("nrm")).as("cos"))
     topK(scored, k)
+  }
+
+  /** Semantic dedup (SemDeDup-style): k-means cells as the blocking
+    * key, exact within-cell cosine ≥ `minCos` as the duplicate edge,
+    * connected components as the transitive closure — every vector
+    * labeled with its duplicate cluster's minimum id (keep = the rows
+    * where id == component).
+    *
+    * Scale shape: cell assignment is one shuffle-free codegen'd
+    * projection (the codebook is literal); the pair join shuffles the
+    * corpus ONCE by cell id and compares only within cells
+    * (Σcell², with cell sizes ~corpus/nCentroids — at real scale you
+    * raise nCentroids to keep cells bounded); the closure runs over
+    * the duplicate EDGES only, which are a tiny fraction of the
+    * corpus.  Never an all-pairs cross join. */
+  def semanticClusters(emb: DataFrame, minCos: Double, nCentroids: Int,
+      kmeansIters: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val cents = kmeansCodebook(emb, nCentroids, kmeansIters, idCol, vecCol)
+    val nn = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", normD(col("v")))
+      .withColumn("cid", assignCell(col("v"), col("nrm"), cents))
+    val l = nn.select(col("cid"), col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val r = nn.select(col("cid"), col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = cosineWithNorms(dotD(col("va"), col("vb")), col("na"), col("nb"))
+    val pairs = l.join(r, Seq("cid")).where(col("id_a") < col("id_b"))
+      .where(cos >= minCos)
+      .select(col("id_a"), col("id_b"))
+    Components.connectedComponents(pairs, "id_a", "id_b",
+      emb.select(col(idCol)), idCol)
   }
 
   /** Embedding near-duplicate pairs: sign-LSH blocking then exact

@@ -82,4 +82,59 @@ object TextOps {
 
   /** Rolling-hash document fingerprint over tokens (order-sensitive). */
   def fingerprintCol(text: Column): Column = fingerprint(tokens(text))
+
+  // ---- PII / boilerplate scrubbing --------------------------------------
+
+  /** Scrub patterns, applied IN ORDER (emails first — they contain no
+    * "://" so URL scrubbing can't eat them; long digit runs last so
+    * digits inside URLs are already gone).  Kept to RE2-compatible
+    * syntax (no backrefs/lookaround) so the same pattern strings run
+    * in Spark's Java regex and in DuckDB/RE2 oracles. */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Replace emails / URLs / long digit runs with typed placeholder
+    * tokens — the standard pre-training PII/noise scrub.  A chain of
+    * codegen'd `regexp_replace`: per-row, zero shuffle, streams at
+    * scan speed. */
+  def scrubCol(text: Column): Column =
+    ScrubPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  // ---- Repetition / boilerplate quality signals -------------------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 - distinct/total` (0 for empty docs).  High values flag
+    * low-quality boilerplate (Gopher-style repetition filter). */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / n.cast("double"))
+  }
+
+  /** Adjacent word-bigram array of `toks` (empty when < 2 tokens) —
+    * the two slices are equal-length by construction so `zip_with`
+    * never pads. */
+  private def bigrams(toks: Column): Column = {
+    val n = size(toks)
+    when(n < 2, array().cast("array<string>")).otherwise(
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Fraction of word bigrams taken up by the single most frequent
+    * bigram (0 when < 2 tokens) — the other half of the repetition
+    * filter.  Per-row O(distinct × total) over a bounded document:
+    * all HOFs, codegen'd, no shuffle. */
+  def topBigramFraction(text: Column): Column = {
+    val bg = bigrams(tokens(text))
+    val top = array_max(transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b))))
+    when(size(bg) === 0, lit(0.0))
+      .otherwise(top.cast("double") / size(bg).cast("double"))
+  }
 }

@@ -851,7 +851,12 @@ object PipelineQueries {
     Similarity.ivfTopK(tbl(s, dir, "embeddings"), Seq(1L, 2L, 3L, 4L, 5L), 3,
       IvfCentroids, IvfProbe, kmeansIters = IvfKmeansIters)
       .orderBy("vec_id", "neighbor_id")
-  val q37Sql: String = {
+  /** Shared CTE chain replaying the deterministic cosine k-means
+    * codebook + cell assignment in DuckDB (seeds → unrolled Lloyd
+    * rounds → `asg(vec_id, cid)`), bit-identical to
+    * `Similarity.kmeansCodebook`/`assignCell` — used by q37's IVF
+    * search and q57's semantic dedup. */
+  private def kmeansAsgCtes: String = {
     // one Lloyd round: assign (argmax cosine, ties to lowest cid) →
     // exact per-dimension decimal means → empty cells keep centroid
     def round(i: Int): String = {
@@ -873,7 +878,7 @@ object PipelineQueries {
     }
     val rounds = (1 to IvfKmeansIters).map(round).mkString(",\n")
     val cFinal = s"c$IvfKmeansIters"
-    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM n),
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nn
        |         WHERE vec_id < $IvfCentroids),
@@ -883,7 +888,10 @@ object PipelineQueries {
        |       FROM nn e CROSS JOIN $cFinal c),
        |asg AS (SELECT vec_id, cid FROM
        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1),
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac) WHERE rn = 1)""".stripMargin
+  }
+  val q37Sql: String =
+    s"""WITH $kmeansAsgCtes,
        |pcells AS (SELECT vec_id AS probe_id, cid FROM
        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
        |           ORDER BY cos DESC, cid ASC) AS rn FROM ac
@@ -899,7 +907,6 @@ object PipelineQueries {
        |           ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
        |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
        |ORDER BY vec_id, neighbor_id""".stripMargin
-  }
 
   // ---- Q38: JSON scalar functions (semi-structured column access) -------
   // props is a JSON string; extract k, bucket it, aggregate — the
@@ -1017,7 +1024,141 @@ object PipelineQueries {
        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $BloomPriceMin)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q55: PII / noise scrub (email, URL, long digit runs) -------------
+  // The documents corpus has no natural PII, so each row first gets a
+  // deterministic contact line DERIVED FROM ITS OWN FIELDS (user<id>@…,
+  // https://<source>…, id <id²·37> — the digit run crosses the 6-digit
+  // scrub threshold only for doc_id ≥ 52, so both branches are
+  // exercised).  Scrub = 3 chained codegen'd regexp_replace, per-row,
+  // zero shuffle; md5 of the scrubbed text pins every byte.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("user"), col("doc_id").cast("string"),
+      lit("@example.com see https://"), col("source"), lit(".org/p id "),
+      (col("doc_id") * col("doc_id") * lit(37L)).cast("string"),
+      lit(" "), col("text"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextOps.scrubCol(synth).as("sc"))
+      .select(col("doc_id"),
+        regexp_count(col("sc"), lit("<EMAIL>")).cast("long").as("n_email"),
+        regexp_count(col("sc"), lit("<URL>")).cast("long").as("n_url"),
+        regexp_count(col("sc"), lit("<NUM>")).cast("long").as("n_num"),
+        md5(col("sc").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+  val q55Sql: String = {
+    val scrubbed = TextOps.ScrubPatterns.foldLeft("t") {
+      case (e, (pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    s"""WITH synth AS (SELECT doc_id,
+       |    'user' || CAST(doc_id AS VARCHAR) || '@example.com see https://'
+       |      || source || '.org/p id ' || CAST(doc_id*doc_id*37 AS VARCHAR)
+       |      || ' ' || text AS t
+       |  FROM documents),
+       |sc AS (SELECT doc_id, $scrubbed AS sc FROM synth)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(sc, '<EMAIL>')) AS n_email,
+       |  len(regexp_extract_all(sc, '<URL>')) AS n_url,
+       |  len(regexp_extract_all(sc, '<NUM>')) AS n_num,
+       |  md5(sc) AS fp
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Q56: repetition quality signals (Gopher-style) -------------------
+  // Per-row HOFs only (duplicate-token fraction, top-bigram fraction):
+  // embarrassingly parallel, codegen'd, no shuffle — the filter you
+  // run over every document before training.
+  def q56(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextOps.dupTokenFraction(col("text")), 6).as("dup_tok_frac"),
+        round(TextOps.topBigramFraction(col("text")), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  val q56Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs
+       |  FROM tok)
+       |SELECT doc_id,
+       |  round(CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+       |    AS dup_tok_frac,
+       |  round(CASE WHEN len(bgs) = 0 THEN 0.0
+       |    ELSE CAST(list_max(list_transform(list_distinct(bgs),
+       |      b -> len(list_filter(bgs, x -> x = b)))) AS DOUBLE) / len(bgs) END, 6)
+       |    AS top_bigram_frac
+       |FROM bg ORDER BY doc_id""".stripMargin
+
+  // ---- Q57: semantic dedup (SemDeDup): k-means cells → cosine edges →
+  // connected components.  Blocking is the SEMANTIC cell (unlike q20's
+  // sign-LSH buckets), and output is cluster labels, not pairs; the
+  // oracle replays the identical codebook (shared kmeans CTEs with
+  // q37) plus a recursive min-label closure.
+  private val SemMinCos = 0.35
+  def q57(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticClusters(tbl(s, dir, "embeddings"), SemMinCos,
+      IvfCentroids, IvfKmeansIters).orderBy("vec_id")
+  val q57Sql: String =
+    s"""WITH RECURSIVE $kmeansAsgCtes,
+       |prs AS (SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN nn x ON x.vec_id = a.vec_id
+       |  JOIN nn y ON y.vec_id = b.vec_id
+       |  WHERE ${dotSql("x.v", "y.v")}/(x.nrm*y.nrm) >= $SemMinCos),
+       |edges AS (SELECT u, w FROM prs UNION SELECT w, u FROM prs),
+       |reach(nd, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.w, r.c FROM reach r JOIN edges e ON e.u = r.nd),
+       |lbl AS (SELECT nd, min(c) AS comp FROM reach GROUP BY nd)
+       |SELECT em.vec_id, CAST(coalesce(l.comp, em.vec_id) AS BIGINT) AS component
+       |FROM embeddings em LEFT JOIN lbl l ON l.nd = em.vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- Q58: TF-IDF top terms per document -------------------------------
+  // Three hash aggregations (per-doc-term tf, per-doc length, corpus
+  // df) + one shuffle join on term; the per-doc top-3 window is
+  // scale-safe here because the partition key is doc_id — parallelism
+  // is the corpus, and each partition sorts one document's vocabulary
+  // (bounded by doc length), not the corpus.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val nDocs = docs.count() // bounded driver scalar (one count job)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val lens = tf.groupBy("doc_id").agg(sum(col("cnt")).as("len"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(lens, "doc_id").join(dfc, "tok")
+      .withColumn("score",
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          log(lit(nDocs.toDouble) / col("df").cast("double")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "tok")
+  }
+  val q58Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+       |lens AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT t.doc_id, t.tok,
+       |    (CAST(t.cnt AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+       |      ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+       |         / CAST(d.df AS DOUBLE)) AS score
+       |  FROM tf t JOIN lens l USING (doc_id) JOIN dfc d USING (tok)),
+       |rk AS (SELECT doc_id, tok, score, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
+       |SELECT doc_id, tok, round(score, 6) AS tfidf FROM rk WHERE rn <= 3
+       |ORDER BY doc_id, tok""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_scrub" -> (q55 _),
+    "q56_repetition" -> (q56 _),
+    "q57_semantic_dedup" -> (q57 _),
+    "q58_tfidf" -> (q58 _),
     "q52_components" -> (q52 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
@@ -1061,6 +1202,10 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q55_scrub" -> q55Sql,
+    "q56_repetition" -> q56Sql,
+    "q57_semantic_dedup" -> q57Sql,
+    "q58_tfidf" -> q58Sql,
     "q52_components" -> q52Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,

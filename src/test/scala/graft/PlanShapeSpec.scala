@@ -75,6 +75,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"picked ids must broadcast back as a semi-join:\n$p")
   }
 
+  test("q54: bloom prune filters the big side BEFORE the join exchange") {
+    val p = plan(PipelineQueries.q54(spark, sf))
+    // the bloom membership UDF must appear as a Filter on the big
+    // side's scan stage, upstream of the exact semi join
+    assert(p.contains("UDF"), s"bloom membership filter must be in the plan:\n$p")
+    assert(p.contains("LeftSemi"), "exact semi join must remain for fp removal")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q56: repetition signals are a pure scan-side projection (no shuffle before sort)") {
+    val p = plan(PipelineQueries.q56(spark, sf))
+    // only the presentation ORDER BY may exchange — one range exchange
+    assert(countOf(p, "Exchange ") <= 1, s"per-row signals must not shuffle:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0)
+  }
+
   test("q26: small dimension join is broadcast, not shuffled") {
     val p = plan(PipelineQueries.q26(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
