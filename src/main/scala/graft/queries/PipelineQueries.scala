@@ -1154,7 +1154,116 @@ object PipelineQueries {
        |SELECT doc_id, tok, round(score, 6) AS tfidf FROM rk WHERE rn <= 3
        |ORDER BY doc_id, tok""".stripMargin
 
+  // ---- Q59: benchmark decontamination (n-gram overlap vs holdout) -------
+  // Holdout = every 10th doc (the stand-in benchmark set); corpus docs
+  // sharing any word 5-gram with it get flagged with the count of
+  // distinct shared grams.  5-grams + this corpus → overlap only from
+  // genuine near-duplicates (7 docs), not n-gram noise.
+  private val DecontamN = 5
+  private val DecontamMod = 10
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.ext.Decontaminate.overlap(
+      docs.where(col("doc_id") % DecontamMod =!= 0),
+      docs.where(col("doc_id") % DecontamMod === 0),
+      "doc_id", "text", DecontamN)
+      .orderBy("doc_id")
+  }
+  val q59Sql: String = {
+    val grams = (0 until DecontamN).map {
+      case 0 => "toks[i]"
+      case j => s"toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $DecontamN
+       |    THEN list_transform(range(1, len(toks)-${DecontamN - 2}), i -> $grams)
+       |    ELSE [] END) AS gr
+       |  FROM tok),
+       |hg AS (SELECT DISTINCT ${h60Sql("gs")} AS h FROM
+       |    (SELECT unnest(gr) AS gs FROM g WHERE doc_id % $DecontamMod = 0)),
+       |cg AS (SELECT doc_id, ${h60Sql("gs")} AS h FROM
+       |    (SELECT doc_id, unnest(gr) AS gs FROM g WHERE doc_id % $DecontamMod <> 0))
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM cg JOIN hg USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Q60: per-source quality gate at a sketched percentile ------------
+  // The standard corpus filter "keep each source's top 20% by quality
+  // score", run the scale-safe way: per-source thresholds from the
+  // mergeable QSketch fold (exact below capacity — the gate's regime —
+  // ε-rank-error beyond), broadcast back, one codegen'd filter.  No
+  // per-source sort, no window over the corpus.
+  private val QualityPct = 0.8
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val scored = tbl(s, dir, "documents")
+      .select(col("source"), TextOps.qualityColsRaw(col("text")).last)
+    val ds = scored.as[(String, Double)]
+    val th = DatasetEngine.run(ds, Unpack.none[(String, Double)],
+      Assign.of[(String, Double), String, Double](_._1)(_._2),
+      Reduce.fromFold[String, Double, Double](
+        Folds.approxQuantile(32768, QualityPct)), ordered = false)
+      .toDF("source", "thresh")
+    scored.join(broadcast(th), Seq("source"))
+      .where(col("quality_score") >= col("thresh"))
+      .groupBy(col("source"), round(col("thresh"), 6).as("thresh"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+  val q60Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT source,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT source, text, $toksSql AS toks FROM documents)),
+       |g AS (SELECT source, stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+       |    + least(mean_tok_len / 8.0, 1.0) * 0.3 AS q FROM f),
+       |th AS (SELECT source, quantile_disc(q, $QualityPct) AS thresh
+       |  FROM g GROUP BY source)
+       |SELECT g.source, round(th.thresh, 6) AS thresh, count(*) AS n_kept
+       |FROM g JOIN th USING (source) WHERE g.q >= th.thresh
+       |GROUP BY g.source, th.thresh ORDER BY g.source""".stripMargin
+  }
+
+  // ---- Q61: salted equi-join (join-side skew lever) ---------------------
+  // l_returnflag has 3 values over ~60k rows — the textbook hot-key
+  // join.  The salted join splits each key into 8 sub-keys (salt
+  // derived from the row's other columns, so placement is
+  // deterministic), replicates the 3-row dim 8×, and joins on
+  // (key, salt); `.hint("merge")` models the small-side-too-big-to-
+  // broadcast case the operator exists for.  Result is row-identical
+  // to the plain join — which is exactly what the oracle runs.
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val dim = tbl(s, dir, "lineitem").select(col("l_returnflag")).distinct()
+      .withColumn("label", concat(col("l_returnflag"), lit("_class")))
+      .hint("merge")
+    graft.ext.SkewJoin.saltedJoin(li, dim, "l_returnflag", 8)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sumMoney(col("l_quantity")), 6).as("sum_qty"))
+      .orderBy("label")
+  }
+  val q61Sql: String =
+    """WITH dim AS (SELECT DISTINCT l_returnflag FROM lineitem),
+      |d AS (SELECT l_returnflag, l_returnflag || '_class' AS label FROM dim)
+      |SELECT d.label, count(*) AS n,
+      |  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sum_qty
+      |FROM lineitem l JOIN d ON l.l_returnflag = d.l_returnflag
+      |GROUP BY d.label ORDER BY d.label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_quality_gate" -> (q60 _),
+    "q61_salted_join" -> (q61 _),
+    "q59_decontaminate" -> (q59 _),
     "q55_scrub" -> (q55 _),
     "q56_repetition" -> (q56 _),
     "q57_semantic_dedup" -> (q57 _),
@@ -1202,6 +1311,9 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q60_quality_gate" -> q60Sql,
+    "q61_salted_join" -> q61Sql,
+    "q59_decontaminate" -> q59Sql,
     "q55_scrub" -> q55Sql,
     "q56_repetition" -> q56Sql,
     "q57_semantic_dedup" -> q57Sql,

@@ -91,6 +91,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bWindow\\b") == 0)
   }
 
+  test("q59: holdout gram table broadcasts; corpus grams never shuffle-join") {
+    val p = plan(PipelineQueries.q59(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"holdout grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for the overlap join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q61: salted join keeps the salt in the shuffle key") {
+    val p = plan(PipelineQueries.q61(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"gate models the non-broadcast case:\n$p")
+    assert(p.contains("__salt"), s"join/shuffle key must carry the salt:\n$p")
+  }
+
   test("q26: small dimension join is broadcast, not shuffled") {
     val p = plan(PipelineQueries.q26(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
