@@ -31,7 +31,9 @@ object Decontaminate {
     val hg = holdout
       .select(explode(gramHashes(col(textCol))).as("h"))
       .distinct()
-    val cg = corpus
+    // same parallelism floor as the dedup preps: the per-row md5 pass
+    // must not serialize on a few input splits
+    val cg = Dedup.parallelized(corpus)
       .select(col(idCol), explode(gramHashes(col(textCol))).as("h"))
     cg.join(broadcast(hg), Seq("h"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))

@@ -35,6 +35,20 @@ object Dedup {
     if (hs != null) hs.foreach(_.unpersist())
   }
 
+  /** Parallelism floor for compute-heavy signature prep: scan
+    * parallelism is capped by the input's split count (parquet row
+    * groups), and a few-row-group file serializes the whole
+    * tokenize/shingle/md5 pass on a handful of tasks while every
+    * other core idles.  When the input exposes fewer partitions than
+    * the session's default parallelism, redistribute rows first — the
+    * per-row signature compute vastly exceeds the cost of one extra
+    * shuffle of the raw text.  On a real corpus (splits >> cores)
+    * this is a no-op and the scan streams splits directly. */
+  private[ext] def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Injective string encoding of a key tuple for hashing: per field,
     * `v<len>:<value>` for non-null values and a bare `n;` tag for
     * NULL.  The length prefix pins field boundaries (no value can
@@ -105,7 +119,7 @@ object Dedup {
     // sorted+distinct ONCE at prep so pair verification can use the
     // allocation-free sorted merge-walk intersect count
     val sh = array_sort(array_distinct(wordShingles(tokens(col(textCol)), n)))
-    val shingleTbl = df.select(col(idCol).as("id"), sh.as("sh"))
+    val shingleTbl = parallelized(df).select(col(idCol).as("id"), sh.as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize per-shingle hashes in their own projection: ONE md5
     // pass per document; the 16 permutations are cheap modular maps
@@ -180,7 +194,7 @@ object Dedup {
     // built once, not once per side
     // sorted+distinct once per doc → pair verification runs the
     // allocation-free sorted merge-walk intersect count
-    val prep = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+    val prep = parallelized(df).select(col(idCol).as("id"), col(langCol).as("lang"),
       array_sort(array_distinct(transform(
         charShingles(lower(col(textCol)), n), gs => h60(gs)))).as("g"),
       floor(length(col(textCol)) / lenBand).as("bucket"))
