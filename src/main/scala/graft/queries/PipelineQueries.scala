@@ -4,7 +4,7 @@ import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.streaming.StreamingAgg
 import graft.functions.ColFns
 import graft.functions.ColFns._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1260,7 +1260,93 @@ object PipelineQueries {
       |FROM lineitem l JOIN d ON l.l_returnflag = d.l_returnflag
       |GROUP BY d.label ORDER BY d.label""".stripMargin
 
+  // ---- Q62: capped inverted index (token → df + bounded postings) -------
+  // The index-build every corpus QA/search layer needs, built the
+  // scale-safe way: posting lists are k-BOUNDED CollectTopK buffers
+  // (reverse = k smallest doc_ids), so map-side partials carry ≤ k ids
+  // per token and the shuffle is O(vocab × k) — never an unbounded
+  // collect_list that buffers a stopword's whole posting set.
+  private val PostingsK = 5
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val post = tbl(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+      .distinct()
+    post.groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        org.apache.spark.sql.graftshim.Bridge.collectTopK(
+          col("doc_id"), PostingsK, reverse = true).as("top"))
+      .select(col("tok"), col("df"),
+        array_join(array_sort(col("top")), ",").as("postings"))
+      .orderBy("tok")
+  }
+  val q62Sql: String =
+    s"""WITH post AS (SELECT DISTINCT tok, doc_id FROM
+       |    (SELECT unnest($toksSql) AS tok, doc_id FROM documents)),
+       |w AS (SELECT tok, doc_id,
+       |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY tok) AS df
+       |  FROM post)
+       |SELECT tok, CAST(max(df) AS BIGINT) AS df,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |    FILTER (WHERE rn <= $PostingsK) AS postings
+       |FROM w GROUP BY tok ORDER BY tok""".stripMargin
+
+  // ---- Q63: STREAM-EXECUTED heavy hitters per event-time window ---------
+  // The Misra–Gries fold runs as a SQL UDAF inside a watermarked
+  // tumbling-window streaming aggregation (MemoryStream feed, Append
+  // mode, sentinel closes the last windows — the q40 harness), proving
+  // the fold vocabulary composes with real streaming execution, not
+  // just batch frames.  Capacity 128 ≥ the 100 distinct k values → the
+  // exact regime, so the oracle is plain per-window counts; top-3 per
+  // window by (cnt desc, k) for bounded output.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Folds
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // TEST FEED: MemoryStream takes driver-side batches by design;
+    // the operator under test is fully distributed (see q40's note)
+    val ev = tbl(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .as[(java.sql.Timestamp, Long)]
+      .collect().sortBy(_._1.getTime)
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val mg = StreamingAgg.foldUdaf(Folds.heavyHitters[Long](128))(
+      Encoders.scalaLong, newMapEncoder[Map[Long, Long]])
+    val agg = StreamingAgg.windowedAgg(
+      in.toDF().toDF("ts2", "kv"), "ts2", "0 seconds", "6 hours",
+      Seq.empty, Seq(mg(col("kv")).as("hh")))
+      .select(col("window.start").as("w"), explode(col("hh")).as(Seq("kv", "cnt")))
+    val sink = "q63_stream_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val sentinel = new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L)
+      in.addData((sentinel, -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).where(col("kv") =!= -1L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("w").orderBy(col("cnt").desc, col("kv").asc)))
+      .where(col("rn") <= 3).drop("rn")
+      .orderBy("w", "kv")
+  }
+  val q63Sql: String =
+    """WITH b AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS w,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+      |  FROM events),
+      |c AS (SELECT w, kv, count(*) AS cnt FROM b GROUP BY w, kv),
+      |r AS (SELECT w, kv, cnt,
+      |    row_number() OVER (PARTITION BY w ORDER BY cnt DESC, kv) AS rn FROM c)
+      |SELECT w, kv, cnt FROM r WHERE rn <= 3 ORDER BY w, kv""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_stream_heavy_hitters" -> (q63 _),
+    "q62_inverted_index" -> (q62 _),
     "q60_quality_gate" -> (q60 _),
     "q61_salted_join" -> (q61 _),
     "q59_decontaminate" -> (q59 _),
@@ -1311,6 +1397,8 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q63_stream_heavy_hitters" -> q63Sql,
+    "q62_inverted_index" -> q62Sql,
     "q60_quality_gate" -> q60Sql,
     "q61_salted_join" -> q61Sql,
     "q59_decontaminate" -> q59Sql,
