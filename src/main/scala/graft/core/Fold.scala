@@ -286,9 +286,15 @@ object Folds {
     * Summaries", PODS'12: sum counters, then subtract the
     * (capacity+1)-th largest count and drop non-positives).
     * Memory: O(capacity) per group at ANY group size — the
-    * frequent-items analog of [[approxQuantile]]/[[hll]].  All paths
-    * (step decrement, merge rebase) are uniform over keys, so the
-    * result is independent of partitioning and merge order. */
+    * frequent-items analog of [[approxQuantile]]/[[hll]].
+    *
+    * Determinism: BELOW capacity (no decrement, no rebase) the result
+    * is exact and identical under any partitioning/merge order — the
+    * regime the oracle checks.  ABOVE capacity the ERROR BOUND holds
+    * under any merge tree, but which near-threshold keys survive (and
+    * their exact undercounts) can vary with Spark's reduce-side merge
+    * order — inherent to merged MG summaries; size capacity with
+    * headroom when stable key sets matter. */
   def heavyHitters[A](capacity: Int): Fold.Aux[A, Map[A, Long], Map[A, Long]] = {
     require(capacity > 0, s"heavyHitters needs capacity > 0, got $capacity")
     Fold.withEncoder(

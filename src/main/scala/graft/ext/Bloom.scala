@@ -30,6 +30,14 @@ object Bloom {
   def semiJoinPrune(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    // xxhash64 is TYPE-sensitive (an INT 5 and a BIGINT 5 hash
+    // differently) while the exact join would cast-and-match — a type
+    // mismatch here would mean bloom false NEGATIVES, i.e. silently
+    // dropped rows.  Fail loudly instead.
+    require(big.schema(bigKey).dataType == small.schema(smallKey).dataType,
+      s"semiJoinPrune keys must have identical types, got " +
+        s"$bigKey: ${big.schema(bigKey).dataType} vs " +
+        s"$smallKey: ${small.schema(smallKey).dataType}")
     val spark = big.sparkSession
     import spark.implicits._
     val fold = Folds.bloom(numBits, numHashes)
@@ -46,8 +54,11 @@ object Bloom {
     val bc = spark.sparkContext.broadcast(bits)
     val mightContain = udf((h: Long) =>
       Folds.bloomContains(bc.value, numHashes, h))
+    // no .distinct() on the right side: left-semi semantics are
+    // unaffected by duplicate keys, and deduping would add a full
+    // extra exchange of the key set for zero semantic effect
     big.where(mightContain(xxhash64(col(bigKey))))
-      .join(small.select(col(smallKey)).distinct(),
+      .join(small.select(col(smallKey)),
         big(bigKey) === small(smallKey), "left_semi")
   }
 }

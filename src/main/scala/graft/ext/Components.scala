@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   * self-joins otherwise grow the plan exponentially); on a cluster
   * with a checkpoint dir configured, reliable `checkpoint()` would be
   * the durable choice — localCheckpoint keeps the library free of a
-  * checkpoint-dir requirement.
+  * checkpoint-dir requirement.  Block lifecycle: each round drops the
+  * driver's reference to the previous round's checkpoint, whose
+  * blocks the ContextCleaner then releases on GC — resident storage
+  * is a few |E|-sized edge sets, not O(rounds); |E| (near-dup pairs)
+  * is itself orders of magnitude below the corpus.
   */
 object Components {
 

@@ -39,14 +39,29 @@ object Dedup {
     * parallelism is capped by the input's split count (parquet row
     * groups), and a few-row-group file serializes the whole
     * tokenize/shingle/md5 pass on a handful of tasks while every
-    * other core idles.  When the input exposes fewer partitions than
-    * the session's default parallelism, redistribute rows first — the
-    * per-row signature compute vastly exceeds the cost of one extra
-    * shuffle of the raw text.  On a real corpus (splits >> cores)
-    * this is a no-op and the scan streams splits directly. */
+    * other core idles.  When a SCAN-SHAPED input exposes fewer
+    * partitions than the session's default parallelism, redistribute
+    * rows first — the per-row signature compute vastly exceeds the
+    * cost of one extra shuffle of the raw text.  On a real corpus
+    * (splits >> cores) this is a no-op and the scan streams splits
+    * directly.
+    *
+    * The probe (`df.rdd.getNumPartitions`) runs only when the plan
+    * contains no shuffle-inducing operator: on a bare scan chain it
+    * just plans (cheap), whereas under AQE a `.rdd` on a plan WITH
+    * joins/aggregations would eagerly execute their shuffle stages
+    * — and such inputs already carry ≥ shuffle.partitions
+    * parallelism, so the floor has nothing to fix there. */
   private[ext] def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffles = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+           _: RepartitionOperation | _: Window | _: Sort | _: SetOperation => true
+      case _ => false
+    }
+    lazy val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!shuffles && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** Injective string encoding of a key tuple for hashing: per field,
@@ -54,10 +69,19 @@ object Dedup {
     * NULL.  The length prefix pins field boundaries (no value can
     * bleed into the next field) and the tag keeps NULL distinct from
     * every string including "", so `md5(encoding)` groups exactly
-    * like GROUP BY on the raw columns (modulo md5 collisions). */
-  private def nullSafeKeyEncoding(keyCols: Seq[String]): Column =
+    * like GROUP BY on the raw columns (modulo md5 collisions).
+    * Float/double fields are normalized with `+ 0` first: grouping
+    * treats -0.0 and 0.0 as one key, but their string casts differ —
+    * adding positive zero folds -0.0 into 0.0 and changes nothing
+    * else. */
+  private def nullSafeKeyEncoding(df: DataFrame, keyCols: Seq[String]): Column =
     concat(keyCols.map { k =>
-      val sv = col(k).cast("string")
+      val raw = df.schema(k).dataType match {
+        case org.apache.spark.sql.types.DoubleType => col(k) + lit(0.0d)
+        case org.apache.spark.sql.types.FloatType  => col(k) + lit(0.0f)
+        case _                                     => col(k)
+      }
+      val sv = raw.cast("string")
       coalesce(concat(lit("v"), length(sv).cast("string"), lit(":"), sv), lit("n;"))
     }.toIndexedSeq: _*)
 
@@ -80,7 +104,7 @@ object Dedup {
       hashKey: Boolean = false): DataFrame = {
     val all = struct(df.columns.map(col).toIndexedSeq: _*)
     val groupCols =
-      if (hashKey) Seq(md5(nullSafeKeyEncoding(keyCols)).as("__gk"))
+      if (hashKey) Seq(md5(nullSafeKeyEncoding(df, keyCols)).as("__gk"))
       else keyCols.map(col)
     df.groupBy(groupCols: _*)
       .agg(min_by(all, col(tieBreak)).as("survivor"))

@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * A shuffled equi-join sends every row of a hot key to ONE reducer;
   * at 100 TB one hot key serializes the stage.  Salting splits each
-  * big-side key into `buckets` sub-keys using a salt derived from the
-  * row's OTHER columns (content-derived, so reruns and retries place
-  * every row identically — no `rand()`), replicates the small side
-  * `buckets`× (explode of a literal array — no extra shuffle of the
-  * big side beyond the join's own), and joins on (key, salt).  The
-  * result is row-identical to the plain join; only the partitioning
-  * changes.
+  * big-side key into `buckets` sub-keys using a per-row positional
+  * salt (`monotonically_increasing_id % buckets` — the same spread
+  * `DatasetEngine.runSalted` uses; unlike a payload-content hash it
+  * splits a hot key even when its payloads are all identical, and
+  * unlike `rand()` it is stable given the input partitioning),
+  * replicates the small side `buckets`× (explode of a literal array —
+  * no extra shuffle of the big side beyond the join's own), and joins
+  * on (key, salt).  The result is row-identical to the plain join FOR
+  * ANY salt assignment — every big row matches exactly the small-side
+  * replica carrying its salt — so correctness never depends on the
+  * salt; only the partitioning does.
   *
   * When to reach for it: the small side is too big to broadcast AND a
   * key is KNOWN hot (AQE's runtime skew-join split handles the
@@ -33,11 +37,8 @@ object SkewJoin {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "__salt is reserved by saltedJoin")
-    val others = big.columns.filterNot(_ == key)
-    require(others.nonEmpty,
-      "big side needs at least one non-key column to derive the salt from")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(others.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val rep = small.withColumn("__salt",
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
     salted.join(rep, Seq(key, "__salt")).drop("__salt")

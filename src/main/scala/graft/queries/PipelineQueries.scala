@@ -391,47 +391,56 @@ object PipelineQueries {
       | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  // ---- Q40: the SAME windowed aggregation, STREAM-EXECUTED ---------------
-  // q30 runs the streaming surface on a batch frame; this one actually
-  // executes it: events are fed through a MemoryStream in ascending
-  // event-time chunks, the watermarked tumbling-window aggregation
-  // runs in Append mode (windows emit only once the watermark passes
-  // them — the honest streaming path), and a far-future sentinel
-  // event closes the final windows.  The sink must match the same
-  // DuckDB oracle as the batch run.
-  def q40(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Shared MemoryStream harness for the STREAM-EXECUTED gate queries
+    * (q40, q63): feed time-sorted rows in ascending chunks
+    * (`processAllAvailable` between batches so the watermark
+    * advances), close the trailing windows with a far-future
+    * `sentinel` row, and return the Append-mode memory sink.  The
+    * caller's collect is the TEST FEED — MemoryStream takes
+    * driver-side batches by design; the aggregation under test is
+    * fully distributed, and a production pipeline reads from a real
+    * streaming source instead. */
+  private def runStreamed[A <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, rows: Seq[A], sentinel: A, sinkName: String,
+      colNames: Seq[String])(build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    // NOTE: the collect below is the TEST FEED — MemoryStream takes
-    // driver-side batches by design.  The operator under test
-    // (windowedAgg) is fully distributed; a production pipeline reads
-    // from a real streaming source instead.
+    val in = MemoryStream[A]
+    val agg = build(in.toDF().toDF(colNames: _*))
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      in.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    s.table(sinkName)
+  }
+
+  // ---- Q40: the SAME windowed aggregation, STREAM-EXECUTED ---------------
+  // q30 runs the streaming surface on a batch frame; this one actually
+  // executes it through the runStreamed harness (Append mode — windows
+  // emit only once the watermark passes them, the honest streaming
+  // path).  The sink must match the same DuckDB oracle as the batch
+  // run.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val ev = tbl(s, dir, "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
         col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)]
       .collect().sortBy(_._1.getTime)
-    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
-    val agg = StreamingAgg.windowedAgg(
-      in.toDF().toDF("ts2", "event_type", "value"),
-      "ts2", "0 seconds", "1 hour",
-      Seq(col("event_type")),
-      Seq(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
-      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
-    val sink = "q40_stream_sink"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
-        in.addData(c.toIndexedSeq); q.processAllAvailable()
-      }
-      val sentinel = new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L)
-      in.addData((sentinel, "__sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink).where(col("event_type") =!= "__sentinel")
+    val sentinel =
+      (new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L), "__sentinel", 0.0)
+    runStreamed(s, ev.toIndexedSeq, sentinel, "q40_stream_sink",
+      Seq("ts2", "event_type", "value")) { df =>
+      StreamingAgg.windowedAgg(df, "ts2", "0 seconds", "1 hour",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    }.where(col("event_type") =!= "__sentinel")
       .orderBy("hour", "event_type")
   }
   // identical oracle to q30: stream execution must not change results
@@ -1302,34 +1311,21 @@ object PipelineQueries {
   def q63(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Folds
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    // TEST FEED: MemoryStream takes driver-side batches by design;
-    // the operator under test is fully distributed (see q40's note)
     val ev = tbl(s, dir, "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
         get_json_object(col("props"), "$.k").cast("long").as("kv"))
       .as[(java.sql.Timestamp, Long)]
       .collect().sortBy(_._1.getTime)
-    val in = MemoryStream[(java.sql.Timestamp, Long)]
     val mg = StreamingAgg.foldUdaf(Folds.heavyHitters[Long](128))(
       Encoders.scalaLong, newMapEncoder[Map[Long, Long]])
-    val agg = StreamingAgg.windowedAgg(
-      in.toDF().toDF("ts2", "kv"), "ts2", "0 seconds", "6 hours",
-      Seq.empty, Seq(mg(col("kv")).as("hh")))
-      .select(col("window.start").as("w"), explode(col("hh")).as(Seq("kv", "cnt")))
-    val sink = "q63_stream_sink"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
-        in.addData(c.toIndexedSeq); q.processAllAvailable()
-      }
-      val sentinel = new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L)
-      in.addData((sentinel, -1L))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink).where(col("kv") =!= -1L)
+    val sentinel =
+      (new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L), -1L)
+    runStreamed(s, ev.toIndexedSeq, sentinel, "q63_stream_sink",
+      Seq("ts2", "kv")) { df =>
+      StreamingAgg.windowedAgg(df, "ts2", "0 seconds", "6 hours",
+        Seq.empty, Seq(mg(col("kv")).as("hh")))
+        .select(col("window.start").as("w"), explode(col("hh")).as(Seq("kv", "cnt")))
+    }.where(col("kv") =!= -1L)
       .withColumn("rn", row_number().over(
         Window.partitionBy("w").orderBy(col("cnt").desc, col("kv").asc)))
       .where(col("rn") <= 3).drop("rn")

@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 /** Stage-by-stage timing of the MinHash-LSH dedup pipeline (q17) so
   * optimization effort goes where the time is.
   * Usage: runMain graft.tools.ProfileLsh [sfDir]
+  *
+  * CAVEAT: stages 1–4 are an inline REPLICA of `Dedup.lshPairs`
+  * internals, rebuilt here without the parallelism floor or the
+  * persist (so each stage's marginal cost is visible in isolation);
+  * they can drift from the operator as it evolves.  Stage 5 runs the
+  * real q17 and is the authoritative end-to-end number — trust it
+  * over the sum of the parts.
   */
 object ProfileLsh {
   def main(args: Array[String]): Unit = {

@@ -51,6 +51,31 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.length == 200 && got.forall(_._2 == 0L))
   }
 
+  test("bloom prune rejects mismatched key types loudly") {
+    // an INT-vs-BIGINT mismatch would hash apart in the bloom while
+    // the exact join casts-and-matches — silent false negatives;
+    // the operator must throw instead
+    val big = Seq((1, "x")).toDF("k", "v") // k: int
+    val small = Seq(1L).toDF("sk")         // sk: bigint
+    val e = intercept[IllegalArgumentException] {
+      Bloom.semiJoinPrune(big, "k", small, "sk")
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
+  test("salted join spreads a hot key even when payloads are identical") {
+    // every hot-key row carries the same payload — a content-derived
+    // salt would collapse to one bucket; the positional salt must not
+    val big = (1 to 400).map(_ => (7L, "same")).toDF("k", "v")
+    val small = Seq((7L, "dim7"), (8L, "dim8")).toDF("k", "label")
+    val joined = graft.ext.SkewJoin.saltedJoin(big, small, "k", 8)
+    assert(joined.count() == 400L)
+    val salts = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(salts > 1L, "positional salt must fan a hot key across buckets")
+  }
+
   test("bloom semi-join prune == exact semi join (random keys)") {
     val rnd = new scala.util.Random(31)
     val big = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt()))

@@ -58,4 +58,16 @@ class DedupSpec extends AnyFunSuite {
     val hashed = Dedup.exact(df, Seq("k1", "k2"), "id", hashKey = true)
     assert(hashed.count() == 6L)
   }
+
+  test("hash key folds -0.0 into 0.0, matching raw grouping semantics") {
+    // GROUP BY normalizes signed zero to one group; the string-cast
+    // hash path must not split it back into two survivors
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, 1.5)).toDF("id", "score")
+    val raw = Dedup.exact(df, Seq("score"), "id")
+      .collect().map(_.getLong(0)).toSet
+    val hashed = Dedup.exact(df, Seq("score"), "id", hashKey = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 3L))
+    assert(hashed == raw)
+  }
 }
