@@ -204,6 +204,17 @@ object Folds {
         s.insert(x))((a, b) => a.merge(b))(_.quantile(q)),
       org.apache.spark.sql.Encoders.product[QSketch])
 
+  /** [[approxQuantile]]'s sketch-valued sibling: keep the whole
+    * mergeable [[QSketch]] as the group result, for callers that need
+    * more than one probe of the distribution — e.g. broadcasting
+    * per-group sketches and ranking every row against its group
+    * (`rankOf`) without a per-group sort or window. */
+  def quantileSketch(capacity: Int): Fold.Aux[Double, QSketch, QSketch] =
+    Fold.withEncoder(
+      Fold[Double, QSketch, QSketch](QSketch.empty(capacity))((s, x) =>
+        s.insert(x))((a, b) => a.merge(b))(identity),
+      org.apache.spark.sql.Encoders.product[QSketch])
+
   /** HyperLogLog distinct-count sketch over PRE-HASHED 60-bit values
     * (e.g. `ColFns.h60` upstream): 2^p max-registers, merged by
     * elementwise max — associative, commutative AND idempotent, so

@@ -1340,7 +1340,60 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY w ORDER BY cnt DESC, kv) AS rn FROM c)
       |SELECT w, kv, cnt FROM r WHERE rn <= 3 ORDER BY w, kv""".stripMargin
 
+  // ---- Q64: per-source percentile rank via broadcast sketches -----------
+  // Normalizing a score to its within-group percentile usually means
+  // a percent_rank window — a full sort of every group.  The
+  // scale-safe form: one mergeable QSketch per group (single
+  // partial-agg shuffle of sketch buffers), sketches broadcast
+  // (|sources|-bounded), percentile = rankOf(score)/n as a per-row
+  // lookup.  Exact below sketch capacity (the gate's regime),
+  // ε-rank-error beyond — same contract as q43/q60.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Assign, Folds, QSketch, Reduce, Unpack}
+    import graft.engine.DatasetEngine
+    import s.implicits._
+    val scored = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.qualityColsRaw(col("text")).last)
+    val sk = DatasetEngine.run(
+      scored.select(col("source"), col("quality_score")).as[(String, Double)],
+      Unpack.none[(String, Double)],
+      Assign.of[(String, Double), String, Double](_._1)(_._2),
+      Reduce.fromFold[String, Double, QSketch](
+        Folds.quantileSketch(32768)), ordered = false)
+      .collect().toMap // |sources|-bounded driver table
+    val bc = s.sparkContext.broadcast(sk)
+    val pct = udf((src: String, q: Double) => {
+      val sketch = bc.value(src)
+      sketch.rankOf(q).toDouble / sketch.n.toDouble
+    })
+    scored
+      .select(col("doc_id"), col("source"),
+        round(pct(col("source"), col("quality_score")), 6).as("pct"))
+      .orderBy("doc_id")
+  }
+  val q64Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT doc_id, source, text, $toksSql AS toks FROM documents)),
+       |g AS (SELECT doc_id, source, stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+       |    + least(mean_tok_len / 8.0, 1.0) * 0.3 AS q FROM f),
+       |r AS (SELECT doc_id, source, q,
+       |    rank() OVER (PARTITION BY source ORDER BY q) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM g)
+       |SELECT doc_id, source, round(CAST(rk - 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_percentile_rank" -> (q64 _),
     "q63_stream_heavy_hitters" -> (q63 _),
     "q62_inverted_index" -> (q62 _),
     "q60_quality_gate" -> (q60 _),
@@ -1393,6 +1446,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q64_percentile_rank" -> q64Sql,
     "q63_stream_heavy_hitters" -> q63Sql,
     "q62_inverted_index" -> q62Sql,
     "q60_quality_gate" -> q60Sql,
