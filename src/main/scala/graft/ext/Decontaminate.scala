@@ -38,4 +38,32 @@ object Decontaminate {
     cg.join(broadcast(hg), Seq("h"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Within-corpus repeated-passage signal (exact-substring dedup at
+    * token granularity, the Lee et al. "Deduplicating Training Data"
+    * shape): for EVERY document, how many of its distinct word
+    * `n`-grams also appear in at least one other document.  Zero for
+    * clean docs; near-dup and boilerplate docs score high.
+    *
+    * Scale shape: both sides of the gram join are the SAME exploded
+    * (id, gram-hash) table — one shuffle by gram hash for the
+    * document-frequency aggregation, one for the join back, grams as
+    * 60-bit longs throughout; never an all-pairs comparison.  The
+    * df>1 filter happens before the join back, so only actually-
+    * repeated grams (a tiny fraction of a natural corpus) flow into
+    * the per-doc count. */
+  def repeatedPassages(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    def gramHashes(t: Column): Column =
+      transform(array_distinct(wordShingles(tokens(t), n)), g => h60(g))
+    val grams = Dedup.parallelized(corpus)
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("h"))
+    val docFreq = grams.groupBy("h").agg(count(lit(1)).as("docs"))
+    val dupCounts = grams.join(docFreq.where(col("docs") > 1), Seq("h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_grams"))
+    corpus.select(col(idCol)).distinct()
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
 }

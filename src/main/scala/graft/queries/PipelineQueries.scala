@@ -1392,7 +1392,37 @@ object PipelineQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Q65: within-corpus repeated passages (exact-substring dedup) -----
+  // Every doc scored by how many of its distinct word 8-grams appear
+  // in ≥ 1 other document — 0 for clean docs, high for near-dups and
+  // boilerplate.  Two gram-hash shuffles, df>1 filtered before the
+  // join back; never an all-pairs comparison.
+  private val PassageN = 8
+  def q65(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Decontaminate.repeatedPassages(
+      tbl(s, dir, "documents"), "doc_id", "text", PassageN)
+      .orderBy("doc_id")
+  val q65Sql: String = {
+    val grams = (0 until PassageN).map {
+      case 0 => "toks[i]"
+      case j => s"toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, ${h60Sql("gs")} AS h FROM
+       |    (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $PassageN
+       |       THEN list_transform(range(1, len(toks)-${PassageN - 2}), i -> $grams)
+       |       ELSE [] END)) AS gs
+       |     FROM tok)),
+       |d AS (SELECT h, count(*) AS docs FROM g GROUP BY h),
+       |c AS (SELECT doc_id, count(*) AS n_dup_grams
+       |  FROM g JOIN d USING (h) WHERE d.docs > 1 GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+       |FROM (SELECT DISTINCT doc_id FROM documents) t
+       |LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_repeated_passages" -> (q65 _),
     "q64_percentile_rank" -> (q64 _),
     "q63_stream_heavy_hitters" -> (q63 _),
     "q62_inverted_index" -> (q62 _),
@@ -1446,6 +1476,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q65_repeated_passages" -> q65Sql,
     "q64_percentile_rank" -> q64Sql,
     "q63_stream_heavy_hitters" -> q63Sql,
     "q62_inverted_index" -> q62Sql,
