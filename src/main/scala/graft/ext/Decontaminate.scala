@@ -56,14 +56,21 @@ object Decontaminate {
       n: Int = 8): DataFrame = {
     def gramHashes(t: Column): Column =
       transform(array_distinct(wordShingles(tokens(t), n)), g => h60(g))
+    // persisted: BOTH the df aggregation and the join-back read the
+    // gram table — without the persist the md5 gram pass runs twice
+    // (same reasoning as Dedup.lshPairs; release via
+    // Dedup.unpersistInputsOf on the result)
     val grams = Dedup.parallelized(corpus)
       .select(col(idCol), explode(gramHashes(col(textCol))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = grams.groupBy("h").agg(count(lit(1)).as("docs"))
     val dupCounts = grams.join(docFreq.where(col("docs") > 1), Seq("h"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_grams"))
-    corpus.select(col(idCol)).distinct()
-      .join(dupCounts, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+    Dedup.registerCleanup(
+      corpus.select(col(idCol)).distinct()
+        .join(dupCounts, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams")),
+      grams)
   }
 }
