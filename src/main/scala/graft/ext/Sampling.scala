@@ -53,6 +53,25 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < lit(math.round(fraction * SplitMod)))
   }
 
+  /** Mixture-weighted (per-group-rate) sampling — the data-mixing
+    * primitive: each row keeps with its GROUP's rate (e.g. upweight
+    * curated sources, downweight crawl), decided by the same
+    * deterministic id-hash threshold as [[sample]], so membership is
+    * reproducible across runs/engines and joinable.  Unknown groups
+    * fall back to `defaultRate`.  Per-row codegen'd scalar — zero
+    * shuffle, the rate table folds into the expression as a literal
+    * CASE. */
+  def sampleByGroupRate(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val thresh = rates.foldLeft(lit(math.round(defaultRate * SplitMod))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(math.round(r * SplitMod))).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < thresh)
+  }
+
   /** Deterministic k-per-group sample: the k rows with the smallest
     * id hashes per group (ties broken by id).  Implemented as a
     * bounded priority-queue aggregation (CollectTopK, reverse=true):

@@ -1421,7 +1421,61 @@ object PipelineQueries {
        |LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Q66: int8 scalar quantization of embeddings ----------------------
+  // Vector-store prep: per-vector symmetric scale, quantized ints
+  // pinned byte-for-byte via a joined string, and the L2
+  // reconstruction error as the audit column.  Pure per-row HOFs.
+  def q66(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Quantize.int8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_join(transform(col("qvec"), q => q.cast("string")), ",").as("qvec"),
+        round(col("recon_err"), 6).as("recon_err"))
+      .orderBy("vec_id")
+  val q66Sql: String =
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+       |  FROM n),
+       |z AS (SELECT vec_id, scale, v,
+       |    list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+       |  FROM sc)
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |  array_to_string(qv, ',') AS qvec,
+       |  round(sqrt(list_reduce(list_transform(list_zip(v, qv),
+       |    p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+       |    (a, b) -> a + b)), 6) AS recon_err
+       |FROM z ORDER BY vec_id""".stripMargin
+
+  // ---- Q67: mixture-weighted sampling (data-mixing weights) -------------
+  // Curated sources upweighted, crawl downweighted — membership via
+  // the same deterministic id-hash threshold as q44/q45, rate chosen
+  // by the row's source.  Per-row codegen'd; zero shuffle before the
+  // presentation agg.
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.5)
+  private val MixDefault = 0.1
+  def q67(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleByGroupRate(tbl(s, dir, "documents"), "source", "doc_id",
+      MixRates, MixDefault)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy("source")
+  val q67Sql: String = {
+    val cases = MixRates.toSeq.sortBy(_._1).map { case (g, r) =>
+      s"WHEN source = '$g' THEN ${math.round(r * Sampling.SplitMod)}"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, source,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |  FROM documents),
+       |k AS (SELECT doc_id, source FROM h
+       |  WHERE hb < CASE $cases ELSE ${math.round(MixDefault * Sampling.SplitMod)} END)
+       |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_quantize" -> (q66 _),
+    "q67_mixture_sample" -> (q67 _),
     "q65_repeated_passages" -> (q65 _),
     "q64_percentile_rank" -> (q64 _),
     "q63_stream_heavy_hitters" -> (q63 _),
@@ -1476,6 +1530,8 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q66_quantize" -> q66Sql,
+    "q67_mixture_sample" -> q67Sql,
     "q65_repeated_passages" -> q65Sql,
     "q64_percentile_rank" -> q64Sql,
     "q63_stream_heavy_hitters" -> q63Sql,
