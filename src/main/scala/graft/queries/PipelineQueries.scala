@@ -1473,7 +1473,34 @@ object PipelineQueries {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- Q68: the SAME session windows, STREAM-EXECUTED --------------------
+  // q48 checks session semantics on a batch frame; this executes them
+  // through the runStreamed harness (Append mode — a session emits
+  // once the watermark passes its close) and must match the identical
+  // gaps-and-islands oracle.  Completes the streamed-in-gate set:
+  // tumbling (q40), heavy-hitter fold (q63), sessions (q68).
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts2"), col("event_type"))
+      .as[(java.sql.Timestamp, String)]
+      .collect().sortBy(_._1.getTime)
+    val sentinel =
+      (new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L), "__sentinel")
+    runStreamed(s, ev.toIndexedSeq, sentinel, "q68_stream_sink",
+      Seq("ts2", "event_type")) { df =>
+      StreamingAgg.sessionAgg(df, "ts2", "0 seconds", "5 minutes",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(col("event_type"), col("session_window.start").as("sess_start"),
+          col("n"))
+    }.where(col("event_type") =!= "__sentinel")
+      .orderBy("event_type", "sess_start")
+  }
+  // identical oracle to q48: stream execution must not change results
+  val q68Sql: String = q48Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
     "q67_mixture_sample" -> (q67 _),
     "q65_repeated_passages" -> (q65 _),
@@ -1530,6 +1557,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,
     "q67_mixture_sample" -> q67Sql,
     "q65_repeated_passages" -> q65Sql,
