@@ -1499,7 +1499,60 @@ object PipelineQueries {
   // identical oracle to q48: stream execution must not change results
   val q68Sql: String = q48Sql
 
+  // ---- Q69: STREAM-STREAM interval join, executed ------------------------
+  // Two MemoryStreams (even event_ids joined to each user's odd
+  // events within the following 2 hours) fed in LOCKSTEP time
+  // quartiles — the global watermark is the min across sources, so
+  // neither side's state expires before the other side's in-bound
+  // matches arrive.  Inner joins emit on match (no sentinel needed);
+  // the watermark + interval bound is what keeps the join state
+  // bounded on unbounded streams.  Oracle = the plain batch interval
+  // join.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = tbl(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
+        col("user_id"), col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .collect().sortBy(_._1.getTime)
+    val (lrows0, rrows0) = ev.partition(_._3 % 2 == 0)
+    val inL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val inR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = StreamingAgg.intervalJoin(
+      inL.toDF().toDF("ts2", "user_id", "eid_a"), "ts2",
+      inR.toDF().toDF("ts2b", "user_id", "eid_b"), "ts2b",
+      Seq("user_id"), "0 seconds", "2 hours", "0 seconds")
+      .select(col("eid_a"), col("eid_b"))
+    val sink = "q69_stream_sink"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val t0 = ev.head._1.getTime
+      val t1 = ev.last._1.getTime
+      var lRest = lrows0
+      var rRest = rrows0
+      (1 to 4).foreach { i =>
+        val cut = t0 + (t1 - t0) * i / 4
+        val (la, lb) = lRest.partition(_._1.getTime <= cut); lRest = lb
+        val (ra, rb) = rRest.partition(_._1.getTime <= cut); rRest = rb
+        if (la.nonEmpty) inL.addData(la.toIndexedSeq)
+        if (ra.nonEmpty) inR.addData(ra.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink).orderBy("eid_a", "eid_b")
+  }
+  val q69Sql: String =
+    """SELECT a.event_id AS eid_a, b.event_id AS eid_b
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+      |ORDER BY eid_a, eid_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
     "q67_mixture_sample" -> (q67 _),
@@ -1557,6 +1610,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,
     "q67_mixture_sample" -> q67Sql,
