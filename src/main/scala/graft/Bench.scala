@@ -30,6 +30,23 @@ object Bench {
     ts.min
   }
 
+  /** 1-minute load average from /proc/loadavg (0.0 if unreadable).
+    * Stamped before/after each best-of-5 block so a reader of the
+    * JSON can tell co-scheduled machine load from a real regression
+    * without re-running (r3's driver run measured b6 at 14 s under
+    * load-avg ~10; the same binary measures 1.7 s quiet). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => 0.0 }
+
+  /** best5 plus the load average observed around the block. */
+  private def best5Loaded(f: => Unit): (Double, Double, Double) = {
+    val l0 = loadAvg()
+    val t = best5(f)
+    (t, l0, loadAvg())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,13 +86,13 @@ object Bench {
     val b2ds = spark.createDataset(ragged).repartition(8).cache()
     b2ds.count()
 
-    val b1 = best5 {
+    val b1 = best5Loaded {
       Simple.hashableMapReduce(b1ds,
         Unpack.Filter[(String, Int)](_._2 % 2 == 0),
         Assign.of[(String, Int), String, Double](_._1)(_._2.toDouble),
         Reduce.fromFold[String, Double, Double](Folds.mean)).count()
     }
-    val b2 = best5 {
+    val b2 = best5Loaded {
       Simple.hashableMapReduce(b2ds,
         Unpack.Explode[Map[String, Int], (Int, Double)] { m =>
           for { a <- m.get("A").iterator; b <- m.get("B").iterator
@@ -84,29 +101,33 @@ object Bench {
         Assign.of[(Int, Double), Int, Double](_._1)(_._2),
         Reduce.fromFold[Int, Double, Double](Folds.mean)).count()
     }
-    val b3 = best5 { RefQueries.q01(spark, sfDir).count() }
-    val b4 = best5 { RefQueries.q03(spark, sfDir).count() }
-    val b5 = best5 { RefQueries.q08(spark, sfDir).count() }
+    val b3 = best5Loaded { RefQueries.q01(spark, sfDir).count() }
+    val b4 = best5Loaded { RefQueries.q03(spark, sfDir).count() }
+    val b5 = best5Loaded { RefQueries.q08(spark, sfDir).count() }
     // B6-B8: the expensive pipeline operators (MinHash-LSH dedup,
     // n-gram Jaccard near-dup, LSH-bucketed ANN).  q17/q19 persist
     // their prep tables; clear the cache inside the timed body so
     // every iteration measures a cold operator, not a warm cache.
     import graft.queries.PipelineQueries
-    val b6 = best5 {
+    val b6 = best5Loaded {
       PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
     }
-    val b7 = best5 {
+    val b7 = best5Loaded {
       PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
     }
-    val b8 = best5 { PipelineQueries.q15b(spark, sfDir).count() }
+    val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
       "b8_q15b_ann_lsh" -> b8)
-    val qjson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = qs.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val qjson = qs.map { case (k, (v, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // per-bench [loadavg-before, loadavg-after]: a bench whose load
+    // numbers are near the core count was measured under contention
+    val ljson = qs.map { case (k, (_, l0, l1)) => s""""$k":[$l0,$l1]""" }.mkString("{", ",", "}")
+    val loadMax = qs.map { case (_, (_, l0, l1)) => math.max(l0, l1) }.max
+    val total = qs.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"load_1m":$ljson,"load_max":$loadMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

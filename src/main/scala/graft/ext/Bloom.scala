@@ -46,9 +46,12 @@ object Bloom {
     val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(fold)(
       Encoders.scalaLong, newSequenceEncoder[Vector[Long]])
     // one distributed pass over the small side's hashed keys; the
-    // result is a bounded numBits/8-byte vector on the driver
-    val bits = small.select(xxhash64(col(smallKey)).as("h"))
-      .where(col(smallKey).isNotNull)
+    // result is a bounded numBits/8-byte vector on the driver.
+    // Null-filter BEFORE projecting the key away — relying on
+    // ResolveMissingReferences to resurrect a pruned column works but
+    // is rule-order fragile.
+    val bits = small.where(col(smallKey).isNotNull)
+      .select(xxhash64(col(smallKey)).as("h"))
       .agg(bloomUdaf(col("h")).as("bloom"))
       .head().getSeq[Long](0).toArray
     val bc = spark.sparkContext.broadcast(bits)
@@ -56,9 +59,14 @@ object Bloom {
       Folds.bloomContains(bc.value, numHashes, h))
     // no .distinct() on the right side: left-semi semantics are
     // unaffected by duplicate keys, and deduping would add a full
-    // extra exchange of the key set for zero semantic effect
+    // extra exchange of the key set for zero semantic effect.
+    // The right side is renamed to a fresh column name so the join
+    // condition stays unambiguous even when `big` and `small` are the
+    // same DataFrame (self-join) — `big(bigKey) === small(smallKey)`
+    // would otherwise resolve both sides to one attribute.
+    val rightKey = s"__graft_semi_$smallKey"
     big.where(mightContain(xxhash64(col(bigKey))))
-      .join(small.select(col(smallKey)),
-        big(bigKey) === small(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as(rightKey)),
+        col(bigKey) === col(rightKey), "left_semi")
   }
 }

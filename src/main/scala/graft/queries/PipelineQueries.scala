@@ -1244,9 +1244,11 @@ object PipelineQueries {
 
   // ---- Q61: salted equi-join (join-side skew lever) ---------------------
   // l_returnflag has 3 values over ~60k rows — the textbook hot-key
-  // join.  The salted join splits each key into 8 sub-keys (salt
-  // derived from the row's other columns, so placement is
-  // deterministic), replicates the 3-row dim 8×, and joins on
+  // join.  The salted join splits each key into 8 sub-keys (positional
+  // salt, `monotonically_increasing_id % buckets` — a content hash
+  // would collapse hot keys with identical payloads onto one bucket;
+  // position spreads them regardless), replicates the 3-row dim 8×,
+  // and joins on
   // (key, salt); `.hint("merge")` models the small-side-too-big-to-
   // broadcast case the operator exists for.  Result is row-identical
   // to the plain join — which is exactly what the oracle runs.
@@ -1307,25 +1309,34 @@ object PipelineQueries {
   // the fold vocabulary composes with real streaming execution, not
   // just batch frames.  Capacity 128 ≥ the 100 distinct k values → the
   // exact regime, so the oracle is plain per-window counts; top-3 per
-  // window by (cnt desc, k) for bounded output.
+  // window by (cnt desc, k) for bounded output.  The watermark-closing
+  // sentinel carries a DEDICATED marker column (grouped separately,
+  // filtered after — the q40/q68 pattern) rather than reserving a
+  // value in the kv domain, so a legitimate kv = -1 event would
+  // survive; rows with a missing/null `$.k` are filtered explicitly
+  // on BOTH sides (the non-nullable Long encoder would otherwise
+  // crash the feed).
   def q63(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Folds
     import s.implicits._
     val ev = tbl(s, dir, "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
         get_json_object(col("props"), "$.k").cast("long").as("kv"))
-      .as[(java.sql.Timestamp, Long)]
+      .where(col("kv").isNotNull)
+      .withColumn("sent", lit(false))
+      .as[(java.sql.Timestamp, Long, Boolean)]
       .collect().sortBy(_._1.getTime)
     val mg = StreamingAgg.foldUdaf(Folds.heavyHitters[Long](128))(
       Encoders.scalaLong, newMapEncoder[Map[Long, Long]])
     val sentinel =
-      (new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L), -1L)
+      (new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L), 0L, true)
     runStreamed(s, ev.toIndexedSeq, sentinel, "q63_stream_sink",
-      Seq("ts2", "kv")) { df =>
+      Seq("ts2", "kv", "sent")) { df =>
       StreamingAgg.windowedAgg(df, "ts2", "0 seconds", "6 hours",
-        Seq.empty, Seq(mg(col("kv")).as("hh")))
-        .select(col("window.start").as("w"), explode(col("hh")).as(Seq("kv", "cnt")))
-    }.where(col("kv") =!= -1L)
+        Seq(col("sent")), Seq(mg(col("kv")).as("hh")))
+        .select(col("window.start").as("w"), col("sent"),
+          explode(col("hh")).as(Seq("kv", "cnt")))
+    }.where(!col("sent")).drop("sent")
       .withColumn("rn", row_number().over(
         Window.partitionBy("w").orderBy(col("cnt").desc, col("kv").asc)))
       .where(col("rn") <= 3).drop("rn")
@@ -1334,7 +1345,7 @@ object PipelineQueries {
   val q63Sql: String =
     """WITH b AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS w,
       |    CAST(json_extract(props, '$.k') AS BIGINT) AS kv
-      |  FROM events),
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
       |c AS (SELECT w, kv, count(*) AS cnt FROM b GROUP BY w, kv),
       |r AS (SELECT w, kv, cnt,
       |    row_number() OVER (PARTITION BY w ORDER BY cnt DESC, kv) AS rn FROM c)

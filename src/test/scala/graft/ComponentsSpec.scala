@@ -88,4 +88,14 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got == expected)
   }
+
+  test("bloom prune is self-join safe (big and small the same frame)") {
+    // big(bigKey) === small(smallKey) resolves BOTH sides to one
+    // attribute when the frames are identical — the renamed right-side
+    // key keeps the condition unambiguous
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val got = Bloom.semiJoinPrune(df, "k", df, "k", numBits = 1024,
+      numHashes = 3).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
 }
