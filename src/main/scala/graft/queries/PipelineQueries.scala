@@ -358,20 +358,35 @@ object PipelineQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
-  // ---- Q29: multimodal plumbing (binary columns, stub codec) ------------
-  // No SQL oracle (binary feature extraction isn't SQL-expressible);
-  // the driver records a rows-only check.  Exercises the full media
-  // path: synthetic binary table → batch feature extraction →
-  // frame-sampling explode.
-  def q29(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, dir)
-    val nFeat = Multimodal.withFeatures(media)
-      .where(size(col("features")) === Multimodal.FeatureDim)
-      .agg(count(lit(1)).as("n_media"))
-    val nFrames = Multimodal.sampleFrames(media, 3)
-      .agg(count(lit(1)).as("n_frames"))
-    nFeat.crossJoin(nFrames)
-  }
+  // ---- Q29: multimodal REAL codec round trip, hash-checked --------------
+  // The synthetic corpus images are genuine grayscale PNGs (ImageIO
+  // encode) whose pixels follow a closed-form formula of the document
+  // row; decode (ImageIO read) recovers width/height/channels/luma
+  // from the RASTER, and DuckDB replays the same formula with
+  // generate_series — so a real binary codec gets a full SQL oracle.
+  // sum_luma is an exact integer (zero float risk); mean_luma rounds
+  // at 6 decimals like every other float column in the gate.
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withImageStats(Multimodal.syntheticMedia(s, dir))
+      .select(col("media_id"),
+        col("width_px").cast("long").as("width_px"),
+        col("height_px").cast("long").as("height_px"),
+        col("channels").cast("long").as("channels"),
+        col("sum_luma"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy("media_id")
+  val q29Sql: String =
+    """WITH dims AS (SELECT doc_id, (length(text) % 13) + 4 AS w,
+      |    (length(text) % 11) + 4 AS h FROM documents),
+      |xs AS (SELECT g FROM generate_series(0, 15) t(g)),
+      |px AS (SELECT d.doc_id, d.w, d.h,
+      |    CAST((d.doc_id*31 + x.g*7 + y.g*13) % 256 AS DOUBLE) AS v
+      |  FROM dims d CROSS JOIN xs x CROSS JOIN xs y
+      |  WHERE x.g < d.w AND y.g < d.h)
+      |SELECT doc_id AS media_id, CAST(max(w) AS BIGINT) AS width_px,
+      |  CAST(max(h) AS BIGINT) AS height_px, CAST(1 AS BIGINT) AS channels,
+      |  CAST(sum(v) AS BIGINT) AS sum_luma, round(avg(v), 6) AS mean_luma
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   // ---- Q30: event-time windowed aggregation (streaming surface on batch) -
   // `ts` arrives as raw nanos (nanosAsLong); integer-divide to micros
@@ -449,11 +464,10 @@ object PipelineQueries {
       | round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  // ---- Q42: multimodal metadata aggregation (the oracle-checkable half) --
+  // ---- Q42: multimodal metadata aggregation (no bytes touched) ----------
   // Metadata lives beside the bytes; this aggregates meta WITHOUT
-  // touching content (parquet/column pruning — proven in
-  // MultimodalSpec), and is SQL-expressible, so the codec stub stays
-  // the only rows-only surface (q29).
+  // decoding content (column pruning — proven in MultimodalSpec).
+  // Dimension formulas match Multimodal.syntheticMedia's PNG builder.
   def q42(s: SparkSession, dir: String): DataFrame =
     Multimodal.syntheticMedia(s, dir)
       .groupBy(col("meta.kind").as("kind"))
@@ -463,8 +477,8 @@ object PipelineQueries {
       .orderBy("kind")
   val q42Sql: String =
     """SELECT 'image' AS kind, count(*) AS n_media,
-      | CAST(sum(length(text) % 640) AS BIGINT) AS sum_w,
-      | CAST(sum(length(text) % 480) AS BIGINT) AS sum_h
+      | CAST(sum((length(text) % 13) + 4) AS BIGINT) AS sum_w,
+      | CAST(sum((length(text) % 11) + 4) AS BIGINT) AS sum_h
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
   // ---- Q43: approximate-quantile sketch fold (q12's scale-safe twin) ----
@@ -1621,6 +1635,7 @@ object PipelineQueries {
     "q28_rollup" -> (q28 _))
 
   val oracles: Map[String, String] = Map(
+    "q29_multimodal" -> q29Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,

