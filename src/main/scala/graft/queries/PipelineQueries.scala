@@ -415,6 +415,27 @@ object PipelineQueries {
     * driver-side batches by design; the aggregation under test is
     * fully distributed, and a production pipeline reads from a real
     * streaming source instead. */
+  /** runStreamed variant for stateful operators that emit on data
+    * (flatMapGroupsWithState Append / mapGroupsWithState Update)
+    * rather than on watermark passage — no closing sentinel needed,
+    * and the output mode is the operator's. */
+  private def runStreamedMode[A <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, rows: Seq[A], sinkName: String,
+      colNames: Seq[String], mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[A]
+    val agg = build(in.toDF().toDF(colNames: _*))
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sinkName)
+  }
+
   private def runStreamed[A <: Product : org.apache.spark.sql.Encoder](
       s: SparkSession, rows: Seq[A], sentinel: A, sinkName: String,
       colNames: Seq[String])(build: DataFrame => DataFrame): DataFrame = {
@@ -1576,7 +1597,84 @@ object PipelineQueries {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
       |ORDER BY eid_a, eid_b""".stripMargin
 
+  // ---- Q70: STATEFUL streaming exact-dedup (explicit state store) -------
+  // The general state-store primitive the windowed/session queries
+  // don't exercise: flatMapGroupsWithState with per-key TTL'd state
+  // (StreamingAgg.statefulDedupFirst), emitting each key's first
+  // occurrence.  The feed is sorted by (ts, value) so the emission is
+  // the global min per key — exactly what the batch oracle computes.
+  // TTL is effectively infinite here (nothing may expire mid-gate);
+  // expiry behavior is exercised in StreamingSpec.
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
+        timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+      .where(col("kv").isNotNull)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    runStreamedMode(s, ev.toIndexedSeq, "q70_stream_sink",
+      Seq("_1", "_2", "_3"), "append") { df =>
+      StreamingAgg.statefulDedupFirst(
+        df.as[(Long, java.sql.Timestamp, Double)],
+        watermarkDelay = "0 seconds", ttlMs = Long.MaxValue / 4)
+        .toDF("kv", "first_ts", "first_value")
+    }
+      .select(col("kv"), unix_millis(col("first_ts")).as("first_ms"),
+        round(col("first_value"), 6).as("first_value"))
+      .orderBy("kv")
+  }
+  val q70Sql: String =
+    """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS kv,
+      |    ts, value FROM events
+      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |r AS (SELECT kv, ts, value,
+      |    row_number() OVER (PARTITION BY kv ORDER BY ts, value) AS rn FROM e)
+      |SELECT kv, epoch_ms(ts) AS first_ms, round(value, 6) AS first_value
+      |FROM r WHERE rn = 1 ORDER BY kv""".stripMargin
+
+  // ---- Q71: per-key RUNNING fold emission (mapGroupsWithState) ----------
+  // StreamingAgg.runningFold holds the mergeable fold buffer as keyed
+  // state and emits the current done(buffer) per key on every trigger
+  // (Update mode).  The sink accumulates one row per (key, trigger);
+  // the LAST emission per key (max running count — count strictly
+  // grows each time a key appears) must equal the batch fold, which
+  // is what the oracle computes.  count/min/max are order-independent
+  // and float-exact, so the snapshot hash-matches.
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Folds
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
+        timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+      .where(col("kv").isNotNull)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+      .map(r => (r._1, r._3))
+    val fold = Folds.count[Double].zip(Folds.min[Double]).zip(Folds.max[Double])
+    runStreamedMode(s, ev.toIndexedSeq, "q71_stream_sink",
+      Seq("_1", "_2"), "update") { df =>
+      StreamingAgg.runningFold(df.as[(Long, Double)], fold)
+        .map { case (k, ((n, mn), mx)) => (k, n, mn.get, mx.get) }
+        .toDF("kv", "n", "min_v", "max_v")
+    }
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("kv").orderBy(col("n").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .select(col("kv"), col("n"),
+        round(col("min_v"), 6).as("min_v"), round(col("max_v"), 6).as("max_v"))
+      .orderBy("kv")
+  }
+  val q71Sql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS kv,
+      |  count(*) AS n, round(min(value), 6) AS min_v,
+      |  round(max(value), 6) AS max_v
+      |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |GROUP BY kv ORDER BY kv""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_stateful_dedup" -> (q70 _),
+    "q71_running_fold" -> (q71 _),
     "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
@@ -1636,6 +1734,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal" -> q29Sql,
+    "q70_stateful_dedup" -> q70Sql,
+    "q71_running_fold" -> q71Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,

@@ -74,6 +74,57 @@ object StreamingAgg {
       }
   }
 
+  /** Streaming exact-dedup via EXPLICIT keyed state — the general
+    * state-store primitive ([[dedupStream]] wraps Spark's built-in
+    * `dropDuplicatesWithinWatermark`; this one owns the state machine,
+    * the shape any custom streaming-state operator follows).
+    *
+    * Emits the FIRST occurrence per key — min (event time, value) —
+    * and thereafter suppresses the key.  Per-key state is ONE long
+    * (the first-seen event time) and expires via `EventTimeTimeout`
+    * once the watermark passes firstSeen + ttlMs: a duplicate arriving
+    * after expiry is treated as new and re-emitted — the price of
+    * bounded state on an unbounded stream, same contract as
+    * [[dedupStream]].  Input rows are (key, eventTime, value); the
+    * watermark is applied here on the event-time field.
+    *
+    * Determinism note (gate-relevant): the emitted row is the min
+    * (time, value) WITHIN the microbatches seen before later rows of
+    * that key — a feed sorted by (time, value) makes it the global
+    * min, which is what the batch oracle computes. */
+  def statefulDedupFirst[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
+      watermarkDelay: String, ttlMs: Long)(
+      implicit ek: Encoder[K], eo: Encoder[(K, java.sql.Timestamp, V)],
+      ordV: Ordering[V]): Dataset[(K, java.sql.Timestamp, V)] = {
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    ds.withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, java.sql.Timestamp, V)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[(K, java.sql.Timestamp, V)], state: GroupState[Long]) =>
+          // a key with BOTH timed-out state and new data in one batch
+          // arrives with hasTimedOut = false — the TTL must also be
+          // checked manually on the data path, or the first batch
+          // after expiry would still be suppressed
+          val lapsed = state.getOption.exists(firstSeen =>
+            state.getCurrentWatermarkMs > firstSeen + ttlMs)
+          if (state.hasTimedOut || (lapsed && !rows.hasNext)) {
+            state.remove(); Iterator.empty
+          } else if (state.exists && !lapsed) Iterator.empty // emitted this era
+          else {
+            if (lapsed) state.remove() // new era for this key
+            val first = rows.minBy(r => (r._2.getTime, r._3))
+            state.update(first._2.getTime)
+            // timeout must sit above the current watermark or Spark
+            // rejects it — a TTL already passed collapses to "expire
+            // at the next trigger"
+            state.setTimeoutTimestamp(math.max(first._2.getTime + ttlMs,
+              state.getCurrentWatermarkMs + 1))
+            Iterator.single(first)
+          }
+      }
+  }
+
   /** Streaming dedup ON THE KEY COLUMNS ALONE (a duplicate key
     * arriving with a different event time is still dropped), with
     * state bounded by the watermark.  The guarantee is

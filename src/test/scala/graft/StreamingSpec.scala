@@ -118,6 +118,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulDedupFirst emits first occurrence, suppresses dups, re-emits after TTL") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = StreamingAgg.statefulDedupFirst(
+      in.toDS(), watermarkDelay = "0 seconds", ttlMs = 60 * 1000L)
+      .toDF("k", "ts", "v")
+    val q = StreamingAgg.toMemorySink(out, "sdedup_sink", OutputMode.Append)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: first occurrence of 'a' (min (ts, v) within the batch)
+      in.addData(("a", t("2026-01-01 00:00:00"), 2L),
+        ("a", t("2026-01-01 00:00:00"), 1L),
+        ("a", t("2026-01-01 00:00:05"), 0L))
+      q.processAllAvailable()
+      // batch 2: duplicate inside the TTL era — suppressed; advance
+      // the watermark past firstSeen + 60s so the state times out
+      in.addData(("a", t("2026-01-01 00:00:30"), 9L),
+        ("b", t("2026-01-01 00:02:00"), 7L))
+      q.processAllAvailable()
+      // batch 3: trigger with data so timed-out state is collected,
+      // then 'a' arrives again — a NEW era, so it re-emits
+      in.addData(("a", t("2026-01-01 00:02:30"), 5L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM sdedup_sink ORDER BY k, v")
+        .as[(String, Long)].collect().toList
+      assert(rows == List(("a", 1L), ("a", 5L), ("b", 7L)),
+        s"got $rows: first-by-(ts,v) for 'a' era 1, re-emit after TTL, 'b' once")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
