@@ -1672,9 +1672,33 @@ object PipelineQueries {
       |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY kv ORDER BY kv""".stripMargin
 
+  // ---- Q72: INCREMENTAL dedup index (persisted bands + shingles) --------
+  // The production shape for a continuously-ingested corpus: the first
+  // 400 docs are written once as a bucketed LSH index (bands bucketed
+  // by bh — the probe side never reshuffles it; shingles bucketed by
+  // id); the 100-doc "new batch" then joins the STORED bands instead
+  // of recomputing the corpus.  The oracle is the full-corpus LSH
+  // rerun restricted to pairs involving the batch — deterministic
+  // signatures make the two partitions identical.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 400), "doc_id", "text",
+      "q72_lsh_idx")
+    Dedup.lshPairsAgainstIndex(docs.where(col("doc_id") >= 400), "doc_id",
+      "text", "q72_lsh_idx")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+  val q72Sql: String =
+    s"""WITH $lshPairsCtes
+       |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
+       |WHERE id_a >= 400 OR id_b >= 400
+       |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stateful_dedup" -> (q70 _),
     "q71_running_fold" -> (q71 _),
+    "q72_incremental_index" -> (q72 _),
     "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
@@ -1736,6 +1760,7 @@ object PipelineQueries {
     "q29_multimodal" -> q29Sql,
     "q70_stateful_dedup" -> q70Sql,
     "q71_running_fold" -> q71Sql,
+    "q72_incremental_index" -> q72Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.Dedup
+import org.apache.spark.sql.functions.{col, round}
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -69,5 +70,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(raw == Set(1L, 3L))
     assert(hashed == raw)
+  }
+
+  test("incremental index pairs == full-corpus rerun restricted to the batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cut = 400L
+    Dedup.writeLshIndex(docs.where(col("doc_id") < cut), "doc_id", "text",
+      "dedupspec_idx", buckets = 4)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = norm(Dedup.lshPairsAgainstIndex(
+      docs.where(col("doc_id") >= cut), "doc_id", "text", "dedupspec_idx"))
+    val full = norm(Dedup.lshPairs(docs, "doc_id", "text")
+      .where(col("id_a") >= cut || col("id_b") >= cut))
+    assert(incremental == full,
+      s"incremental ${incremental.size} pairs vs full-restricted ${full.size}")
+    // appending the batch makes the index whole: a further empty batch
+    // against it finds nothing new
+    Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut), "doc_id", "text",
+      "dedupspec_idx", buckets = 4)
+    assert(spark.table("dedupspec_idx_shingles").count() == docs.count())
   }
 }
