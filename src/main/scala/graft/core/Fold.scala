@@ -78,8 +78,12 @@ trait Fold[A, B] extends Serializable { self =>
 object Fold {
   type Aux[A, S, B] = Fold[A, B] { type Buf = S }
 
-  /** Build a fold from its four pieces. */
-  def apply[A, S, B](z: S)(st: (S, A) => S)(mg: (S, S) => S)(
+  /** Build a fold from its four pieces.  `z` is BY-NAME and
+    * re-evaluated on every `init` call: folds with mutable buffers
+    * (e.g. [[Folds.bloom]]'s in-place `Array[Long]`) get a FRESH
+    * instance per group — a shared instance would alias every group
+    * in a partition.  Immutable buffers are unaffected. */
+  def apply[A, S, B](z: => S)(st: (S, A) => S)(mg: (S, S) => S)(
       dn: S => B): Aux[A, S, B] =
     new Fold[A, B] {
       type Buf = S
@@ -90,7 +94,7 @@ object Fold {
     }
 
   /** Monoid fold: init=empty, step=combine, merge=combine. */
-  def monoid[A](empty: A)(combine: (A, A) => A): Aux[A, A, A] =
+  def monoid[A](empty: => A)(combine: (A, A) => A): Aux[A, A, A] =
     apply(empty)(combine)(combine)(identity)
 
   /** Attach a Catalyst buffer encoder (see [[Fold.bufEncoder]]). */
@@ -110,6 +114,13 @@ object Fold {
   * sum, mean, count, min, max, list, plus premap/map/zip algebra. */
 object Folds {
   private val E = org.apache.spark.sql.Encoders
+
+  /** Native Catalyst encoder for array/map buffer types `Encoders`
+    * has no factory for — partial aggregation buffers cross the
+    * shuffle as codegen'd unsafe rows instead of Kryo blobs. */
+  private def catalystEnc[T: scala.reflect.runtime.universe.TypeTag]
+      : org.apache.spark.sql.Encoder[T] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
 
   def sum[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
     Fold.monoid(n.zero)(n.plus)
@@ -223,18 +234,28 @@ object Folds {
     * linear-counting small-range correction.  Memory: 2^p ints per
     * group regardless of cardinality — the distinct-count analog of
     * [[approxQuantile]]. */
-  def hll(p: Int): Fold.Aux[Long, Vector[Int], Double] = {
+  def hll(p: Int): Fold.Aux[Long, Array[Int], Double] = {
     require(p >= 4 && p <= 16, s"hll precision must be in [4,16], got $p")
     val m = 1 << p
     val width = 60 - p
+    // buffer = plain Array[Int], mutated IN PLACE in step (safe: init
+    // is by-name → fresh per group; the Aggregator bridge's buffer
+    // objects are group-private).  merge stays PURE — fresh output,
+    // inputs untouched — so law-spec reuse and the engine's
+    // merge-as-step stages see value semantics.  The array encoder
+    // keeps partial buffers codegen'd across the shuffle (no Kryo).
     Fold.withEncoder(
-      Fold[Long, Vector[Int], Double](Vector.fill(m)(0)) { (s, h) =>
+      Fold[Long, Array[Int], Double](new Array[Int](m)) { (s, h) =>
         val b = (h & (m - 1)).toInt
         val w = h >>> p
         val r = width + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-        if (r > s(b)) s.updated(b, r) else s
+        if (r > s(b)) s(b) = r
+        s
       } { (x, y) =>
-        x.lazyZip(y).map(math.max).toVector
+        val out = new Array[Int](m)
+        var i = 0
+        while (i < m) { out(i) = math.max(x(i), y(i)); i += 1 }
+        out
       } { regs =>
         // Flajolet et al. bias-correction constants: the closed form
         // 0.7213/(1+1.079/m) is the asymptotic value, standard only
@@ -250,7 +271,7 @@ object Folds {
         val zeros = regs.count(_ == 0)
         if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
       },
-      E.kryo[Vector[Int]])
+      catalystEnc[Array[Int]])
   }
 
   /** Top-k by the given ordering, largest first — bounded-size merge
@@ -306,8 +327,15 @@ object Folds {
     * their exact undercounts) can vary with Spark's reduce-side merge
     * order — inherent to merged MG summaries; size capacity with
     * headroom when stable key sets matter. */
-  def heavyHitters[A](capacity: Int): Fold.Aux[A, Map[A, Long], Map[A, Long]] = {
+  def heavyHitters[A: scala.reflect.runtime.universe.TypeTag](
+      capacity: Int): Fold.Aux[A, Map[A, Long], Map[A, Long]] = {
     require(capacity > 0, s"heavyHitters needs capacity > 0, got $capacity")
+    // buffer stays an immutable Map: the hot below-capacity path is a
+    // single-node `updated`, and value semantics keep the merge-law
+    // spec and merge-as-step engine stages correct for free; the
+    // decrement/rebase paths that rebuild the map run at most once
+    // per capacity-exceeded step — sublinear churn.  The TypeTag
+    // buys a native map encoder instead of Kryo.
     Fold.withEncoder(
       Fold[A, Map[A, Long], Map[A, Long]](Map.empty[A, Long]) { (s, a) =>
         s.get(a) match {
@@ -330,7 +358,7 @@ object Folds {
           }.toMap
         }
       } (identity),
-      E.kryo[Map[A, Long]])
+      catalystEnc[Map[A, Long]])
   }
 
   /** Bloom-filter fold over PRE-HASHED 64-bit values (e.g.
@@ -341,25 +369,33 @@ object Folds {
     * retry-safe.  No false negatives ever; false-positive rate ≈
     * (1-e^(-kn/m))^k.  Use with [[Folds.bloomContains]] for the probe
     * side (same probe derivation by construction). */
-  def bloom(numBits: Int, numHashes: Int): Fold.Aux[Long, Vector[Long], Vector[Long]] = {
+  def bloom(numBits: Int, numHashes: Int): Fold.Aux[Long, Array[Long], Vector[Long]] = {
     require(numBits > 0 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64, got $numBits")
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val words = numBits / 64
+    // buffer = Array[Long] mutated IN PLACE: the old persistent-Vector
+    // buffer copied an O(log) node path per probe per row — ~100
+    // words copied where the filter build needs 5 bit-sets.  Safe
+    // because init is by-name (fresh array per group) and merge is
+    // PURE (fresh output); done converts to Vector once per group, so
+    // callers keep value semantics. */
     Fold.withEncoder(
-      Fold[Long, Vector[Long], Vector[Long]](Vector.fill(words)(0L)) { (s, h) =>
-        var v = s
+      Fold[Long, Array[Long], Vector[Long]](new Array[Long](words)) { (s, h) =>
         var i = 0
         while (i < numHashes) {
           val pos = bloomPos(h, i, numBits)
-          v = v.updated(pos >>> 6, v(pos >>> 6) | (1L << (pos & 63)))
+          s(pos >>> 6) |= 1L << (pos & 63)
           i += 1
         }
-        v
+        s
       } { (x, y) =>
-        x.lazyZip(y).map(_ | _).toVector
-      } (identity),
-      E.kryo[Vector[Long]])
+        val out = new Array[Long](words)
+        var i = 0
+        while (i < words) { out(i) = x(i) | y(i); i += 1 }
+        out
+      } (_.toVector),
+      catalystEnc[Array[Long]])
   }
 
   /** Probe a [[bloom]] bitset: true if `h` may have been inserted

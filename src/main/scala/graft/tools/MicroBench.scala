@@ -34,6 +34,20 @@ object MicroBench {
       lit(0.0), (acc, x) => acc + x)
     time("hof_dot   ")(vecs.select(sum(hof)).collect())
     time("native_dot")(vecs.select(sum(ColFns.dotD(col("v"), col("v")))).collect())
+
+    // bloom build pass: n inserts into a 2^20-bit filter (the
+    // Bloom.semiJoinPrune build side) — r4 swapped the persistent
+    // Vector buffer for an in-place Array (was ~100 words copied per
+    // probe; now 1 |= per probe)
+    {
+      import spark.implicits._
+      val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(
+        graft.core.Folds.bloom(1 << 20, 5))(
+        org.apache.spark.sql.Encoders.scalaLong, implicitly)
+      val keys = spark.range(n).select(xxhash64(col("id")).as("h")).cache()
+      keys.count()
+      time("bloom_build")(keys.agg(bloomUdaf(col("h"))).collect())
+    }
     spark.stop()
   }
 }

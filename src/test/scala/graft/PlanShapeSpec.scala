@@ -109,4 +109,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), "no full shuffle join for a broadcastable dim")
   }
+
+  test("sketch folds carry native (non-Kryo) buffer encoders") {
+    // a Kryo encoder's schema is a single BinaryType blob; native
+    // array/map buffers cross the shuffle as codegen'd unsafe rows
+    import graft.core.Folds
+    import org.apache.spark.sql.types.BinaryType
+    def bufferSchemaOf(f: graft.core.Fold[_, _]) = f.bufEncoder.get.schema
+    for ((name, f) <- Seq(
+        "hll" -> Folds.hll(10),
+        "heavyHitters" -> Folds.heavyHitters[Long](16),
+        "bloom" -> Folds.bloom(1024, 5),
+        "quantileSketch" -> Folds.quantileSketch(64))) {
+      val s = bufferSchemaOf(f)
+      assert(!s.fields.forall(_.dataType == BinaryType),
+        s"$name buffer must not serialize as an opaque binary blob: $s")
+    }
+  }
 }
