@@ -37,15 +37,27 @@ object Components {
     * through `edges` (undirected); isolated nodes label themselves.
     * Ids must be a single orderable numeric/string column.  Output:
     * (`nodeCol`, "component"), one row per distinct node. */
+  /** @param checkpointDir when set, per-round lineage cuts use
+    *   RELIABLE `checkpoint()` into this directory instead of
+    *   `localCheckpoint()` — the durable choice on a real cluster,
+    *   where a localCheckpoint dies with its executor and would force
+    *   a full job restart; local mode and tests default to the
+    *   cheaper executor-local form. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      nodes: DataFrame, nodeCol: String, maxIter: Int = 50): DataFrame = {
+      nodes: DataFrame, nodeCol: String, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be > 0, got $maxIter")
-    var cur = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint()
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    var cur = cut(canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))))
     var converged = cur.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = cut(smallStar(largeStar(cur)))
       // star-graph fixed point reached ⇔ the edge set stops changing;
       // counts first (cheap), set-difference only on count equality
       converged = next.count() == cur.count() && next.except(cur).isEmpty

@@ -24,19 +24,39 @@ object Decontaminate {
     * holdout document: (idCol, n_shared), only documents with ≥ 1
     * shared gram.  Callers exclude the holdout itself from `corpus`
     * (or every holdout doc trivially flags itself). */
+  /** Broadcast guard: the distinct holdout gram table is persisted
+    * and counted first; above `maxBroadcastGrams` the map-side
+    * broadcast join falls back to [[Bloom.semiJoinPrune]] (bitset
+    * prune + exact shuffle semi-join — same rows, bounded driver
+    * memory) with a logged note.  Release the persisted gram table
+    * via [[Dedup.unpersistInputsOf]] on the result. */
   def overlap(corpus: DataFrame, holdout: DataFrame, idCol: String,
-      textCol: String, n: Int = 5): DataFrame = {
+      textCol: String, n: Int = 5,
+      maxBroadcastGrams: Long = 20000000L): DataFrame = {
     def gramHashes(t: Column): Column =
       transform(array_distinct(wordShingles(tokens(t), n)), g => h60(g))
     val hg = holdout
       .select(explode(gramHashes(col(textCol))).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = hg.count()
     // same parallelism floor as the dedup preps: the per-row md5 pass
     // must not serialize on a few input splits
     val cg = Dedup.parallelized(corpus)
       .select(col(idCol), explode(gramHashes(col(textCol))).as("h"))
-    cg.join(broadcast(hg), Seq("h"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    // hg is DISTINCT, so inner join ≡ semi join on membership — both
+    // branches keep exactly the corpus grams present in the holdout
+    val matched =
+      if (nGrams <= maxBroadcastGrams) cg.join(broadcast(hg), Seq("h"))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Decontaminate.overlap: $nGrams holdout grams exceed " +
+            s"maxBroadcastGrams=$maxBroadcastGrams — bloom-prune + " +
+            "shuffle semi-join fallback")
+        Bloom.semiJoinPrune(cg, "h", hg, "h")
+      }
+    Dedup.registerCleanup(
+      matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_shared")), hg)
   }
 
   /** Within-corpus repeated-passage signal (exact-substring dedup at

@@ -78,9 +78,18 @@ object Sampling {
     * map-side partials hold ≤ k ids, the shuffle carries
     * O(groups × k), and the picked ids broadcast back as a semi-join
     * — never a per-group window sort, never a shuffle of the full
-    * rows.  The evaluation-set constructor for a 100 TB corpus. */
+    * rows.  The evaluation-set constructor for a 100 TB corpus.
+    *
+    * Broadcast guard: the pick table is |groups| × k rows — tiny for
+    * human-scale group counts, but nothing stops a caller keying on a
+    * high-cardinality column.  The pick table is persisted and
+    * counted (one cheap extra job over the already-aggregated picks);
+    * above `maxBroadcastPicks` the semi-join falls back to a shuffle
+    * join with a logged note instead of OOMing the driver.  Release
+    * the persisted picks via [[Dedup.unpersistInputsOf]] on the
+    * result. */
   def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxBroadcastPicks: Long = 4000000L): DataFrame = {
     val h = h60(col(idCol).cast("string"))
     val picks = df
       .groupBy(groupCols.map(col): _*)
@@ -89,6 +98,17 @@ object Sampling {
         .as("top"))
       .select(groupCols.map(col) :+ explode(col("top")).as("p"): _*)
       .select(groupCols.map(col) :+ col("p.id").as(idCol): _*)
-    df.join(broadcast(picks), groupCols :+ idCol, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPicks = picks.count()
+    val picksSide =
+      if (nPicks <= maxBroadcastPicks) broadcast(picks)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"samplePerGroup: $nPicks picks exceed maxBroadcastPicks=" +
+            s"$maxBroadcastPicks — falling back to a shuffle semi-join")
+        picks
+      }
+    Dedup.registerCleanup(
+      df.join(picksSide, groupCols :+ idCol, "left_semi"), picks)
   }
 }

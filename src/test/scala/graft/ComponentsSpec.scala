@@ -89,6 +89,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("reliable-checkpoint path labels identically to localCheckpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val nodes = (1L to 3L) ++ Seq(10L, 11L, 20L, 30L)
+    val nodesDf = nodes.toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def run(ckpt: Option[String]) =
+      Components.connectedComponents(edges, "a", "b", nodesDf, "id",
+        checkpointDir = ckpt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Some(dir)) == run(None))
+    // the durable path must actually have written checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "reliable checkpoint wrote nothing")
+  }
+
   test("bloom prune is self-join safe (big and small the same frame)") {
     // big(bigKey) === small(smallKey) resolves BOTH sides to one
     // attribute when the frames are identical — the renamed right-side
