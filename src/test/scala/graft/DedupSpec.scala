@@ -74,22 +74,39 @@ class DedupSpec extends AnyFunSuite {
 
   test("incremental index pairs == full-corpus rerun restricted to the batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val cut = 400L
-    Dedup.writeLshIndex(docs.where(col("doc_id") < cut), "doc_id", "text",
-      "dedupspec_idx", buckets = 4)
+    val (cut1, cut2) = (300L, 400L)
     def norm(df: org.apache.spark.sql.DataFrame) = df
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val incremental = norm(Dedup.lshPairsAgainstIndex(
-      docs.where(col("doc_id") >= cut), "doc_id", "text", "dedupspec_idx"))
-    val full = norm(Dedup.lshPairs(docs, "doc_id", "text")
-      .where(col("id_a") >= cut || col("id_b") >= cut))
-    assert(incremental == full,
-      s"incremental ${incremental.size} pairs vs full-restricted ${full.size}")
-    // appending the batch makes the index whole: a further empty batch
-    // against it finds nothing new
-    Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut), "doc_id", "text",
-      "dedupspec_idx", buckets = 4)
-    assert(spark.table("dedupspec_idx_shingles").count() == docs.count())
+    val full = Dedup.lshPairs(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.writeLshIndex(docs.where(col("doc_id") < cut1), "doc_id", "text",
+        "dedupspec_idx", buckets = 4)
+      // batch 1: [cut1, cut2) against the initial index
+      val b1 = norm(Dedup.lshPairsAgainstIndex(
+        docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        "doc_id", "text", "dedupspec_idx"))
+      val full1 = norm(full.where(
+        (col("id_a") >= cut1 || col("id_b") >= cut1) &&
+          col("id_a") < cut2 && col("id_b") < cut2))
+      assert(b1 == full1, s"batch1 ${b1.size} pairs vs restricted ${full1.size}")
+      Dedup.appendToLshIndex(
+        docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        "doc_id", "text", "dedupspec_idx", buckets = 4)
+      // batch 2 against the GROWN index — exercises the append path
+      // end-to-end, not just its row counts
+      val b2 = norm(Dedup.lshPairsAgainstIndex(
+        docs.where(col("doc_id") >= cut2), "doc_id", "text", "dedupspec_idx"))
+      val full2 = norm(full.where(col("id_a") >= cut2 || col("id_b") >= cut2))
+      assert(b2 == full2, s"batch2 ${b2.size} pairs vs restricted ${full2.size}")
+      // an empty batch finds nothing and does not crash
+      val empty = Dedup.lshPairsAgainstIndex(
+        docs.where(col("doc_id") < 0), "doc_id", "text", "dedupspec_idx")
+      assert(empty.count() == 0)
+      Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut2), "doc_id",
+        "text", "dedupspec_idx", buckets = 4)
+      assert(spark.table("dedupspec_idx_shingles").count() == docs.count())
+    } finally full.unpersist()
   }
 }

@@ -148,6 +148,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulDedupFirst suppresses a late earlier-timestamped duplicate") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = StreamingAgg.statefulDedupFirst(
+      in.toDS(), watermarkDelay = "10 minutes", ttlMs = 60 * 60 * 1000L)
+      .toDF("k", "ts", "v")
+    val q = StreamingAgg.toMemorySink(out, "sdedup_ooo_sink", OutputMode.Append)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData(("a", t("2026-01-01 00:05:00"), 3L))
+      q.processAllAvailable()
+      // out-of-order: an EARLIER event for 'a' arrives a batch later,
+      // inside the watermark — the key already emitted this era, so the
+      // documented contract is suppress (no second row, no replacement)
+      in.addData(("a", t("2026-01-01 00:01:00"), 1L),
+        ("b", t("2026-01-01 00:01:30"), 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM sdedup_ooo_sink ORDER BY k")
+        .as[(String, Long)].collect().toList
+      assert(rows == List(("a", 3L), ("b", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
