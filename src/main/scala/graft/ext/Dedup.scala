@@ -349,4 +349,42 @@ object Dedup {
         .where(col("jaccard") >= minJaccard),
       newSh, newBands)
   }
+
+  /** One IDEMPOTENT ingest step for a continuously-maintained index:
+    * probe the stored index for the near-dup pairs `batch` introduces
+    * (batch↔index and batch↔batch), append them to `pairsTable`,
+    * append the batch's bands/shingles to the index, and mark
+    * `batchId` done in `<name>_batches`.  Re-running an already-marked
+    * batch id is a no-op (returns false) —
+    * [[graft.streaming.StreamingAgg.lshIndexSink]] relies on this for
+    * foreachBatch's at-least-once recovery contract.
+    *
+    * The marker commits LAST, so a crash mid-step replays the whole
+    * step and can duplicate that one batch's pairs/bands on plain
+    * parquet tables; readers defend with DISTINCT, and exactly-once
+    * requires a transactional table format underneath `saveAsTable`.
+    * Batch ids must be disjoint from already-indexed ids. */
+  def ingestBatchIntoIndex(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, pairsTable: String, n: Int = 3,
+      bands: Int = 8, buckets: Int = 16, minJaccard: Double = 0.0): Boolean = {
+    val spark = batch.sparkSession
+    val seen = spark.catalog.tableExists(s"${name}_batches") &&
+      spark.table(s"${name}_batches")
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) false
+    else {
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
+        pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(pairsTable)
+        unpersistInputsOf(pairs)
+        appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)
+        spark.range(1).select(lit(batchId).as("batch_id")).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(s"${name}_batches")
+        true
+      } finally b.unpersist()
+    }
+  }
 }

@@ -1695,10 +1695,51 @@ object PipelineQueries {
        |WHERE id_a >= 400 OR id_b >= 400
        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  // ---- Q73: STREAMED index maintenance (foreachBatch ingest) ------------
+  // The q72 index kept fresh by a stream: the first 300 docs are the
+  // initial index; docs >= 300 arrive as two micro-batches through
+  // StreamingAgg.lshIndexSink — each probes the stored bands for the
+  // pairs it introduces, appends itself to the index, and marks its
+  // batch id (replays are no-ops).  Union of per-batch pair sets is
+  // disjoint by construction, so it equals the full-corpus LSH rerun
+  // restricted to pairs touching the streamed half.  The collect is
+  // the TEST FEED only (MemoryStream takes driver-side batches by
+  // design); the probe/append under test is fully distributed.
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = tbl(s, dir, "documents")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
+      "q73_lsh_idx")
+    Seq("q73_pairs", "q73_lsh_idx_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingAgg.lshIndexSink(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "q73_lsh_idx", "q73_pairs")
+    try {
+      val rows = docs.where(col("doc_id") >= 300)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val (b1, b2) = rows.partition(_._1 < 400)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("q73_pairs")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+  val q73Sql: String =
+    s"""WITH $lshPairsCtes
+       |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
+       |WHERE id_a >= 300 OR id_b >= 300
+       |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stateful_dedup" -> (q70 _),
     "q71_running_fold" -> (q71 _),
     "q72_incremental_index" -> (q72 _),
+    "q73_streamed_index" -> (q73 _),
     "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
@@ -1761,6 +1802,7 @@ object PipelineQueries {
     "q70_stateful_dedup" -> q70Sql,
     "q71_running_fold" -> q71Sql,
     "q72_incremental_index" -> q72Sql,
+    "q73_streamed_index" -> q73Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,

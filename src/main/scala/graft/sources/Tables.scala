@@ -52,22 +52,24 @@ object Tables {
   def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    if (mode == SaveMode.Overwrite) {
-      // honest Overwrite even across JVM restarts: a previous session
-      // may have left the managed table's LOCATION behind while the
-      // (in-memory) catalog entry died with it — Spark then refuses
-      // the CTAS with LOCATION_ALREADY_EXISTS.  Drop both.
-      val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    if (mode == SaveMode.Overwrite) dropWithLocation(df.sparkSession, tableName)
     val w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
+  }
+
+  /** Honest drop even across JVM restarts: a previous session may
+    * have left the managed table's LOCATION behind while the
+    * (in-memory) catalog entry died with it — the next `saveAsTable`
+    * then refuses with LOCATION_ALREADY_EXISTS.  Drops both the
+    * catalog entry and the default location. */
+  def dropWithLocation(spark: SparkSession, tableName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 }

@@ -107,7 +107,7 @@ object StreamingAgg {
           // checked manually on the data path, or the first batch
           // after expiry would still be suppressed
           val lapsed = state.getOption.exists(firstSeen =>
-            state.getCurrentWatermarkMs > firstSeen + ttlMs)
+            state.getCurrentWatermarkMs() > firstSeen + ttlMs)
           if (state.hasTimedOut || (lapsed && !rows.hasNext)) {
             state.remove(); Iterator.empty
           } else if (state.exists && !lapsed) Iterator.empty // emitted this era
@@ -119,7 +119,7 @@ object StreamingAgg {
             // rejects it — a TTL already passed collapses to "expire
             // at the next trigger"
             state.setTimeoutTimestamp(math.max(first._2.getTime + ttlMs,
-              state.getCurrentWatermarkMs + 1))
+              state.getCurrentWatermarkMs() + 1))
             Iterator.single(first)
           }
       }
@@ -165,6 +165,32 @@ object StreamingAgg {
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Continuously maintain a persisted LSH dedup index from a
+    * document stream: each micro-batch is probed against the stored
+    * index — the near-dup pairs it introduces (batch↔index and
+    * batch↔batch) land in `pairsTable` — and is then appended to the
+    * index under the same bucket spec
+    * ([[graft.ext.Dedup.ingestBatchIntoIndex]]).
+    *
+    * foreachBatch recovery is at-least-once; the `<name>_batches`
+    * marker table turns replays into no-ops.  Index state lives in
+    * the bh-bucketed tables, NOT the streaming state store — the
+    * store would otherwise hold every signature in the corpus, while
+    * the table form keeps the probe join's scale shape (only the new
+    * batch shuffles; the index side never re-Exchanges). */
+  def lshIndexSink(docs: DataFrame, idCol: String, textCol: String,
+      name: String, pairsTable: String, checkpointDir: Option[String] = None,
+      n: Int = 3, bands: Int = 8, buckets: Int = 16,
+      minJaccard: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.ext.Dedup.ingestBatchIntoIndex(batch.toDF(), batchId, idCol,
+        textCol, name, pairsTable, n, bands, buckets, minJaccard)
+      ()
+    }.start()
+  }
 
   /** Durable parquet sink with exactly-once file commits: the
     * checkpoint tracks progress, so restarts resume without

@@ -109,4 +109,26 @@ class DedupSpec extends AnyFunSuite {
       assert(spark.table("dedupspec_idx_shingles").count() == docs.count())
     } finally full.unpersist()
   }
+
+  test("ingestBatchIntoIndex is idempotent on a replayed batch id") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 450), "doc_id", "text",
+      "dedupspec_ing", buckets = 4)
+    Seq("dedupspec_ing_pairs", "dedupspec_ing_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    val batch = docs.where(col("doc_id") >= 450)
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      "dedupspec_ing", "dedupspec_ing_pairs", buckets = 4))
+    val pairs = spark.table("dedupspec_ing_pairs").count()
+    val shingles = spark.table("dedupspec_ing_shingles").count()
+    assert(shingles == docs.count())
+    // replay of the same foreachBatch id (at-least-once recovery):
+    // no-op — nothing appended twice
+    assert(!Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      "dedupspec_ing", "dedupspec_ing_pairs", buckets = 4))
+    assert(spark.table("dedupspec_ing_pairs").count() == pairs)
+    assert(spark.table("dedupspec_ing_shingles").count() == shingles)
+    // a NEW batch id with fresh ids does proceed
+    assert(spark.table("dedupspec_ing_batches").count() == 1)
+  }
 }
