@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.cat.{DotProductD, DotProductRewrite, Md5HexSlice, SortedIntersectCount}
+import graft.functions.cat.{DotProductD, DotProductRewrite, Md5HexSlice, MinhashSig, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "graft_md5_slice start/len must be integer literals")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_minhash_sig(shingleHashArray) takes 1 argument")
+        MinhashSig(children.head)
       }))
     // auto-rewrite the interpreted HOF dot-product shape into the
     // native expression (semantics-preserving, see DotProductRewrite)

@@ -122,16 +122,18 @@ object Dedup {
 
   /** Shared LSH banding: (id, band_id, bh) from a shingle table.
     * Per-shingle hashes are materialized in their own projection so
-    * the md5 pass runs ONCE; the 16 permutations are cheap modular
-    * maps over it (HOF subtrees are excluded from codegen CSE, so
-    * inlining would re-run the md5 pass 16×). */
+    * the md5 pass runs ONCE; the 16 permutation minima come from the
+    * one-pass native [[ColFns.minhashSigArray]], itself materialized
+    * once (CollapseProject never inlines the non-cheap signature into
+    * its 16 extracts). */
   private def bandedOf(shingleTbl: DataFrame, bands: Int): DataFrame = {
     val rows = MinhashA.size / bands
     val hashed = shingleTbl.select(col("id"), shingleHashes(col("sh")).as("hs"))
-    val sig = hashed.select(Seq(col("id")) ++ minhashColsFromHashes(col("hs")): _*)
+    val sig = hashed.select(col("id"), minhashSigArray(col("hs")).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        bandHash((0 until rows).map(r => col(s"m${b * rows + r}"))).as("bh"))
+        bandHash((0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1))).as("bh"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.bh"))
@@ -145,7 +147,9 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val sh = array_distinct(wordShingles(tokens(col(textCol)), n))
     df.select(col(idCol), shingleHashes(sh).as("__hs"))
-      .select(Seq(col(idCol)) ++ minhashColsFromHashes(col("__hs")): _*)
+      .select(col(idCol), minhashSigArray(col("__hs")).as("__sig"))
+      .select(Seq(col(idCol)) ++ MinhashA.indices.map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs: documents sharing any minhash band bucket,

@@ -120,13 +120,27 @@ object ColFns {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => h60(s) % MinhashP)
 
+  /** One-pass native k-minhash signature array over prehashed
+    * shingles ([[shingleHashes]]): `element_at(sig, i+1)` =
+    * min over h of (a_i*h+b_i)%p, value-identical to the composed
+    * `array_min(transform(...))` form but a single traversal
+    * ([[graft.functions.cat.MinhashSig]]); null on empty input like
+    * `array_min` on empty.  Materialize it in its own projection
+    * before fanning out to per-permutation columns — CollapseProject
+    * keeps the non-cheap signature from being inlined per use. */
+  def minhashSigArray(hs: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.cat.MinhashSig(Bridge.expression(hs)))
+  }
+
   /** k-minhash signature (k columns) over prehashed shingles
-    * ([[shingleHashes]]): permutation i = min over h of (a_i*h+b_i)%p. */
-  def minhashColsFromHashes(hs: Column): Seq[Column] =
-    MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashP))
-        .as(s"m$i")
-    }
+    * ([[shingleHashes]]): permutation i = min over h of (a_i*h+b_i)%p.
+    * Backed by the one-pass [[minhashSigArray]] (codegen CSE shares
+    * the single signature computation across the k extracts). */
+  def minhashColsFromHashes(hs: Column): Seq[Column] = {
+    val sig = minhashSigArray(hs)
+    MinhashA.indices.map(i => element_at(sig, i + 1).as(s"m$i"))
+  }
 
   /** k-minhash signature of a raw shingle array (hashes inline; for
     * one-shot use — pipelines should materialize [[shingleHashes]]

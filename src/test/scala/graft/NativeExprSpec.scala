@@ -139,6 +139,45 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSigArray == composed array_min(transform) per permutation") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(50) + 1)(math.abs(rnd.nextLong()) % ColFns.MinhashP)) ++
+      Seq(Seq(0L), Seq(ColFns.MinhashP - 1))
+    val df = rows.toDF("hs")
+    val composed = ColFns.MinhashA.zip(ColFns.MinhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        array_min(transform(col("hs"),
+          h => (lit(a) * h + lit(b)) % ColFns.MinhashP)).as(s"c$i")
+    }
+    val sig = df.select(col("hs"), ColFns.minhashSigArray(col("hs")).as("sig"))
+      .select(Seq(col("sig")) ++ composed: _*).collect()
+    sig.foreach { r =>
+      val native = r.getSeq[Long](0)
+      assert(native.length == ColFns.MinhashA.size)
+      ColFns.MinhashA.indices.foreach(i =>
+        assert(native(i) == r.getLong(i + 1), s"perm $i"))
+    }
+  }
+
+  test("minhashSigArray: empty array → null (array_min-on-empty parity), null → null") {
+    val df = Seq(Some(Seq.empty[Long]), None, Some(Seq(7L)))
+      .toDF("hs")
+    val got = df.select(ColFns.minhashSigArray(col("hs"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
+    assert(!got(2).isNullAt(0))
+  }
+
+  test("minhash signature runs inside whole-stage codegen (no fallback)") {
+    val df = spark.range(100)
+      .select(array(col("id"), col("id") * 3 % 997).as("hs"))
+    val q = df.select(ColFns.minhashSigArray(col("hs")).as("sig"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_minhash_sig"), plan)
+    assert(q.count() == 100)
+  }
+
   test("dot runs inside whole-stage codegen (no fallback)") {
     // non-literal input (literals constant-fold to a LocalTableScan)
     val df = spark.range(100)
