@@ -38,9 +38,17 @@ case class Md5HexSlice(child: Expression, start: Int, len: Int)
 }
 
 object Md5HexSlice {
+  // one digest instance per task thread: getInstance allocates (SPI
+  // lookup + state) and this kernel runs once per shingle/token —
+  // digest() leaves the instance reset for the next call
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Static per-row kernel (called from generated code). */
   def compute(s: UTF8String, start: Int, len: Int): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val d = localMd5.get().digest(s.getBytes)
     var v = 0L
     var i = start - 1
     val end = start - 1 + len
