@@ -169,6 +169,24 @@ class NativeExprSpec extends AnyFunSuite {
     assert(!got(2).isNullAt(0))
   }
 
+  test("minhashSigArray matches a pure-Scala model (scalacheck)") {
+    import org.scalacheck.{Gen, Prop}
+    def model(hs: Seq[Long]): Seq[Long] =
+      ColFns.MinhashA.zip(ColFns.MinhashB).map { case (a, b) =>
+        hs.map(h => (a * h + b) % ColFns.MinhashP).min
+      }
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, ColFns.MinhashP - 1))
+    val prop = Prop.forAll(gen) { hs =>
+      val got = Seq(Tuple1(hs)).toDF("hs")
+        .select(ColFns.minhashSigArray(col("hs"))).collect()
+        .head.getSeq[Long](0)
+      got == model(hs)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash signature runs inside whole-stage codegen (no fallback)") {
     val df = spark.range(100)
       .select(array(col("id"), col("id") * 3 % 997).as("hs"))
