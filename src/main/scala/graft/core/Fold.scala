@@ -158,6 +158,32 @@ object Folds {
         case _                  => x.orElse(y)
       })(identity)
 
+  /** Product of the group — `Control.Foldl.product` parity. */
+  def product[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
+    Fold.monoid(n.one)(n.times)
+
+  /** True iff any element satisfies `p` — `Control.Foldl.any`
+    * (OR-monoid buffer, so merges commute; true on no elements only
+    * if none seen, i.e. false on empty like the reference). */
+  def any[A](p: A => Boolean): Fold.Aux[A, Boolean, Boolean] =
+    Fold.withEncoder(
+      Fold[A, Boolean, Boolean](false)((s, a) => s || p(a))(_ || _)(identity),
+      E.scalaBoolean)
+
+  /** True iff every element satisfies `p` — `Control.Foldl.all`
+    * (AND-monoid; vacuously true on empty, like the reference). */
+  def all[A](p: A => Boolean): Fold.Aux[A, Boolean, Boolean] =
+    Fold.withEncoder(
+      Fold[A, Boolean, Boolean](true)((s, a) => s && p(a))(_ && _)(identity),
+      E.scalaBoolean)
+
+  /** Distinct elements as a Set — `Control.Foldl.set` parity.  Like
+    * [[list]] this buffers unboundedly (a group's distinct values);
+    * prefer [[hll]] for cardinality or exact `distinct` upstream when
+    * the value domain is large. */
+  def set[A]: Fold.Aux[A, Set[A], Set[A]] =
+    Fold[A, Set[A], Set[A]](Set.empty[A])((s, a) => s + a)(_ union _)(identity)
+
   /** Buffer the whole group — the `functionToFold` escape hatch
     * (reference `Core.hs:250-259`); documented memory-unsafe at scale,
     * merge order follows partition order so treat result as a bag. */

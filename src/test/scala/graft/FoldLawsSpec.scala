@@ -42,6 +42,17 @@ class FoldLawsSpec extends AnyFunSuite {
     check(exactLaw(Folds.topK[Int](5)))
   }
 
+  test("merge law: product/any/all/set (exact), with foldl semantics on empty") {
+    check(exactLaw(Folds.product[Int].premap[Int](x => if (x == 0) 1 else x)))
+    check(exactLaw(Folds.any[Int](_ % 7 == 0)))
+    check(exactLaw(Folds.all[Int](_ % 7 != 0)))
+    check(exactLaw(Folds.set[Int]))
+    assert(!Folds.any[Int](_ => true).fold(Nil))  // empty → false
+    assert(Folds.all[Int](_ => false).fold(Nil))  // vacuous truth
+    assert(Folds.product[Int].fold(Nil) == 1)
+    assert(Folds.set[Int].fold(Seq(2, 1, 2)) == Set(1, 2))
+  }
+
   test("merge law: mean/variance within float noise; quantile exact below capacity") {
     check(forAll(inputs) { case (xs, chunk) =>
       val ds = xs.map(_.toDouble)
