@@ -36,8 +36,8 @@ object Bench {
     * without re-running (r3's driver run measured b6 at 14 s under
     * load-avg ~10; the same binary measures 1.7 s quiet). */
   private def loadAvg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split("\\s+").head.toDouble
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+").head.toDouble
     catch { case _: Throwable => 0.0 }
 
   /** best5 plus the load average observed around the block. */

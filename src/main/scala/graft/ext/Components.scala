@@ -42,17 +42,29 @@ object Components {
     *   `localCheckpoint()` — the durable choice on a real cluster,
     *   where a localCheckpoint dies with its executor and would force
     *   a full job restart; local mode and tests default to the
-    *   cheaper executor-local form. */
+    *   cheaper executor-local form.  Superseded round checkpoints are
+    *   deleted as the iteration advances (Spark never cleans reliable
+    *   checkpoint files itself); only the final round's file lives
+    *   until the session ends.  Note `setCheckpointDir` is a
+    *   SparkContext-global setting — a pre-existing dir is restored
+    *   after the loop. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, s"maxIter must be > 0, got $maxIter")
+    val sc = edges.sparkSession.sparkContext
+    val prevDir = sc.getCheckpointDir
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    def deleteCheckpoint(df: DataFrame): Unit =
+      org.apache.spark.sql.graftshim.Bridge.checkpointFile(df).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
     var cur = cut(canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))))
     var converged = cur.isEmpty
     var it = 0
@@ -61,9 +73,13 @@ object Components {
       // star-graph fixed point reached ⇔ the edge set stops changing;
       // counts first (cheap), set-difference only on count equality
       converged = next.count() == cur.count() && next.except(cur).isEmpty
+      // the convergence actions above were the last readers of cur's
+      // round — its reliable checkpoint file can go now
+      if (checkpointDir.isDefined) deleteCheckpoint(cur)
       cur = next
       it += 1
     }
+    if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

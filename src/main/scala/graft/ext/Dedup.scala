@@ -278,29 +278,31 @@ object Dedup {
     * Write once, then per batch: [[lshPairsAgainstIndex]] +
     * [[appendToLshIndex]]. */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
-      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit = {
-    val shingleTbl = shinglePrep(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      graft.sources.Tables.writeBucketed(shingleTbl, s"${name}_shingles",
-        buckets, Seq("id"))
-      graft.sources.Tables.writeBucketed(bandedOf(shingleTbl, bands),
-        s"${name}_bands", buckets, Seq("bh"))
-    } finally shingleTbl.unpersist()
-  }
+      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit =
+    writeIndexTables(df, idCol, textCol, name, n, bands, buckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Append a processed batch to the index (same bucket spec, so the
     * co-location contract survives).  Call AFTER
     * [[lshPairsAgainstIndex]] on that batch — ids must not repeat. */
   def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
-      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit = {
-    val shingleTbl = shinglePrep(batch, idCol, textCol, n)
+      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit =
+    writeIndexTables(batch, idCol, textCol, name, n, bands, buckets,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** The single definition of the index's table shape — write and
+    * append MUST stay identical or the bucket co-location contract
+    * silently breaks between them. */
+  private def writeIndexTables(df: DataFrame, idCol: String, textCol: String,
+      name: String, n: Int, bands: Int, buckets: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val shingleTbl = shinglePrep(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.sources.Tables.writeBucketed(shingleTbl, s"${name}_shingles",
-        buckets, Seq("id"), mode = org.apache.spark.sql.SaveMode.Append)
+        buckets, Seq("id"), mode = mode)
       graft.sources.Tables.writeBucketed(bandedOf(shingleTbl, bands),
-        s"${name}_bands", buckets, Seq("bh"), mode = org.apache.spark.sql.SaveMode.Append)
+        s"${name}_bands", buckets, Seq("bh"), mode = mode)
     } finally shingleTbl.unpersist()
   }
 
@@ -315,11 +317,15 @@ object Dedup {
     *
     * Scale shape: new bands probe the bh-bucketed index table (index
     * side does NOT shuffle); candidates are deduped ids-only before
-    * any shingle fetch; stored shingle sets are fetched by id for
-    * verification.  Batch ids must be disjoint from indexed ids. */
+    * any shingle fetch; the stored shingle table is semi-join-pruned
+    * to candidate ids BEFORE the fetch joins (broadcast ids up to
+    * `maxBroadcastIds`, shuffle semi-join above with a logged note),
+    * so the per-batch shuffle is O(batch + candidates) — the stored
+    * shingle arrays never reshuffle wholesale.  Batch ids must be
+    * disjoint from indexed ids. */
   def lshPairsAgainstIndex(newBatch: DataFrame, idCol: String, textCol: String,
       name: String, n: Int = 3, bands: Int = 8,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0, maxBroadcastIds: Long = 4000000L): DataFrame = {
     val spark = newBatch.sparkSession
     val newSh = shinglePrep(newBatch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -341,7 +347,26 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val cands = vsIndex.unionByName(vsSelf).distinct() // ids-only dedup FIRST
-    val allSh = idxSh.unionByName(newSh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prune the stored shingle table to candidate ids BEFORE the fetch
+    // joins: a bare union of the full table would give the fetch joins
+    // an unpartitioned input and re-Exchange every stored shingle
+    // array per batch.  The broadcast semi-join scans the stored table
+    // once, shuffle-free; candidate ids are bounded by LSH rarity, and
+    // a pathological batch falls back to a shuffle semi-join.
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIds = candIds.count()
+    val idsSide =
+      if (nIds <= maxBroadcastIds) broadcast(candIds)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshPairsAgainstIndex: $nIds candidate ids exceed " +
+            s"maxBroadcastIds=$maxBroadcastIds — shuffle semi-join fallback")
+        candIds
+      }
+    val allSh = idxSh.join(idsSide, Seq("id"), "left_semi").unionByName(newSh)
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val jac = inter /
       ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
@@ -351,7 +376,7 @@ object Dedup {
         .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"), jac.as("jaccard"))
         .where(col("jaccard") >= minJaccard),
-      newSh, newBands)
+      newSh, newBands, cands, candIds)
   }
 
   /** One IDEMPOTENT ingest step for a continuously-maintained index:

@@ -58,8 +58,12 @@ object Multimodal {
     * installed reader understands. */
   def decodeImage(content: Array[Byte]): Option[Decoded] = {
     val img =
+      // NonFatal, not just IOException: the JDK readers throw
+      // ArrayIndexOutOfBounds/IllegalArgument/NegativeArraySize on
+      // malformed-but-recognized media, and one corrupt row must not
+      // kill the whole partition's task
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val r = img.getRaster
@@ -115,8 +119,10 @@ object Multimodal {
   def resizeImage(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
     val img =
+      // NonFatal for the same reason as decodeImage: malformed media
+      // throws RuntimeExceptions from the JDK readers
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val r = img.getRaster

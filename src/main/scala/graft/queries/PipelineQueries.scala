@@ -1612,7 +1612,7 @@ object PipelineQueries {
         timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
       .where(col("kv").isNotNull)
       .as[(Long, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._2.getTime, r._3))
+      .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
     runStreamedMode(s, ev.toIndexedSeq, "q70_stream_sink",
       Seq("_1", "_2", "_3"), "append") { df =>
       StreamingAgg.statefulDedupFirst(
@@ -1649,7 +1649,7 @@ object PipelineQueries {
         timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
       .where(col("kv").isNotNull)
       .as[(Long, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._2.getTime, r._3))
+      .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
       .map(r => (r._1, r._3))
     val fold = Folds.count[Double].zip(Folds.min[Double]).zip(Folds.max[Double])
     runStreamedMode(s, ev.toIndexedSeq, "q71_stream_sink",

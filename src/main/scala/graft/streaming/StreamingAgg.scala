@@ -92,6 +92,14 @@ object StreamingAgg {
     * (time, value) WITHIN the microbatches seen before later rows of
     * that key — a feed sorted by (time, value) makes it the global
     * min, which is what the batch oracle computes. */
+  /** Full-precision event-time key: microseconds since epoch.
+    * `Timestamp.getTime` is millisecond-truncated while Spark
+    * timestamps carry microseconds — ordering by getTime would
+    * collapse sub-millisecond-spaced events and pick a different
+    * "first" than a full-precision batch oracle. */
+  def eventTimeMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def statefulDedupFirst[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
       watermarkDelay: String, ttlMs: Long)(
       implicit ek: Encoder[K], eo: Encoder[(K, java.sql.Timestamp, V)],
@@ -113,7 +121,7 @@ object StreamingAgg {
           } else if (state.exists && !lapsed) Iterator.empty // emitted this era
           else {
             if (lapsed) state.remove() // new era for this key
-            val first = rows.minBy(r => (r._2.getTime, r._3))
+            val first = rows.minBy(r => (eventTimeMicros(r._2), r._3))
             state.update(first._2.getTime)
             // timeout must sit above the current watermark or Spark
             // rejects it — a TTL already passed collapses to "expire

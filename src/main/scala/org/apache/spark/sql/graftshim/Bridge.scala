@@ -25,6 +25,16 @@ object Bridge {
       new CollectTopK(ExpressionUtils.expression(item), k, reverse, 0, 0)
         .toAggregateExpression())
 
+  /** Reliable-checkpoint file behind a `df.checkpoint()` result (the
+    * plan is a LogicalRDD over the checkpointed internal RDD) — None
+    * for anything else.  Lets iterative algorithms delete superseded
+    * round checkpoints, which Spark never cleans by default. */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Output-column name a Column binds to: its alias, or its
     * attribute name.  None for nameless computed expressions. */
   def columnName(c: Column): Option[String] = c.node match {

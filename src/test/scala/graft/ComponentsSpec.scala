@@ -100,9 +100,13 @@ class ComponentsSpec extends AnyFunSuite {
         checkpointDir = ckpt)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(Some(dir)) == run(None))
-    // the durable path must actually have written checkpoint data
-    val wrote = new java.io.File(dir).listFiles()
-    assert(wrote != null && wrote.nonEmpty, "reliable checkpoint wrote nothing")
+    // the durable path must actually have written checkpoint data,
+    // and superseded rounds must have been deleted: at most the final
+    // round's rdd dir survives per run (this graph takes 3+ rounds)
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(rddDirs >= 1, "reliable checkpoint wrote nothing")
+    assert(rddDirs <= 1, s"superseded round checkpoints leaked ($rddDirs rdd dirs)")
   }
 
   test("bloom prune is self-join safe (big and small the same frame)") {
