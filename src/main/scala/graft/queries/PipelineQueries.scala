@@ -1695,6 +1695,32 @@ object PipelineQueries {
        |WHERE id_a >= 400 OR id_b >= 400
        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  // ---- Q74: sliding-window aggregation ----------------------------------
+  // StreamingAgg.slidingAgg executed batch-shaped (like q30): 1-hour
+  // windows advancing every 30 minutes, so each event lands in exactly
+  // two windows — start = its 30-minute bucket b, and b - 30m.  The
+  // oracle unnests those two starts per event; both engines' windows
+  // are epoch-aligned, so the starts hash-match.
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    StreamingAgg.slidingAgg(ev, "ts2", "0 seconds", "1 hour", "30 minutes",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+  val q74Sql: String =
+    """WITH e AS (SELECT event_type, value,
+      |    time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+      |w AS (SELECT unnest([b, b - INTERVAL '30 minutes']) AS ws,
+      |    event_type, value FROM e)
+      |SELECT ws, event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
   // ---- Q73: STREAMED index maintenance (foreachBatch ingest) ------------
   // The q72 index kept fresh by a stream: the first 300 docs are the
   // initial index; docs >= 300 arrive as two micro-batches through
@@ -1740,6 +1766,7 @@ object PipelineQueries {
     "q71_running_fold" -> (q71 _),
     "q72_incremental_index" -> (q72 _),
     "q73_streamed_index" -> (q73 _),
+    "q74_sliding_window" -> (q74 _),
     "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
@@ -1803,6 +1830,7 @@ object PipelineQueries {
     "q71_running_fold" -> q71Sql,
     "q72_incremental_index" -> q72Sql,
     "q73_streamed_index" -> q73Sql,
+    "q74_sliding_window" -> q74Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,
