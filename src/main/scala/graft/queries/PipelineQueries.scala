@@ -1721,6 +1721,33 @@ object PipelineQueries {
       |  round(CAST(sum(CAST(value AS DECIMAL(38,15))) AS DOUBLE),6) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
+  // ---- Q75: the SAME sliding windows, STREAM-EXECUTED -------------------
+  // q74's sliding aggregation through the runStreamed harness (the
+  // q30→q40 pattern): overlapping windows emit as the watermark
+  // passes each one; the far-future sentinel closes the tail.  Same
+  // oracle as q74 — stream execution must not change results.
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
+        col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._1.getTime)
+    val sentinel =
+      (new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L), "__sentinel", 0.0)
+    runStreamed(s, ev.toIndexedSeq, sentinel, "q75_stream_sink",
+      Seq("ts2", "event_type", "value")) { df =>
+      StreamingAgg.slidingAgg(df, "ts2", "0 seconds", "1 hour", "30 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+    }.where(col("event_type") =!= "__sentinel")
+      .orderBy("ws", "event_type")
+  }
+  val q75Sql: String = q74Sql
+
   // ---- Q73: STREAMED index maintenance (foreachBatch ingest) ------------
   // The q72 index kept fresh by a stream: the first 300 docs are the
   // initial index; docs >= 300 arrive as two micro-batches through
@@ -1767,6 +1794,7 @@ object PipelineQueries {
     "q72_incremental_index" -> (q72 _),
     "q73_streamed_index" -> (q73 _),
     "q74_sliding_window" -> (q74 _),
+    "q75_stream_sliding" -> (q75 _),
     "q69_stream_interval_join" -> (q69 _),
     "q68_stream_sessions" -> (q68 _),
     "q66_quantize" -> (q66 _),
@@ -1831,6 +1859,7 @@ object PipelineQueries {
     "q72_incremental_index" -> q72Sql,
     "q73_streamed_index" -> q73Sql,
     "q74_sliding_window" -> q74Sql,
+    "q75_stream_sliding" -> q75Sql,
     "q69_stream_interval_join" -> q69Sql,
     "q68_stream_sessions" -> q68Sql,
     "q66_quantize" -> q66Sql,
