@@ -68,18 +68,31 @@ object Components {
     var cur = cut(canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))))
     var converged = cur.isEmpty
     var it = 0
-    while (!converged && it < maxIter) {
-      val next = cut(smallStar(largeStar(cur)))
-      // star-graph fixed point reached ⇔ the edge set stops changing;
-      // counts first (cheap), set-difference only on count equality
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
-      // the convergence actions above were the last readers of cur's
-      // round — its reliable checkpoint file can go now
-      if (checkpointDir.isDefined) deleteCheckpoint(cur)
-      cur = next
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        val next = cut(smallStar(largeStar(cur)))
+        // star-graph fixed point reached ⇔ the edge set stops changing;
+        // counts first (cheap), set-difference only on count equality
+        converged = next.count() == cur.count() && next.except(cur).isEmpty
+        // the convergence actions above were the last readers of cur's
+        // round — its reliable checkpoint file can go now
+        if (checkpointDir.isDefined) deleteCheckpoint(cur)
+        cur = next
+        it += 1
+      }
+    } catch {
+      case t: Throwable =>
+        // a failed run's surviving round checkpoint is debris —
+        // best-effort delete before propagating
+        if (checkpointDir.isDefined)
+          try deleteCheckpoint(cur) catch { case _: Throwable => () }
+        throw t
+    } finally {
+      // the checkpoint dir is SparkContext-global: put the caller's
+      // back whether we converged or threw (no public unset exists, so
+      // a previously-unset dir stays pointed at ours — documented)
+      if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
     }
-    if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

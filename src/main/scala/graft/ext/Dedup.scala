@@ -318,14 +318,19 @@ object Dedup {
     * Scale shape: new bands probe the bh-bucketed index table (index
     * side does NOT shuffle); candidates are deduped ids-only before
     * any shingle fetch; the stored shingle table is semi-join-pruned
-    * to candidate ids BEFORE the fetch joins (broadcast ids up to
-    * `maxBroadcastIds`, shuffle semi-join above with a logged note),
-    * so the per-batch shuffle is O(batch + candidates) — the stored
-    * shingle arrays never reshuffle wholesale.  Batch ids must be
-    * disjoint from indexed ids. */
+    * to candidate ids BEFORE the fetch joins (broadcast ids while the
+    * materialized id cache stays under `maxBroadcastBytes` — a BYTE
+    * bound, so wide string ids are safe — shuffle semi-join above,
+    * with a logged note), so the per-batch shuffle is
+    * O(batch + candidates) — the stored shingle arrays never
+    * reshuffle wholesale.  Batch ids must be disjoint from indexed
+    * ids.  NOTE: sizing the guard materializes the candidate cache,
+    * so calling this runs the band-probe jobs eagerly (the cache is
+    * what the verification joins then reuse — consumed results pay
+    * nothing extra; explain-only callers pay the probe). */
   def lshPairsAgainstIndex(newBatch: DataFrame, idCol: String, textCol: String,
       name: String, n: Int = 3, bands: Int = 8,
-      minJaccard: Double = 0.0, maxBroadcastIds: Long = 4000000L): DataFrame = {
+      minJaccard: Double = 0.0, maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = newBatch.sparkSession
     val newSh = shinglePrep(newBatch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -357,13 +362,17 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nIds = candIds.count()
+    candIds.count() // materialize so the cached-size statistic is real
+    // byte-based guard: broadcast limits and driver memory are byte
+    // budgets, and ids can be wide strings — a row-count bound would
+    // pass 4M×200-byte URLs straight into a driver OOM
+    val idBytes = candIds.queryExecution.optimizedPlan.stats.sizeInBytes
     val idsSide =
-      if (nIds <= maxBroadcastIds) broadcast(candIds)
+      if (idBytes <= maxBroadcastBytes) broadcast(candIds)
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lshPairsAgainstIndex: $nIds candidate ids exceed " +
-            s"maxBroadcastIds=$maxBroadcastIds — shuffle semi-join fallback")
+          s"lshPairsAgainstIndex: candidate id cache is $idBytes bytes, over " +
+            s"maxBroadcastBytes=$maxBroadcastBytes — shuffle semi-join fallback")
         candIds
       }
     val allSh = idxSh.join(idsSide, Seq("id"), "left_semi").unionByName(newSh)

@@ -1701,17 +1701,21 @@ object PipelineQueries {
   // two windows — start = its 30-minute bucket b, and b - 30m.  The
   // oracle unnests those two starts per event; both engines' windows
   // are epoch-aligned, so the starts hash-match.
-  def q74(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-    StreamingAgg.slidingAgg(ev, "ts2", "0 seconds", "1 hour", "30 minutes",
+  /** The one definition of the q74/q75 sliding aggregation — batch
+    * and stream execution MUST stay identical for the shared oracle
+    * (`q75Sql = q74Sql`) to be valid. */
+  private def slidingEventAgg(df: DataFrame): DataFrame =
+    StreamingAgg.slidingAgg(df, "ts2", "0 seconds", "1 hour", "30 minutes",
       Seq(col("event_type")),
       Seq(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("sum_value"))
+
+  def q74(s: SparkSession, dir: String): DataFrame =
+    slidingEventAgg(tbl(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000"))))
       .orderBy("ws", "event_type")
-  }
   val q74Sql: String =
     """WITH e AS (SELECT event_type, value,
       |    time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
@@ -1732,18 +1736,19 @@ object PipelineQueries {
       .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
         col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)]
-      .collect().sortBy(_._1.getTime)
+      .collect().sortBy(r => StreamingAgg.eventTimeMicros(r._1))
+    if (ev.isEmpty)
+      // empty feed: the batch shape on an empty frame yields the
+      // schema-correct empty result (ev.last below would throw)
+      return slidingEventAgg(
+        s.emptyDataset[(java.sql.Timestamp, String, Double)]
+          .toDF("ts2", "event_type", "value"))
+        .orderBy("ws", "event_type")
     val sentinel =
       (new java.sql.Timestamp(ev.last._1.getTime + 2 * 3600 * 1000L), "__sentinel", 0.0)
     runStreamed(s, ev.toIndexedSeq, sentinel, "q75_stream_sink",
-      Seq("ts2", "event_type", "value")) { df =>
-      StreamingAgg.slidingAgg(df, "ts2", "0 seconds", "1 hour", "30 minutes",
-        Seq(col("event_type")),
-        Seq(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(38,15)")).cast("double"), 6).as("sum_value")))
-        .select(col("window.start").as("ws"), col("event_type"), col("n"),
-          col("sum_value"))
-    }.where(col("event_type") =!= "__sentinel")
+      Seq("ts2", "event_type", "value"))(slidingEventAgg)
+      .where(col("event_type") =!= "__sentinel")
       .orderBy("ws", "event_type")
   }
   val q75Sql: String = q74Sql

@@ -74,6 +74,14 @@ object StreamingAgg {
       }
   }
 
+  /** Full-precision event-time key: microseconds since epoch.
+    * `Timestamp.getTime` is millisecond-truncated while Spark
+    * timestamps carry microseconds — ordering by getTime would
+    * collapse sub-millisecond-spaced events and pick a different
+    * "first" than a full-precision batch oracle. */
+  def eventTimeMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming exact-dedup via EXPLICIT keyed state — the general
     * state-store primitive ([[dedupStream]] wraps Spark's built-in
     * `dropDuplicatesWithinWatermark`; this one owns the state machine,
@@ -92,14 +100,6 @@ object StreamingAgg {
     * (time, value) WITHIN the microbatches seen before later rows of
     * that key — a feed sorted by (time, value) makes it the global
     * min, which is what the batch oracle computes. */
-  /** Full-precision event-time key: microseconds since epoch.
-    * `Timestamp.getTime` is millisecond-truncated while Spark
-    * timestamps carry microseconds — ordering by getTime would
-    * collapse sub-millisecond-spaced events and pick a different
-    * "first" than a full-precision batch oracle. */
-  def eventTimeMicros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
   def statefulDedupFirst[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
       watermarkDelay: String, ttlMs: Long)(
       implicit ek: Encoder[K], eo: Encoder[(K, java.sql.Timestamp, V)],

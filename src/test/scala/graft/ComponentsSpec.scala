@@ -103,8 +103,9 @@ class ComponentsSpec extends AnyFunSuite {
     // the durable path must actually have written checkpoint data,
     // and superseded rounds must have been deleted: at most the final
     // round's rdd dir survives per run (this graph takes 3+ rounds)
-    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    val rddDirs = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+      _.filter(p => p.getFileName.toString.startsWith("rdd-")).count())
     assert(rddDirs >= 1, "reliable checkpoint wrote nothing")
     assert(rddDirs <= 1, s"superseded round checkpoints leaked ($rddDirs rdd dirs)")
   }
