@@ -72,6 +72,34 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < thresh)
   }
 
+  /** Deterministic global corpus shuffle into `nShards` training
+    * shards: shard = id-hash mod nShards, and a dense in-shard
+    * position (1..shardSize) by ascending id hash — i.e. the corpus
+    * in pseudo-random order, reproducible on any run/cluster/engine
+    * (no `rand()`, no partition-count dependence).  This is the
+    * "shuffle the corpus before training" step: write each shard
+    * ordered by `pos` and readers stream examples in a fixed
+    * hash-random order.
+    *
+    * Scale shape: ONE shuffle (hash-partition by shard) + an
+    * in-partition sort for the dense rank — never a global sort.
+    * Each shard must sort within one task (Spark's external sort
+    * spills, so this is disk-bound, not memory-bound); size
+    * `nShards` so a shard is ~1 GB at the target corpus (100 TB →
+    * nShards ≈ 100k), which also matches the training-reader file
+    * granularity. */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hvCol = s"__${posCol}_hv"
+    df.withColumn(hvCol, h60(col(idCol).cast("string")))
+      .withColumn(shardCol, col(hvCol) % nShards)
+      .withColumn(posCol, org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(shardCol)).orderBy(col(hvCol).asc, col(idCol).asc)))
+      .drop(hvCol)
+  }
+
   /** Deterministic k-per-group sample: the k rows with the smallest
     * id hashes per group (ties broken by id).  Implemented as a
     * bounded priority-queue aggregation (CollectTopK, reverse=true):

@@ -1793,7 +1793,30 @@ object PipelineQueries {
        |WHERE id_a >= 300 OR id_b >= 300
        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  // ---- Q76: deterministic corpus shuffle into training shards ----------
+  // Sampling.shuffleShard assigns shard = h60(id) % n and a dense
+  // in-shard position by ascending hash — the reproducible "shuffle
+  // the corpus before training" step.  sum(pos*doc_id) pins the
+  // EXACT permutation (not just shard membership): any transposition
+  // of two positions changes the signature.
+  def q76(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShard(tbl(s, dir, "documents"), "doc_id", 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("pos") * col("doc_id")).as("ord_sig"))
+      .orderBy("shard")
+  val q76Sql: String =
+    s"""WITH h AS (SELECT doc_id, ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hv
+       |  FROM documents),
+       |s AS (SELECT doc_id, hv % 8 AS shard,
+       |    row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+       |  FROM h)
+       |SELECT shard, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_sig
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_shuffle_shard" -> (q76 _),
     "q70_stateful_dedup" -> (q70 _),
     "q71_running_fold" -> (q71 _),
     "q72_incremental_index" -> (q72 _),
@@ -1859,6 +1882,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal" -> q29Sql,
+    "q76_shuffle_shard" -> q76Sql,
     "q70_stateful_dedup" -> q70Sql,
     "q71_running_fold" -> q71Sql,
     "q72_incremental_index" -> q72Sql,

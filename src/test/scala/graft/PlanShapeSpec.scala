@@ -110,6 +110,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no full shuffle join for a broadcastable dim")
   }
 
+  test("q76: shuffle-shard is one hash exchange + in-partition sort, no global sort") {
+    val p = plan(PipelineQueries.q76(spark, sf))
+    // the groupBy(shard) must REUSE the window's hashpartitioning —
+    // one hash exchange total (plus the final orderBy range exchange);
+    // and the in-shard rank must stay a partition-local sort, never a
+    // single-partition global sort
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window and agg must share one shard-hash exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"in-shard rank must not collapse to one partition:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch folds carry native (non-Kryo) buffer encoders") {
     // a Kryo encoder's schema is a single BinaryType blob; native
     // array/map buffers cross the shuffle as codegen'd unsafe rows
