@@ -162,6 +162,35 @@ object Folds {
   def product[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
     Fold.monoid(n.one)(n.times)
 
+  /** Element with the smallest projected key — `Control.Foldl
+    * .minimumBy` parity.  Strict `<` on the key means the FIRST
+    * element among key-ties wins, both sequentially and through any
+    * in-order chunked merge (each partial keeps its first-seen min;
+    * an earlier partial beats a later tie), so the merge law holds
+    * exactly.  Like [[first]], tie-breaking across Spark partitions
+    * follows partition order — deterministic results need unique keys
+    * or a composite tiebreak key. */
+  def minimumBy[A, K](f: A => K)(implicit o: Ordering[K]): Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      Some(s.fold(a)(b => if (o.lt(f(a), f(b))) a else b)))((x, y) =>
+      (x, y) match {
+        case (Some(a), Some(b)) => Some(if (o.lt(f(b), f(a))) b else a)
+        case _                  => x.orElse(y)
+      })(identity)
+
+  /** Element with the largest projected key — `Control.Foldl
+    * .maximumBy` parity; same first-wins tie semantics as
+    * [[minimumBy]]. */
+  def maximumBy[A, K](f: A => K)(implicit o: Ordering[K]): Fold.Aux[A, Option[A], Option[A]] =
+    minimumBy(f)(o.reverse)
+
+  /** Membership test — `Control.Foldl.elem` parity (false on empty). */
+  def elem[A](x: A): Fold.Aux[A, Boolean, Boolean] = any[A](_ == x)
+
+  /** Absence test — `Control.Foldl.notElem` parity (vacuously true on
+    * empty). */
+  def notElem[A](x: A): Fold.Aux[A, Boolean, Boolean] = all[A](_ != x)
+
   /** True iff any element satisfies `p` — `Control.Foldl.any`
     * (OR-monoid buffer, so merges commute; true on no elements only
     * if none seen, i.e. false on empty like the reference). */

@@ -53,6 +53,23 @@ class FoldLawsSpec extends AnyFunSuite {
     assert(Folds.set[Int].fold(Seq(2, 1, 2)) == Set(1, 2))
   }
 
+  test("merge law: minimumBy/maximumBy/elem/notElem (exact, first-wins ties)") {
+    // key projection with deliberate collisions (mod 10) — first-wins
+    // tie semantics must survive any in-order chunking
+    check(exactLaw(Folds.minimumBy[Int, Int](x => math.abs(x) % 10)))
+    check(exactLaw(Folds.maximumBy[Int, Int](x => math.abs(x) % 10)))
+    check(exactLaw(Folds.elem(42)))
+    check(exactLaw(Folds.notElem(42)))
+    assert(Folds.minimumBy[Int, Int](identity).fold(Nil).isEmpty)
+    // first among equal keys wins: (3,"a") seen before (3,"b")
+    assert(Folds.minimumBy[(Int, String), Int](_._1)
+      .fold(Seq((3, "a"), (3, "b"), (7, "c"))).contains((3, "a")))
+    assert(Folds.maximumBy[(Int, String), Int](_._1)
+      .fold(Seq((7, "a"), (3, "b"), (7, "c"))).contains((7, "a")))
+    assert(!Folds.elem(1).fold(Nil))
+    assert(Folds.notElem(1).fold(Nil))
+  }
+
   test("merge law: mean/variance within float noise; quantile exact below capacity") {
     check(forAll(inputs) { case (xs, chunk) =>
       val ds = xs.map(_.toDouble)
