@@ -59,6 +59,26 @@ object Tables {
       .saveAsTable(tableName)
   }
 
+  /** Land a [[graft.ext.Sampling.shuffleShard]]-shaped frame as
+    * training shards: one directory per shard, rows inside each file
+    * in ascending `pos` — the physical layout a training reader
+    * streams in the reproducible hash-random order.
+    *
+    * `repartition(shard)` aligns write tasks with shard directories
+    * (without it every task writes a sliver of every shard —
+    * nShards × tasks tiny files), and the upstream shuffleShard
+    * hash-partitioning is reused by AQE where shard counts align, so
+    * this adds at most one exchange.  `sortWithinPartitions(shard,
+    * pos)` makes each parquet file internally pos-ordered; readers
+    * get order back with a per-shard `ORDER BY pos` that parquet
+    * row-group metadata makes near-free. */
+  def writeShards(df: DataFrame, path: String,
+      shardCol: String = "shard", posCol: String = "pos",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(mode).partitionBy(shardCol).parquet(path)
+
   /** Honest drop even across JVM restarts: a previous session may
     * have left the managed table's LOCATION behind while the
     * (in-memory) catalog entry died with it — the next `saveAsTable`

@@ -28,6 +28,34 @@ class TablesSpec extends AnyFunSuite {
     assert(back.count() == docs.where(col("lang") === "de").count())
   }
 
+  test("writeShards lands per-shard directories with files in pos order") {
+    val dir = Files.createTempDirectory("graft-shards").toString
+    val sharded = graft.ext.Sampling.shuffleShard(
+      (0L until 400L).toDF("id"), "id", 5)
+    Tables.writeShards(sharded, dir)
+    // one directory per shard, partition pruning works
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.select("shard").distinct().count() == 5)
+    // rows inside each shard's files are physically in ascending pos:
+    // read WITHOUT any sort and compare arrival order per file
+    import org.apache.spark.sql.functions.{input_file_name, monotonically_increasing_id}
+    val arrival = back.select(col("shard"), col("pos"),
+        input_file_name().as("f"), monotonically_increasing_id().as("seq"))
+      .collect()
+    arrival.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      val byArrival = rows.sortBy(_.getLong(3)).map(_.getInt(1))
+      assert(byArrival.toSeq == byArrival.sorted.toSeq,
+        "file content must be pos-ordered")
+    }
+    // round trip reproduces the exact shuffled order
+    val expect = sharded.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val got = back.select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val warehouse = Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
