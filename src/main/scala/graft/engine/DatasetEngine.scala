@@ -29,6 +29,27 @@ object DatasetEngine {
     FoldAggregator.auto(aux).toColumn
   }
 
+  /** Retry-exact counting effect: a Spark accumulator incremented
+    * inside an `UnpackM`/`AssignM` effect is AT-LEAST-ONCE under task
+    * retry and speculation (the SURVEY §7.5 deviation), but the most
+    * common effect — "how many rows flowed past this point" — has an
+    * exactly-once form: an observed metric (`Dataset.observe` /
+    * CollectMetrics) is computed inside the query itself, so Spark
+    * reconciles retried tasks and the number is exact per action.
+    *
+    * Returns the instrumented dataset and a thunk that yields the
+    * count AFTER an action has run on it.  Batch only (Spark's
+    * `Observation` does not support streaming queries); arbitrary
+    * non-counting effects keep the documented at-least-once
+    * semantics. */
+  def observedCount[T](ds: Dataset[T], name: String): (Dataset[T], () => Long) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val out = ds.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows_seen"))
+    (out, () => obs.get("rows_seen").asInstanceOf[Long])
+  }
+
   /** Run just the unpack step — reference `unpackOnlyFold`
     * (`Simple.hs:215-222`). */
   def unpackOnly[X, Y](ds: Dataset[X], u: Unpack[X, Y])(

@@ -96,6 +96,23 @@ class EngineDiffSpec extends AnyFunSuite {
     assert(acc.value == xs.length.toLong)
   }
 
+  test("observedCount: retry-exact rows-seen counter through the M-engine") {
+    val xs = List.fill(300)(rnd.nextInt(100))
+    val (instrumented, seen) =
+      DatasetEngine.observedCount(spark.createDataset(xs), "rows_seen_obs")
+    val got = DatasetEngine.runM(instrumented,
+      UnpackM.FilterM[Int](_ % 2 == 0),
+      AssignM[Int, Int, Long](x => (x % 5, 1L)),
+      ReduceM.fromFold[Int, Long, Long](Folds.count[Long]))
+      .collect().toMap
+    val expected = xs.filter(_ % 2 == 0).groupBy(_ % 5)
+      .map { case (k, g) => k -> g.length.toLong }
+    assert(got == expected)
+    // the observation counts input rows reaching the filter, exactly
+    // once per action regardless of task retries
+    assert(seen() == xs.length.toLong)
+  }
+
   test("mapReduceM is key-sorted; hashableMapReduceM is the same bag (Simple.hs:175-212)") {
     val xs = List.fill(300)(rnd.nextInt(100))
     val u = UnpackM.FilterM[Int](_ % 3 != 0)
