@@ -92,6 +92,12 @@ object Sampling {
       shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val hvCol = s"__${posCol}_hv"
+    // withColumn silently REPLACES an existing column — fail loudly
+    // instead of overwriting caller data (or dropping it with the
+    // temp hash column)
+    Seq(shardCol, posCol, hvCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"shuffleShard output column '$c' already exists in the input"))
     df.withColumn(hvCol, h60(col(idCol).cast("string")))
       .withColumn(shardCol, col(hvCol) % nShards)
       .withColumn(posCol, org.apache.spark.sql.functions.row_number().over(

@@ -47,4 +47,13 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.shuffleShard(Seq(1L).toDF("id"), "id", 0)
     }
   }
+
+  test("shuffleShard refuses to overwrite an existing output column") {
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(Seq((1L, 9L)).toDF("id", "shard"), "id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(Seq((1L, 9)).toDF("id", "pos"), "id", 4)
+    }
+  }
 }
