@@ -184,6 +184,27 @@ object Folds {
   def maximumBy[A, K](f: A => K)(implicit o: Ordering[K]): Fold.Aux[A, Option[A], Option[A]] =
     minimumBy(f)(o.reverse)
 
+  /** First element satisfying `p` — `Control.Foldl.find` parity.
+    * First-wins through in-order merges (each partial keeps its own
+    * first match; earlier partials win), so the merge law holds
+    * exactly; across Spark partitions "first" follows partition
+    * order, like [[first]]. */
+  def find[A](p: A => Boolean): Fold.Aux[A, Option[A], Option[A]] =
+    Fold[A, Option[A], Option[A]](Option.empty[A])((s, a) =>
+      if (s.isEmpty && p(a)) Some(a) else s)(_.orElse(_))(identity)
+
+  /** Last `n` elements in encounter order — `Control.Foldl.lastN`
+    * parity (bounded buffer: each partial keeps ≤ n, merge
+    * concatenates and re-truncates, so the law holds exactly for
+    * in-order merges).  Deterministic across Spark partitions only
+    * with a single partition or pre-sorted input, like [[last]]. */
+  def lastN[A](n: Int): Fold.Aux[A, Vector[A], List[A]] = {
+    require(n >= 0, s"lastN needs n >= 0, got $n")
+    Fold[A, Vector[A], List[A]](Vector.empty[A])((s, a) =>
+      if (n == 0) s else (s :+ a).takeRight(n))((x, y) =>
+      (x ++ y).takeRight(n))(_.toList)
+  }
+
   /** Membership test — `Control.Foldl.elem` parity (false on empty). */
   def elem[A](x: A): Fold.Aux[A, Boolean, Boolean] = any[A](_ == x)
 

@@ -70,6 +70,16 @@ class FoldLawsSpec extends AnyFunSuite {
     assert(Folds.notElem(1).fold(Nil))
   }
 
+  test("merge law: find/lastN (exact for in-order merges)") {
+    check(exactLaw(Folds.find[Int](_ % 3 == 0)))
+    check(exactLaw(Folds.lastN[Int](7)))
+    assert(Folds.find[Int](_ > 2).fold(Seq(1, 3, 2, 4)).contains(3))
+    assert(Folds.find[Int](_ > 9).fold(Seq(1, 2)).isEmpty)
+    assert(Folds.lastN[Int](3).fold(1 to 10) == List(8, 9, 10))
+    assert(Folds.lastN[Int](3).fold(Seq(1)) == List(1))
+    assert(Folds.lastN[Int](0).fold(1 to 5) == Nil)
+  }
+
   test("merge law: mean/variance within float noise; quantile exact below capacity") {
     check(forAll(inputs) { case (xs, chunk) =>
       val ds = xs.map(_.toDouble)
