@@ -4,7 +4,9 @@ import graft.core.{Fold, FoldAggregator}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming surface for the fold algebra (SURVEY §7.6).
   *
@@ -131,6 +133,72 @@ object StreamingAgg {
             Iterator.single(first)
           }
       }
+  }
+
+  /** [[statefulDedupFirst]] re-expressed on `transformWithState` —
+    * Spark 4's arbitrary-state v2 API (SPARK-46815) and the general
+    * form every new custom state operator should target: named state
+    * variables (value/list/map) instead of one opaque state object,
+    * explicit timers instead of a single timeout slot, and native
+    * state TTL.  Contract is identical to [[statefulDedupFirst]]
+    * (first occurrence per key emitted, duplicates suppressed until
+    * the watermark passes firstSeen + ttlMs, then the key starts a
+    * new era).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does
+    * not run on the default HDFS-backed store. */
+  def statefulDedupFirstTws[K, V](ds: Dataset[(K, java.sql.Timestamp, V)],
+      watermarkDelay: String, ttlMs: Long)(
+      implicit ek: Encoder[K], eo: Encoder[(K, java.sql.Timestamp, V)],
+      ordV: Ordering[V]): Dataset[(K, java.sql.Timestamp, V)] =
+    ds.withWatermark("_2", watermarkDelay)
+      .groupByKey(_._1)
+      .transformWithState(new DedupFirstProcessor[K, V](ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+
+  /** The state machine behind [[statefulDedupFirstTws]].  Per-key
+    * state is ONE long (first-seen event-time ms) in a named
+    * `ValueState`; expiry is an explicit event-time timer per era.  A
+    * stale timer from a previous era (timers are not replaced the way
+    * `setTimeoutTimestamp` was) is made harmless by re-checking the
+    * TTL condition against the CURRENT state before clearing. */
+  private final class DedupFirstProcessor[K, V](ttlMs: Long)(
+      implicit ordV: Ordering[V])
+      extends StatefulProcessor[K, (K, java.sql.Timestamp, V), (K, java.sql.Timestamp, V)] {
+    @transient private var firstSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      firstSeen = getHandle.getValueState[Long]("firstSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: K,
+        rows: Iterator[(K, java.sql.Timestamp, V)],
+        tv: TimerValues): Iterator[(K, java.sql.Timestamp, V)] = {
+      val wm = tv.getCurrentWatermarkInMs
+      val lapsed = firstSeen.exists() && wm > firstSeen.get() + ttlMs
+      if (firstSeen.exists() && !lapsed) Iterator.empty // emitted this era
+      else if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.minBy(r => (eventTimeMicros(r._2), r._3))
+        firstSeen.update(first._2.getTime)
+        // the timer, like setTimeoutTimestamp before it, must sit
+        // above the current watermark or the store rejects it
+        getHandle.registerTimer(math.max(first._2.getTime + ttlMs, wm + 1))
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(K, java.sql.Timestamp, V)] = {
+      // clear only if the CURRENT era has really lapsed — an expiring
+      // timer registered by an earlier era must not kill fresh state
+      if (firstSeen.exists() &&
+          tv.getCurrentWatermarkInMs > firstSeen.get() + ttlMs)
+        firstSeen.clear()
+      Iterator.empty
+    }
   }
 
   /** Streaming dedup ON THE KEY COLUMNS ALONE (a duplicate key

@@ -148,6 +148,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulDedupFirstTws (transformWithState) matches the fMGWS twin") {
+    implicit val sq = spark.sqlContext
+    // transformWithState runs only on the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = StreamingAgg.statefulDedupFirstTws(
+      in.toDS(), watermarkDelay = "0 seconds", ttlMs = 60 * 1000L)
+      .toDF("k", "ts", "v")
+    val q = StreamingAgg.toMemorySink(out, "sdedup_tws_sink", OutputMode.Append)
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // the exact feed of the fMGWS test — same contract, same output
+      in.addData(("a", t("2026-01-01 00:00:00"), 2L),
+        ("a", t("2026-01-01 00:00:00"), 1L),
+        ("a", t("2026-01-01 00:00:05"), 0L))
+      q.processAllAvailable()
+      in.addData(("a", t("2026-01-01 00:00:30"), 9L),
+        ("b", t("2026-01-01 00:02:00"), 7L))
+      q.processAllAvailable()
+      in.addData(("a", t("2026-01-01 00:02:30"), 5L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, v FROM sdedup_tws_sink ORDER BY k, v")
+        .as[(String, Long)].collect().toList
+      assert(rows == List(("a", 1L), ("a", 5L), ("b", 7L)),
+        s"got $rows: must match statefulDedupFirst on the same feed")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("statefulDedupFirst suppresses a late earlier-timestamped duplicate") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Timestamp, Long)]
