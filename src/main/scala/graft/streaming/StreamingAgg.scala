@@ -176,7 +176,7 @@ object StreamingAgg {
     override def handleInputRows(key: K,
         rows: Iterator[(K, java.sql.Timestamp, V)],
         tv: TimerValues): Iterator[(K, java.sql.Timestamp, V)] = {
-      val wm = tv.getCurrentWatermarkInMs
+      val wm = tv.getCurrentWatermarkInMs()
       val lapsed = firstSeen.exists() && wm > firstSeen.get() + ttlMs
       if (firstSeen.exists() && !lapsed) Iterator.empty // emitted this era
       else if (!rows.hasNext) Iterator.empty
@@ -195,7 +195,7 @@ object StreamingAgg {
       // clear only if the CURRENT era has really lapsed — an expiring
       // timer registered by an earlier era must not kill fresh state
       if (firstSeen.exists() &&
-          tv.getCurrentWatermarkInMs > firstSeen.get() + ttlMs)
+          tv.getCurrentWatermarkInMs() > firstSeen.get() + ttlMs)
         firstSeen.clear()
       Iterator.empty
     }
