@@ -1633,6 +1633,43 @@ object PipelineQueries {
       |SELECT kv, epoch_ms(ts) AS first_ms, round(value, 6) AS first_value
       |FROM r WHERE rn = 1 ORDER BY kv""".stripMargin
 
+  // ---- Q77: q70 on transformWithState (arbitrary-state v2) --------------
+  // The identical stateful-dedup contract executed through Spark 4's
+  // transformWithState (named ValueState + explicit event-time
+  // timers, RocksDB store) — same feed, same oracle as q70, so the
+  // gate proves the two state APIs compute the same thing.  The
+  // provider conf is set for the streaming query and restored after
+  // (transformWithState refuses the default HDFS-backed store).
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = tbl(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
+          timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+        .where(col("kv").isNotNull)
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
+      runStreamedMode(s, ev.toIndexedSeq, "q77_stream_sink",
+        Seq("_1", "_2", "_3"), "append") { df =>
+        StreamingAgg.statefulDedupFirstTws(
+          df.as[(Long, java.sql.Timestamp, Double)],
+          watermarkDelay = "0 seconds", ttlMs = Long.MaxValue / 4)
+          .toDF("kv", "first_ts", "first_value")
+      }
+        .select(col("kv"), unix_millis(col("first_ts")).as("first_ms"),
+          round(col("first_value"), 6).as("first_value"))
+        .orderBy("kv")
+    } finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+  val q77Sql: String = q70Sql
+
   // ---- Q71: per-key RUNNING fold emission (mapGroupsWithState) ----------
   // StreamingAgg.runningFold holds the mergeable fold buffer as keyed
   // state and emits the current done(buffer) per key on every trigger
@@ -1817,6 +1854,7 @@ object PipelineQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_shuffle_shard" -> (q76 _),
+    "q77_stateful_dedup_tws" -> (q77 _),
     "q70_stateful_dedup" -> (q70 _),
     "q71_running_fold" -> (q71 _),
     "q72_incremental_index" -> (q72 _),
@@ -1883,6 +1921,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q29_multimodal" -> q29Sql,
     "q76_shuffle_shard" -> q76Sql,
+    "q77_stateful_dedup_tws" -> q77Sql,
     "q70_stateful_dedup" -> q70Sql,
     "q71_running_fold" -> q71Sql,
     "q72_incremental_index" -> q72Sql,
