@@ -158,6 +158,15 @@ object Folds {
         case _                  => x.orElse(y)
       })(identity)
 
+  /** [[min]]/[[max]] over doubles with codegen'd `Option` buffer
+    * encoders (the generic forms can't name one for an arbitrary
+    * `A`) — zips of these stay native across shuffles and state
+    * stores. */
+  def minD: Fold.Aux[Double, Option[Double], Option[Double]] =
+    Fold.withEncoder(min[Double], catalystEnc[Option[Double]])
+  def maxD: Fold.Aux[Double, Option[Double], Option[Double]] =
+    Fold.withEncoder(max[Double], catalystEnc[Option[Double]])
+
   /** Product of the group — `Control.Foldl.product` parity. */
   def product[A](implicit n: Numeric[A]): Fold.Aux[A, A, A] =
     Fold.monoid(n.one)(n.times)

@@ -41,10 +41,9 @@ object Bloom {
     val spark = big.sparkSession
     import spark.implicits._
     val fold = Folds.bloom(numBits, numHashes)
-    // array-typed output encoder so the bitset lands as a SQL
-    // array<bigint> (readable off the Row), not a Kryo blob
-    val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(fold)(
-      Encoders.scalaLong, newSequenceEncoder[Vector[Long]])
+    // foldUdaf derives the encoders itself: the bitset lands as a SQL
+    // array<bigint> (readable off the Row), never a Kryo blob
+    val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(fold)
     // one distributed pass over the small side's hashed keys; the
     // result is a bounded numBits/8-byte vector on the driver.
     // Null-filter BEFORE projecting the key away — relying on

@@ -375,7 +375,14 @@ object Dedup {
             s"maxBroadcastBytes=$maxBroadcastBytes — shuffle semi-join fallback")
         candIds
       }
-    val allSh = idxSh.join(idsSide, Seq("id"), "left_semi").unionByName(newSh)
+    // dropDuplicates AFTER the prune: an at-least-once index append
+    // (ingestBatchIntoIndexTx's crash-replay window) can leave a
+    // duplicated shingle row, which would duplicate every pair that
+    // id participates in — deduping the candidate-pruned slice makes
+    // index duplication correctness-neutral at the cost of one
+    // shuffle over the (small) candidate set only
+    val allSh = idxSh.join(idsSide, Seq("id"), "left_semi")
+      .dropDuplicates("id").unionByName(newSh)
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val jac = inter /
       ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
@@ -399,8 +406,8 @@ object Dedup {
     *
     * The marker commits LAST, so a crash mid-step replays the whole
     * step and can duplicate that one batch's pairs/bands on plain
-    * parquet tables; readers defend with DISTINCT, and exactly-once
-    * requires a transactional table format underneath `saveAsTable`.
+    * parquet tables; readers defend with DISTINCT.  For exactly-once
+    * pairs without the DISTINCT, use [[ingestBatchIntoIndexTx]].
     * Batch ids must be disjoint from already-indexed ids. */
   def ingestBatchIntoIndex(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, pairsTable: String, n: Int = 3,
@@ -417,6 +424,50 @@ object Dedup {
         pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(pairsTable)
         unpersistInputsOf(pairs)
+        appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)
+        spark.range(1).select(lit(batchId).as("batch_id")).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(s"${name}_batches")
+        true
+      } finally b.unpersist()
+    }
+  }
+
+  /** EXACTLY-ONCE twin of [[ingestBatchIntoIndex]]: the user-facing
+    * pairs output goes through a [[graft.sources.TxLog]] manifest
+    * commit (stage → one atomic marker create) at `pairsDir`, so a
+    * crash-replay can never duplicate a batch's pairs and readers
+    * ([[graft.sources.TxLog.readCommitted]]) need no defensive
+    * DISTINCT.  The internal bands/shingles appends stay at-least-once
+    * — a replay can duplicate them — but [[lshPairsAgainstIndex]]
+    * dedups the candidate-pruned shingle slice and distinct-s band
+    * candidates, so index duplication is cost-only, never
+    * correctness: the standard production split (transactional
+    * user-visible output, idempotent-by-reader internal state).
+    *
+    * Crash matrix (replay = calling this again with the same batch):
+    *  - before the pairs commit: everything re-runs, one commit wins;
+    *  - after pairs commit, before index append: pairs skip (marker
+    *    exists), index appends once;
+    *  - after index append, before `<name>_batches` marker: pairs
+    *    skip, index rows duplicate (neutralized at read), marker
+    *    lands. */
+  def ingestBatchIntoIndexTx(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, pairsDir: String, n: Int = 3,
+      bands: Int = 8, buckets: Int = 16, minJaccard: Double = 0.0): Boolean = {
+    val spark = batch.sparkSession
+    val seen = spark.catalog.tableExists(s"${name}_batches") &&
+      spark.table(s"${name}_batches")
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) false
+    else {
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!graft.sources.TxLog.isCommitted(spark, pairsDir, batchId)) {
+          val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
+          graft.sources.TxLog.commitBatch(pairs, pairsDir, batchId)
+          unpersistInputsOf(pairs)
+        }
         appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)

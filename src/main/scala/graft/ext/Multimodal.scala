@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * JDK — zero extra dependencies), so decoded width/height/channels/
   * luma statistics are genuine raster facts, oracle-checkable because
   * the synthetic corpus images are built from a closed-form pixel
-  * formula a SQL engine can replay (q29).  The only remaining fake is
-  * VIDEO frame sampling ([[frameSampleStub]]) — the JDK has no video
-  * demuxer; it is loudly documented below.
+  * formula a SQL engine can replay (q29).  The AUDIO codec is REAL
+  * too: WAV encode/decode via `javax.sound.sampled.AudioSystem`
+  * (also pure JDK), with the same closed-form-oracle scheme (q79).
+  * The only remaining fake is VIDEO frame sampling
+  * ([[frameSampleStub]]) — the JDK has no video demuxer; it is loudly
+  * documented below.
   *
   * Scale design: media rows are large, so all transforms are
   * per-partition streaming (`mapPartitions`, constant memory), never
@@ -136,6 +139,143 @@ object Multimodal {
         else r.getSample(sx, sy, 0)
       })
     }
+  }
+
+  /** Audio facts read back out of encoded bytes.  Everything but
+    * `rms` is exact integer math (zero float risk in the oracle). */
+  final case class AudioDecoded(sampleRate: Int, channels: Int,
+      nFrames: Long, durationMs: Long, peak: Int, sumSq: Long) {
+    def nSamples: Long = nFrames * channels
+    def rms: Double =
+      if (nSamples == 0L) 0.0 else math.sqrt(sumSq.toDouble / nSamples)
+  }
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem` (the
+    * JDK's WAV/AU/AIFF parser — zero extra dependencies).  Streams
+    * PCM frames through a fixed buffer (constant memory per row, like
+    * [[decodeImage]]); supports the dominant corpus layout, 16-bit
+    * signed PCM, in either endianness.  `None` for bytes no installed
+    * reader understands or non-16-bit encodings. */
+  def decodeAudio(content: Array[Byte]): Option[AudioDecoded] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      // NonFatal like decodeImage: malformed-but-recognized media can
+      // throw RuntimeExceptions out of the JDK parser
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize // = 2 * channels
+        var frames = 0L; var peak = 0; var sumSq = 0L
+        val buf = new Array[Byte](frameSize * 4096)
+        var read = in.read(buf) // reads whole frames by contract
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val v =
+              if (fmt.isBigEndian) (buf(i).toInt << 8) | (buf(i + 1) & 0xff)
+              else (buf(i + 1).toInt << 8) | (buf(i) & 0xff)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            i += 2
+          }
+          frames += read / frameSize
+          read = in.read(buf)
+        }
+        val rate = fmt.getSampleRate.toInt
+        Some(AudioDecoded(rate, channels, frames, frames * 1000L / rate,
+          peak, sumSq))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** REAL encode: 16-bit signed little-endian PCM WAV via
+    * `AudioSystem.write` (lossless — decode reads back exact
+    * samples).  `samples` is frame-major: frame i's channel c sits at
+    * index `i * channels + c`. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(channels > 0 && samples.length % channels == 0,
+      s"sample count ${samples.length} must be a multiple of channels=$channels")
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode every audio row and append sample-rate/duration/loudness
+    * facts — the audio twin of [[withImageStats]], same streaming
+    * `mapPartitions` shape.  Undecodable rows get nulls. */
+  def withAudioStats(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = media.schema.fieldIndex(contentCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.getAs[Array[Byte]](idx)) match {
+          // Seq[Any], NOT an inferred all-numeric Seq — Scala would
+          // unify Int/Long/Double via weak conformance and silently
+          // widen every element to Double, breaking the BIGINT fields
+          case Some(d) => Row.fromSeq(r.toSeq ++ Seq[Any](d.sampleRate, d.channels,
+            d.nFrames, d.durationMs, d.peak, d.sumSq, d.rms))
+          case None => Row.fromSeq(r.toSeq ++
+            Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic audio derived from `documents`: REAL 16-bit PCM WAVs
+    * (AudioSystem encode) whose samples are a closed-form function of
+    * the document row —
+    *   channels = doc_id %% 2 + 1, rate = 8000·(doc_id %% 3 + 1),
+    *   frames   = len(text) %% 50 + 20,
+    *   sample(j) = (doc_id·31 + j·7919) %% 65536 − 32768
+    * over the flattened sample index j — so a SQL oracle can
+    * recompute every decoded statistic without an audio library (the
+    * q29 pattern), while the Spark side runs the genuine
+    * AudioSystem encode→decode round trip. */
+  def syntheticAudio(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+    val enc = org.apache.spark.sql.Encoders.row(MediaSchema)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val len = r.getInt(1)
+        val channels = (id % 2 + 1).toInt
+        val rate = 8000 * ((id % 3).toInt + 1)
+        val frames = len % 50 + 20
+        val samples = Array.tabulate[Short](frames * channels)(j =>
+          (((id * 31L + j.toLong * 7919L) % 65536L) - 32768L).toShort)
+        val wav = encodeWavPcm16(rate, channels, samples)
+        Row(id, wav, Row("audio", "wav", null, null, frames * 1000L / rate))
+      }
+    }(enc)
   }
 
   /** STUB frame sampler — the ONE remaining fake in this module: the

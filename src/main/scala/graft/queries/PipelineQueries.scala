@@ -388,6 +388,39 @@ object PipelineQueries {
       |  CAST(sum(v) AS BIGINT) AS sum_luma, round(avg(v), 6) AS mean_luma
       |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---- Q79: REAL audio codec round trip, hash-checked -------------------
+  // The audio twin of q29: synthetic WAVs are genuine 16-bit PCM
+  // (AudioSystem encode) whose samples follow a closed-form formula
+  // of the document row; decode (AudioSystem read) recovers rate/
+  // channels/frames/peak/energy from the PCM stream, and DuckDB
+  // replays the same formula with generate_series.  peak/sum_sq are
+  // exact integers; rms rounds at 6 decimals like every other float.
+  def q79(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withAudioStats(Multimodal.syntheticAudio(s, dir))
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("audio_channels").cast("long").as("channels"),
+        col("n_frames"), col("duration_ms"),
+        col("peak").cast("long").as("peak"), col("sum_sq"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("media_id")
+  val q79Sql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS channels,
+      |    8000 * ((doc_id % 3) + 1) AS rate,
+      |    (length(text) % 50) + 20 AS frames FROM documents),
+      |s AS (SELECT p.doc_id, p.channels, p.rate, p.frames,
+      |    ((p.doc_id*31 + t.j*7919) % 65536) - 32768 AS v
+      |  FROM p CROSS JOIN generate_series(0, 149) t(j)
+      |  WHERE t.j < p.frames * p.channels)
+      |SELECT doc_id AS media_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+      |  CAST(max(channels) AS BIGINT) AS channels,
+      |  CAST(max(frames) AS BIGINT) AS n_frames,
+      |  CAST(max(frames) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+      |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ---- Q30: event-time windowed aggregation (streaming surface on batch) -
   // `ts` arrives as raw nanos (nanosAsLong); integer-divide to micros
   // to keep full precision, then tumble into 1-hour windows.
@@ -1361,8 +1394,7 @@ object PipelineQueries {
       .withColumn("sent", lit(false))
       .as[(java.sql.Timestamp, Long, Boolean)]
       .collect().sortBy(_._1.getTime)
-    val mg = StreamingAgg.foldUdaf(Folds.heavyHitters[Long](128))(
-      Encoders.scalaLong, newMapEncoder[Map[Long, Long]])
+    val mg = StreamingAgg.foldUdaf(Folds.heavyHitters[Long](128))
     val sentinel =
       (new java.sql.Timestamp(ev.last._1.getTime + 12 * 3600 * 1000L), 0L, true)
     runStreamed(s, ev.toIndexedSeq, sentinel, "q63_stream_sink",
@@ -1688,7 +1720,7 @@ object PipelineQueries {
       .as[(Long, java.sql.Timestamp, Double)]
       .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
       .map(r => (r._1, r._3))
-    val fold = Folds.count[Double].zip(Folds.min[Double]).zip(Folds.max[Double])
+    val fold = Folds.count[Double].zip(Folds.minD).zip(Folds.maxD)
     runStreamedMode(s, ev.toIndexedSeq, "q71_stream_sink",
       Seq("_1", "_2"), "update") { df =>
       StreamingAgg.runningFold(df.as[(Long, Double)], fold)
@@ -1708,6 +1740,50 @@ object PipelineQueries {
       |  round(max(value), 6) AS max_v
       |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY kv ORDER BY kv""".stripMargin
+
+  // ---- Q78: q71 on transformWithState (production runningFold) ----------
+  // The identical running-fold contract executed through
+  // StreamingAgg.runningFoldTws: the fold buffer is a named ValueState
+  // under the fold's own Catalyst product encoder (a typed row in the
+  // RocksDB store, not a Kryo blob) with TTLConfig available for key
+  // expiry.  Same feed, same oracle as q71, so the gate proves the v1
+  // and v2 state APIs compute the same running fold.  TTL is NONE here
+  // (nothing may expire mid-gate); expiry is exercised in
+  // StreamingSpec.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Folds
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = tbl(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
+          timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+        .where(col("kv").isNotNull)
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
+        .map(r => (r._1, r._3))
+      val fold = Folds.count[Double].zip(Folds.minD).zip(Folds.maxD)
+      runStreamedMode(s, ev.toIndexedSeq, "q78_stream_sink",
+        Seq("_1", "_2"), "update") { df =>
+        StreamingAgg.runningFoldTws(df.as[(Long, Double)], fold)
+          .map { case (k, ((n, mn), mx)) => (k, n, mn.get, mx.get) }
+          .toDF("kv", "n", "min_v", "max_v")
+      }
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("kv").orderBy(col("n").desc)))
+        .where(col("rn") === 1).drop("rn")
+        .select(col("kv"), col("n"),
+          round(col("min_v"), 6).as("min_v"), round(col("max_v"), 6).as("max_v"))
+        .orderBy("kv")
+    } finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
+    }
+  }
+  val q78Sql: String = q71Sql
 
   // ---- Q72: INCREMENTAL dedup index (persisted bands + shingles) --------
   // The production shape for a continuously-ingested corpus: the first
@@ -1830,6 +1906,39 @@ object PipelineQueries {
        |WHERE id_a >= 300 OR id_b >= 300
        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  // ---- Q80: EXACTLY-ONCE index ingest under crash-replay ----------------
+  // The q73 contract through the TxLog manifest commit, with a
+  // DELIBERATE mid-protocol replay: batch 1 is ingested, its
+  // `<name>_batches` marker is wiped (simulating a crash after the
+  // pairs commit + index append but before the marker), and the same
+  // batch is ingested again — the replay must not duplicate a single
+  // pair (TxLog skips the committed batch) even though the index
+  // tables now hold batch 1's bands/shingles TWICE; batch 2 then
+  // probes that duplicated index, proving the candidate-pruned
+  // shingle dedup neutralizes it.  Hash-equality with q73's oracle
+  // (no DISTINCT anywhere on the read path) is the exactly-once
+  // proof.
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
+      "q80_lsh_idx")
+    graft.sources.Tables.dropWithLocation(s, "q80_lsh_idx_batches")
+    val pairsDir = java.nio.file.Files.createTempDirectory("q80_pairs").toString
+    val b1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val b2 = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+    Dedup.ingestBatchIntoIndexTx(b1, 1L, "doc_id", "text", "q80_lsh_idx", pairsDir)
+    // simulated crash: the run died before the batch marker landed —
+    // recovery replays the whole ingest of batch 1
+    graft.sources.Tables.dropWithLocation(s, "q80_lsh_idx_batches")
+    Dedup.ingestBatchIntoIndexTx(b1, 1L, "doc_id", "text", "q80_lsh_idx", pairsDir)
+    Dedup.ingestBatchIntoIndexTx(b2, 2L, "doc_id", "text", "q80_lsh_idx", pairsDir)
+    graft.sources.TxLog.readCommitted(s, pairsDir)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+  val q80Sql: String = q73Sql
+
   // ---- Q76: deterministic corpus shuffle into training shards ----------
   // Sampling.shuffleShard assigns shard = h60(id) % n and a dense
   // in-shard position by ascending hash — the reproducible "shuffle
@@ -1855,10 +1964,12 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_shuffle_shard" -> (q76 _),
     "q77_stateful_dedup_tws" -> (q77 _),
+    "q78_running_fold_tws" -> (q78 _),
     "q70_stateful_dedup" -> (q70 _),
     "q71_running_fold" -> (q71 _),
     "q72_incremental_index" -> (q72 _),
     "q73_streamed_index" -> (q73 _),
+    "q80_exactly_once_ingest" -> (q80 _),
     "q74_sliding_window" -> (q74 _),
     "q75_stream_sliding" -> (q75 _),
     "q69_stream_interval_join" -> (q69 _),
@@ -1886,6 +1997,7 @@ object PipelineQueries {
     "q35_cube" -> (q35 _),
     "q36_pivot" -> (q36 _),
     "q29_multimodal" -> (q29 _),
+    "q79_audio_codec" -> (q79 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -1920,12 +2032,15 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal" -> q29Sql,
+    "q79_audio_codec" -> q79Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
+    "q78_running_fold_tws" -> q78Sql,
     "q70_stateful_dedup" -> q70Sql,
     "q71_running_fold" -> q71Sql,
     "q72_incremental_index" -> q72Sql,
     "q73_streamed_index" -> q73Sql,
+    "q80_exactly_once_ingest" -> q80Sql,
     "q74_sliding_window" -> q74Sql,
     "q75_stream_sliding" -> q75Sql,
     "q69_stream_interval_join" -> q69Sql,

@@ -4,9 +4,11 @@ import graft.core.{Fold, FoldAggregator}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
   TimerValues, ValueState}
+import scala.reflect.runtime.universe.TypeTag
 
 /** Structured Streaming surface for the fold algebra (SURVEY §7.6).
   *
@@ -23,10 +25,19 @@ object StreamingAgg {
     * and streaming `groupBy(...).agg(...)`.  Folds carrying a
     * Catalyst buffer encoder (the shipped vocabulary) keep the
     * codegen'd unsafe-row buffer across the shuffle; only opaque
-    * user folds fall back to Kryo. */
+    * user folds fall back to Kryo.
+    *
+    * Input/output encoders are derived here from `TypeTag`s through
+    * Catalyst's own `ExpressionEncoder`, which covers primitives,
+    * products, `Seq`/`Vector`, `Map` and `Option` natively — so a
+    * call site returning e.g. `Vector[Long]` or `Map[Long, Long]`
+    * needs no encoder plumbing and cannot accidentally pick up a
+    * Kryo output encoder from scope. */
   def foldUdaf[C, D](fd: Fold[C, D])(
-      implicit ic: Encoder[C], od: Encoder[D]): UserDefinedFunction = {
+      implicit ct: TypeTag[C], dt: TypeTag[D]): UserDefinedFunction = {
     val aux: Fold.Aux[C, fd.Buf, D] = fd
+    val ic: Encoder[C] = ExpressionEncoder[C]()
+    implicit val od: Encoder[D] = ExpressionEncoder[D]()
     udaf(FoldAggregator.auto(aux), ic)
   }
 
@@ -58,14 +69,37 @@ object StreamingAgg {
       .groupBy(session_window(col(tsCol), gapDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** The encoder a fold's buffer travels the state store under: the
+    * fold's own Catalyst product encoder when it carries one (the
+    * whole shipped vocabulary does — the state-store value is then a
+    * readable typed row), Kryo only as the documented fallback for
+    * opaque user folds whose buffer has no Catalyst encoder. */
+  private def stateBufEncoder[C, D](fd: Fold[C, D]): Encoder[fd.Buf] =
+    fd.bufEncoder.getOrElse(Encoders.kryo(
+      scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[fd.Buf]]))
+
+  /** `a + b` clamped at `Long.MaxValue` — TTL deadlines are computed
+    * as firstSeen + ttlMs, and a caller passing a ttl near
+    * Long.MaxValue must saturate, not wrap negative (a wrapped
+    * deadline makes every batch look lapsed and breaks dedup). */
+  private[streaming] def satAdd(a: Long, b: Long): Long =
+    try math.addExact(a, b)
+    catch { case _: ArithmeticException =>
+      if ((a < 0) == (b < 0) && a < 0) Long.MinValue else Long.MaxValue }
+
   /** Continuously-updated per-key fold over a stream — the streaming
     * twin of the batch engine's PerKeyFold path.  State = the fold
     * buffer (mergeable, so recovery/retry-safe); emits the current
-    * `done(buffer)` per key on every trigger. */
+    * `done(buffer)` per key on every trigger.
+    *
+    * v1-API form (`mapGroupsWithState`): no state TTL is available
+    * here short of managing timeouts by hand, so keys live forever —
+    * fine for bounded key domains; for unbounded ones use
+    * [[runningFoldTws]], which carries the same buffer under a native
+    * encoder with a real `TTLConfig`. */
   def runningFold[K, C, D](ds: Dataset[(K, C)], fd: Fold[C, D])(
       implicit ek: Encoder[K], ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
-    implicit val bufEnc: Encoder[fd.Buf] =
-      Encoders.kryo(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[fd.Buf]])
+    implicit val bufEnc: Encoder[fd.Buf] = stateBufEncoder(fd)
     ds.groupByKey(_._1)
       .mapGroupsWithState[fd.Buf, (K, D)](GroupStateTimeout.NoTimeout) {
         (k: K, rows: Iterator[(K, C)], state: GroupState[fd.Buf]) =>
@@ -74,6 +108,58 @@ object StreamingAgg {
           state.update(b1)
           (k, fd.done(b1))
       }
+  }
+
+  /** [[runningFold]] on `transformWithState` — the production form:
+    * the fold buffer lives in a named `ValueState` under the fold's
+    * own Catalyst encoder (a typed row in the state store, not a Kryo
+    * blob), and `ttl` bounds each key's state lifetime (processing-
+    * time TTL; an idle key's buffer is dropped once the TTL passes,
+    * so the next occurrence restarts the fold from `init` — the same
+    * bounded-state-on-unbounded-keys contract as the dedup operators).
+    * `TTLConfig.NONE` keeps state forever, matching [[runningFold]].
+    *
+    * Time mode follows the TTL: `TimeMode.None` without one,
+    * `TimeMode.ProcessingTime` with one (state TTL is processing-time
+    * based and needs the clock).  Note the operational difference: in
+    * ProcessingTime mode Spark keeps scheduling micro-batches even
+    * with no data (TTL must advance on the wall clock), so pace the
+    * query with a real `Trigger.ProcessingTime(...)` — and
+    * `processAllAvailable()` never returns on such a query (there is
+    * always "another batch"); await sink contents instead.
+    *
+    * Requires the RocksDB state store provider, like every
+    * transformWithState operator. */
+  def runningFoldTws[K, C, D](ds: Dataset[(K, C)], fd: Fold[C, D],
+      ttl: TTLConfig = TTLConfig.NONE)(
+      implicit ek: Encoder[K], ekd: Encoder[(K, D)]): Dataset[(K, D)] = {
+    val aux: Fold.Aux[C, fd.Buf, D] = fd
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    ds.groupByKey(_._1)
+      .transformWithState(
+        new RunningFoldProcessor[K, C, fd.Buf, D](aux, ttl, stateBufEncoder(fd)),
+        timeMode, OutputMode.Update())
+  }
+
+  /** State machine behind [[runningFoldTws]]: one named `ValueState`
+    * holding the fold buffer.  An expired (TTL-lapsed) value reads as
+    * absent, so the step function restarts from `fd.init` naturally. */
+  private final class RunningFoldProcessor[K, C, S, D](
+      fd: Fold.Aux[C, S, D], ttl: TTLConfig, bufEnc: Encoder[S])
+      extends StatefulProcessor[K, (K, C), (K, D)] {
+    @transient private var buf: ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[S]("buf", bufEnc, ttl)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, C)],
+        tv: TimerValues): Iterator[(K, D)] = {
+      val b0 = if (buf.exists()) buf.get() else fd.init
+      val b1 = rows.foldLeft(b0)((b, kc) => fd.step(b, kc._2))
+      buf.update(b1)
+      Iterator.single((key, fd.done(b1)))
+    }
   }
 
   /** Full-precision event-time key: microseconds since epoch.
@@ -117,7 +203,7 @@ object StreamingAgg {
           // checked manually on the data path, or the first batch
           // after expiry would still be suppressed
           val lapsed = state.getOption.exists(firstSeen =>
-            state.getCurrentWatermarkMs() > firstSeen + ttlMs)
+            state.getCurrentWatermarkMs() > satAdd(firstSeen, ttlMs))
           if (state.hasTimedOut || (lapsed && !rows.hasNext)) {
             state.remove(); Iterator.empty
           } else if (state.exists && !lapsed) Iterator.empty // emitted this era
@@ -128,7 +214,7 @@ object StreamingAgg {
             // timeout must sit above the current watermark or Spark
             // rejects it — a TTL already passed collapses to "expire
             // at the next trigger"
-            state.setTimeoutTimestamp(math.max(first._2.getTime + ttlMs,
+            state.setTimeoutTimestamp(math.max(satAdd(first._2.getTime, ttlMs),
               state.getCurrentWatermarkMs() + 1))
             Iterator.single(first)
           }
@@ -177,7 +263,7 @@ object StreamingAgg {
         rows: Iterator[(K, java.sql.Timestamp, V)],
         tv: TimerValues): Iterator[(K, java.sql.Timestamp, V)] = {
       val wm = tv.getCurrentWatermarkInMs()
-      val lapsed = firstSeen.exists() && wm > firstSeen.get() + ttlMs
+      val lapsed = firstSeen.exists() && wm > satAdd(firstSeen.get(), ttlMs)
       if (firstSeen.exists() && !lapsed) Iterator.empty // emitted this era
       else if (!rows.hasNext) Iterator.empty
       else {
@@ -185,7 +271,7 @@ object StreamingAgg {
         firstSeen.update(first._2.getTime)
         // the timer, like setTimeoutTimestamp before it, must sit
         // above the current watermark or the store rejects it
-        getHandle.registerTimer(math.max(first._2.getTime + ttlMs, wm + 1))
+        getHandle.registerTimer(math.max(satAdd(first._2.getTime, ttlMs), wm + 1))
         Iterator.single(first)
       }
     }
@@ -193,10 +279,16 @@ object StreamingAgg {
     override def handleExpiredTimer(key: K, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[(K, java.sql.Timestamp, V)] = {
       // clear only if the CURRENT era has really lapsed — an expiring
-      // timer registered by an earlier era must not kill fresh state
-      if (firstSeen.exists() &&
-          tv.getCurrentWatermarkInMs() > firstSeen.get() + ttlMs)
-        firstSeen.clear()
+      // timer registered by an earlier era must not kill fresh state.
+      // When the guard fails (a stale earlier-era timer, or this era's
+      // timer delivered at exactly wm == deadline), re-register at
+      // deadline + 1 so cleanup is eventually retried — otherwise the
+      // only timer is consumed and an idle key's state is orphaned.
+      if (firstSeen.exists()) {
+        val deadline = satAdd(firstSeen.get(), ttlMs)
+        if (tv.getCurrentWatermarkInMs() > deadline) firstSeen.clear()
+        else getHandle.registerTimer(satAdd(deadline, 1L))
+      }
       Iterator.empty
     }
   }
@@ -254,16 +346,27 @@ object StreamingAgg {
     * the bh-bucketed tables, NOT the streaming state store — the
     * store would otherwise hold every signature in the corpus, while
     * the table form keeps the probe join's scale shape (only the new
-    * batch shuffles; the index side never re-Exchanges). */
+    * batch shuffles; the index side never re-Exchanges).
+    *
+    * With `txPairsDir` set, the pairs land in a
+    * [[graft.sources.TxLog]] manifest log there instead of
+    * `pairsTable`, upgrading the pairs output to EXACTLY-ONCE under
+    * crash-replay ([[graft.ext.Dedup.ingestBatchIntoIndexTx]]); read
+    * them back with [[graft.sources.TxLog.readCommitted]]. */
   def lshIndexSink(docs: DataFrame, idCol: String, textCol: String,
       name: String, pairsTable: String, checkpointDir: Option[String] = None,
       n: Int = 3, bands: Int = 8, buckets: Int = 16,
-      minJaccard: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
+      minJaccard: Double = 0.0, txPairsDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      graft.ext.Dedup.ingestBatchIntoIndex(batch.toDF(), batchId, idCol,
-        textCol, name, pairsTable, n, bands, buckets, minJaccard)
+      txPairsDir match {
+        case Some(dir) => graft.ext.Dedup.ingestBatchIntoIndexTx(batch.toDF(),
+          batchId, idCol, textCol, name, dir, n, bands, buckets, minJaccard)
+        case None => graft.ext.Dedup.ingestBatchIntoIndex(batch.toDF(),
+          batchId, idCol, textCol, name, pairsTable, n, bands, buckets, minJaccard)
+      }
       ()
     }.start()
   }

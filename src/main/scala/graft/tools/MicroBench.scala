@@ -42,8 +42,7 @@ object MicroBench {
     {
       import spark.implicits._
       val bloomUdaf = graft.streaming.StreamingAgg.foldUdaf(
-        graft.core.Folds.bloom(1 << 20, 5))(
-        org.apache.spark.sql.Encoders.scalaLong, implicitly)
+        graft.core.Folds.bloom(1 << 20, 5))
       val keys = spark.range(n).select(xxhash64(col("id")).as("h")).cache()
       keys.count()
       time("bloom_build")(keys.agg(bloomUdaf(col("h"))).collect())

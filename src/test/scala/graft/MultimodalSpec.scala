@@ -83,6 +83,43 @@ class MultimodalSpec extends AnyFunSuite {
       "projection should prune the binary column")
   }
 
+  test("WAV round trip recovers exact rate/channels/frames/peak/energy") {
+    // encode with closed-form samples, decode with the REAL JDK
+    // parser, compare against an independent in-test computation
+    val id = 7L; val channels = 2; val rate = 16000; val frames = 25
+    val samples = Array.tabulate[Short](frames * channels)(j =>
+      (((id * 31L + j.toLong * 7919L) % 65536L) - 32768L).toShort)
+    val wav = Multimodal.encodeWavPcm16(rate, channels, samples)
+    // RIFF....WAVE magic: the bytes really are a WAV container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = Multimodal.decodeAudio(wav).get
+    assert(d.sampleRate == rate && d.channels == channels && d.nFrames == frames)
+    assert(d.durationMs == frames * 1000L / rate)
+    assert(d.peak == samples.map(s => math.abs(s.toInt)).max)
+    assert(d.sumSq == samples.map(s => s.toLong * s).sum)
+    assert(math.abs(d.rms - math.sqrt(d.sumSq.toDouble / (frames * channels))) < 1e-12)
+  }
+
+  test("decodeAudio returns None for non-audio bytes") {
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+  }
+
+  test("withAudioStats matches meta duration; audio meta kind is real") {
+    val stats = Multimodal.withAudioStats(
+      Multimodal.syntheticAudio(spark, "/root/testdata/sf0.001"))
+      .select(col("media_id"), col("duration_ms"), col("meta.duration_ms"),
+        col("meta.kind"), col("sample_rate"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "decoded duration == declared meta")
+      assert(r.getString(3) == "audio")
+      assert(Set(8000, 16000, 24000).contains(r.getInt(4)))
+    }
+  }
+
   test("sampleFrames explodes to n frames per row") {
     val frames = Multimodal.sampleFrames(media().limit(5), 4)
     assert(frames.count() == 20)

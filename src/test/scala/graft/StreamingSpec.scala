@@ -74,6 +74,109 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("runningFoldTws: TWS twin accumulates across triggers like runningFold") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(String, Double)]
+      val out = StreamingAgg.runningFoldTws(in.toDS(), Folds.sum[Double])
+      val q = out.toDF("k", "total").writeStream.format("memory")
+        .queryName("run_tws_sink").outputMode(OutputMode.Update).start()
+      try {
+        in.addData(("x", 1.0), ("x", 2.0), ("y", 10.0))
+        q.processAllAvailable()
+        in.addData(("x", 4.0))
+        q.processAllAvailable()
+        val latest = spark.sql("SELECT k, total FROM run_tws_sink")
+          .as[(String, Double)].collect().groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).max }
+        assert(latest == Map("x" -> 7.0, "y" -> 10.0))
+      } finally q.stop()
+    }
+  }
+
+  test("runningFoldTws: TTL expires idle state so the fold restarts from init") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(String, Double)]
+      val out = StreamingAgg.runningFoldTws(in.toDS(), Folds.count[Double],
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(300)))
+      // ProcessingTime mode: batches keep running so the TTL clock
+      // advances — pace them, and AWAIT the sink (processAllAvailable
+      // never returns on a query that always has "another batch")
+      val q = out.toDF("k", "n").writeStream.format("memory")
+        .queryName("run_ttl_sink").outputMode(OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitRows(pred: Set[Long] => Boolean): Set[Long] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var got = Set.empty[Long]
+        while (!pred(got) && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          got = spark.sql("SELECT n FROM run_ttl_sink WHERE k = 'x'")
+            .as[Long].collect().toSet
+        }
+        got
+      }
+      try {
+        in.addData(("x", 1.0), ("x", 2.0))
+        val first = awaitRows(_.contains(2L))
+        assert(first.contains(2L), s"first era should count to 2, got $first")
+        // let the processing-time TTL lapse, then send the key again:
+        // the expired buffer must read as absent, restarting the count
+        Thread.sleep(1500)
+        in.addData(("x", 3.0))
+        val all = awaitRows(_.contains(1L))
+        assert(all == Set(2L, 1L),
+          s"got $all: first era counts to 2, post-TTL era restarts at 1")
+      } finally q.stop()
+    }
+  }
+
+  test("runningFoldTws state-store value is a typed row, not a Kryo binary blob") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val fold = Folds.count[Double].zip(Folds.minD).zip(Folds.maxD)
+      assert(fold.bufEncoder.isDefined, "the gate fold must carry a native encoder")
+      val in = MemoryStream[(String, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_state").toString
+      val out = StreamingAgg.runningFoldTws(in.toDS(), fold)
+      val q = out.map { case (k, ((n, mn), mx)) => (k, n, mn.get, mx.get) }
+        .toDF("k", "n", "mn", "mx")
+        .writeStream.format("memory").queryName("run_schema_sink")
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(("x", 1.0), ("x", 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // read the committed state back through the state data source:
+      // the value column's schema is the fold buffer's PRODUCT schema
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "buf").load()
+      val valueType = state.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(!valueType.fields.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType),
+        s"state value must not be an opaque blob, got $valueType")
+      assert(valueType.fields.length >= 2,
+        s"zipped fold buffer should surface as nested product fields: $valueType")
+    }
+  }
+
   test("intervalJoin: stream-stream join bounded by event-time interval") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
