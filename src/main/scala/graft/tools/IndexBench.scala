@@ -9,9 +9,19 @@ import org.apache.spark.sql.functions._
   * synthetic corpus big enough for the asymmetry to show (the gate's
   * documents table is a fixed 500 rows).
   * Usage: runMain graft.tools.IndexBench [corpusDocs] [batchDocs]
+  *
+  * Growth mode — the measured curve behind "per-batch cost is
+  * O(batch + candidates), not O(corpus)": build the index at a base
+  * size, probe a FIXED batch, grow the index to 4x and 16x via
+  * appends, re-probe the same-size batch at each point.  A flat-ish
+  * probe time as the index grows 16x is the claim, measured.
+  * Usage: runMain graft.tools.IndexBench growth [baseDocs] [batchDocs]
   */
 object IndexBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("growth")) return growth(
+      if (args.length > 1) args(1).toInt else 20000,
+      if (args.length > 2) args(2).toInt else 500)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -50,6 +60,40 @@ object IndexBench {
     best2(f"probe_batch     batch=$nBatch%d") {
       val p = Dedup.lshPairsAgainstIndex(batch, "id", "text", "ixbench_idx")
       p.count(); Dedup.unpersistInputsOf(p)
+    }
+    spark.stop()
+  }
+
+  private def growth(base: Int, nBatch: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      concat_ws(" ",
+        (0 to 7).map(k => md5(concat(col("id"), lit(s"_$k")))): _*).as("text"))
+    // the probe batch's ids sit far above any index id and are NEVER
+    // appended, so each size point probes the identical workload
+    val probe = docs(1L << 40, (1L << 40) + nBatch)
+    def probeTime(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val p = Dedup.lshPairsAgainstIndex(probe, "id", "text", "ixgrow_idx")
+        p.count(); Dedup.unpersistInputsOf(p)
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    Dedup.writeLshIndex(docs(0L, base.toLong), "id", "text", "ixgrow_idx")
+    var size = base.toLong
+    println(f"index_size=$size%8d  probe_s=${probeTime()}%.2f")
+    Seq(4, 16).foreach { mult =>
+      val target = base.toLong * mult
+      Dedup.appendToLshIndex(docs(size, target), "id", "text", "ixgrow_idx")
+      size = target
+      println(f"index_size=$size%8d  probe_s=${probeTime()}%.2f")
     }
     spark.stop()
   }

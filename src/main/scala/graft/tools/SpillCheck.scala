@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Spill-regime correctness slice: the gate always runs with 128 GiB
+  * of headroom, so its external sort/aggregate paths never spill —
+  * a merge bug that only shows under memory pressure would pass every
+  * round.  This main re-runs the shuffle-heaviest gate queries with
+  * Spark's force-spill test knobs on (every sorter spills every N
+  * elements; hash aggregation falls back to sort-based after N
+  * groups), dumps the results in Verify's layout, and prints the
+  * spill bytes actually incurred — `tools/check.py` then proves the
+  * hashes identical to the no-pressure oracle.
+  *
+  * Usage: runMain graft.tools.SpillCheck [sfDir] [outDir]
+  * then:  python3 tools/check.py <sfDir> <outDir>
+  */
+object SpillCheck {
+  private val Slice = Seq("q17_minhash_lsh", "q19_ngram_jaccard",
+    "q46_pipeline_e2e")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/spill_out"
+    val spark = SparkSession.builder().master("local[8]")
+      // 2 shuffle partitions concentrate each operator's data into
+      // few tasks; the force thresholds make those tasks spill for
+      // real (UnsafeExternalSorter path) and drive hash agg through
+      // its sort-based fallback (the merge path a spill exercises)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000")
+      .config("spark.sql.TungstenAggregate.testFallbackStartsAt", "100,500")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var spilledMem = 0L; var spilledDisk = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          spilledMem += m.memoryBytesSpilled
+          spilledDisk += m.diskBytesSpilled
+        }
+    })
+    new java.io.File(outDir).mkdirs()
+    Slice.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[spillcheck] $name done")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => Slice.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+    println(f"[spillcheck] memoryBytesSpilled=$spilledMem%d " +
+      f"diskBytesSpilled=$spilledDisk%d")
+    assert(spilledMem > 0 || spilledDisk > 0,
+      "force-spill knobs produced zero spills — the slice proved nothing")
+  }
+}

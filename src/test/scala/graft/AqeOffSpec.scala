@@ -20,11 +20,17 @@ class AqeOffSpec extends AnyFunSuite {
   private def sameWithAqeOff(name: String,
       q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     val on = rows(q(spark, sf))
+    // restore the PRIOR value, not a hard-coded "true" — the shared
+    // session's default must survive this test unchanged
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val off = rows(q(spark, sf))
       assert(off == on, s"$name diverges when AQE is disabled")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.adaptive.enabled", p)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("q01 aggregation, q17 LSH, q45 top-k sample, q76 shuffle-shard are AQE-independent") {
