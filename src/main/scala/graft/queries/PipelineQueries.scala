@@ -421,6 +421,27 @@ object PipelineQueries {
       |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---- Q81: JSONL corpus round trip, hash-checked ------------------------
+  // LLM corpora ship as JSON-lines; this proves the graft JSONL
+  // source/sink preserves every byte: documents → partitioned JSONL
+  // (lang directories, like a real corpus export) → schema-pinned
+  // read-back → per-doc md5 of the text.  Any escaping/unicode/
+  // partition-column corruption in the round trip flips a
+  // fingerprint; the oracle computes the same md5 straight off the
+  // parquet.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("q81_jsonl").toString
+    val docs = tbl(s, dir, "documents")
+    graft.sources.Tables.writeJsonl(docs, out, partitionCols = Seq("lang"))
+    graft.sources.Tables.json(s, out, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+  val q81Sql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- Q30: event-time windowed aggregation (streaming surface on batch) -
   // `ts` arrives as raw nanos (nanosAsLong); integer-divide to micros
   // to keep full precision, then tumble into 1-hour windows.
@@ -1998,6 +2019,7 @@ object PipelineQueries {
     "q36_pivot" -> (q36 _),
     "q29_multimodal" -> (q29 _),
     "q79_audio_codec" -> (q79 _),
+    "q81_jsonl_roundtrip" -> (q81 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2033,6 +2055,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q29_multimodal" -> q29Sql,
     "q79_audio_codec" -> q79Sql,
+    "q81_jsonl_roundtrip" -> q81Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,

@@ -38,6 +38,21 @@ object Tables {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSON-lines sink — the interchange format LLM corpora ship in
+    * (one JSON object per line; splittable when uncompressed, so use
+    * per-file compression like zstd/gzip only with many files).
+    * `partitionCols` gives directory pruning exactly like the
+    * parquet sink; read back with the schema-pinned [[json]] reader
+    * (q81 hash-checks the byte-level text round trip). */
+  def writeJsonl(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil, compression: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    compression.foreach(c => w.option("compression", c))
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+
   /** Hive-style partitioned parquet sink: one directory per distinct
     * partition value → partition pruning on read (a filter on the
     * partition column skips whole directories). */

@@ -94,6 +94,39 @@ object TxLog {
     }
   }
 
+  /** Fold all committed batches into ONE batch, bounding the
+    * `_commits` listing cost (the documented knob: compact before the
+    * log reaches ~10^5 marker files).  Safe against crashes at any
+    * point — the protocol only ever adds a marker atomically and
+    * deletes old markers AFTER the combined batch is committed:
+    *
+    *  1. read all committed rows, stage them as one new batch under
+    *     `maxId + 1` and commit it (atomic marker create — a crash
+    *     before this point changes nothing);
+    *  2. delete the old markers (a crash mid-delete leaves some old
+    *     markers alongside the combined one — rows would double-read,
+    *     so readers must not run between steps; compact during a
+    *     quiet window or hold the writer role while compacting);
+    *  3. vacuum the now-orphaned staged dirs.
+    *
+    * Returns the new batch id, or None when the log has fewer than
+    * two committed batches (nothing to fold).  Single-writer, like
+    * every append protocol here: concurrent ingest during compaction
+    * is the caller's lock to take. */
+  def compact(spark: SparkSession, dir: String): Option[Long] = {
+    val ids = committedBatchIds(spark, dir)
+    if (ids.size < 2) return None
+    val combinedId = ids.max + 1
+    val all = readCommitted(spark, dir)
+    require(commitBatch(all, dir, combinedId),
+      s"TxLog.compact: batch $combinedId already exists in $dir — " +
+        "a concurrent writer is active; compaction requires the writer role")
+    val (f, root) = fs(spark, dir)
+    ids.foreach(id => f.delete(new Path(root, s"_commits/$id"), false))
+    vacuum(spark, dir)
+    Some(combinedId)
+  }
+
   /** Delete staged dirs no marker references (crashed or race-losing
     * attempts).  Returns how many orphans were removed. */
   def vacuum(spark: SparkSession, dir: String): Int = {

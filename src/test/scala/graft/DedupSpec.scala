@@ -160,6 +160,43 @@ class DedupSpec extends AnyFunSuite {
     assert(TxLog.vacuum(spark, dir) == 0)
   }
 
+  test("TxLog: concurrent commits of one batch — exactly one wins") {
+    import graft.sources.TxLog
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("txlog_race").toString
+    // two writers race the atomic marker create for the same batch id
+    // with DIFFERENT payloads — exactly one payload must win wholesale
+    // (no interleaving, no double-commit)
+    val attempts = (1 to 2).map { w =>
+      Future(TxLog.commitBatch(
+        Seq((w.toLong, s"writer$w")).toDF("id", "v"), dir, 7L))
+    }
+    val wins = Await.result(Future.sequence(attempts), 2.minutes).count(identity)
+    assert(wins == 1, s"exactly one concurrent commit must win, got $wins")
+    val rows = TxLog.readCommitted(spark, dir).collect()
+    assert(rows.length == 1, s"one winner's payload only, got ${rows.toSeq}")
+    assert(TxLog.vacuum(spark, dir) == 1, "loser's staged dir is an orphan")
+  }
+
+  test("TxLog.compact folds committed batches into one marker") {
+    import graft.sources.TxLog
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_compact").toString
+    (0L to 3L).foreach(i =>
+      assert(TxLog.commitBatch(Seq((i, s"b$i")).toDF("id", "v"), dir, i)))
+    val before = TxLog.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+    assert(TxLog.compact(spark, dir) == Some(4L))
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(4L),
+      "old markers replaced by the single combined one")
+    assert(TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq
+      == before, "compaction must not change the committed rows")
+    assert(TxLog.compact(spark, dir).isEmpty, "single batch: nothing to fold")
+  }
+
   test("ingestBatchIntoIndexTx: crash-replay duplicates nothing user-visible") {
     import graft.sources.TxLog
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
