@@ -250,6 +250,97 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-window stats for [[audioFrameFeatures]] — all exact
+    * integers, so a SQL oracle replays them bit-for-bit. */
+  final case class AudioWindow(winNo: Int, nSamples: Long, sumSq: Long,
+      peak: Int, zeroCrossings: Long)
+
+  /** Decode PCM into fixed windows of `winFrames` frames and emit
+    * exact per-window stats: sample count, energy (Σv²), peak |v|,
+    * and zero crossings (sign flips between consecutive samples OF
+    * THE SAME CHANNEL — counted in the later sample's window).  One
+    * streaming pass, constant memory: the per-channel previous
+    * sample is the only carried state. */
+  def decodeAudioWindows(content: Array[Byte], winFrames: Int): Option[Seq[AudioWindow]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    require(winFrames > 0, s"winFrames must be positive, got $winFrames")
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+        val prev = new Array[Int](channels)
+        val hasPrev = new Array[Boolean](channels)
+        var win = -1; var n = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+        def flush(): Unit =
+          if (win >= 0) { out += AudioWindow(win, n, sumSq, peak, zc) }
+        var frame = 0L
+        val buf = new Array[Byte](frameSize * 4096)
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + frameSize <= read) {
+            val w = (frame / winFrames).toInt
+            if (w != win) { flush(); win = w; n = 0; sumSq = 0; peak = 0; zc = 0 }
+            var c = 0
+            while (c < channels) {
+              val o = i + 2 * c
+              val v =
+                if (fmt.isBigEndian) (buf(o).toInt << 8) | (buf(o + 1) & 0xff)
+                else (buf(o + 1).toInt << 8) | (buf(o) & 0xff)
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v
+              n += 1
+              if (hasPrev(c) && prev(c).toLong * v < 0) zc += 1
+              prev(c) = v; hasPrev(c) = true
+              c += 1
+            }
+            frame += 1
+            i += frameSize
+          }
+          read = in.read(buf)
+        }
+        flush()
+        Some(out.toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Explode audio rows into per-window feature rows — the
+    * frame-feature extraction step of a speech/audio pipeline, in the
+    * same streaming `mapPartitions` shape as [[withAudioStats]].
+    * Output: (media_id, win_no, n_samples, sum_sq, peak,
+    * zero_crossings); undecodable rows contribute no windows. */
+  def audioFrameFeatures(media: DataFrame, winFrames: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_no", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val cIdx = media.schema.fieldIndex(contentCol)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioWindows(r.getAs[Array[Byte]](cIdx), winFrames)
+          .getOrElse(Seq.empty).map(w => Row(r.getLong(idIdx), w.winNo,
+            w.nSamples, w.sumSq, w.peak, w.zeroCrossings))
+      }
+    }(enc)
+  }
+
   /** Synthetic audio derived from `documents`: REAL 16-bit PCM WAVs
     * (AudioSystem encode) whose samples are a closed-form function of
     * the document row —

@@ -421,6 +421,36 @@ object PipelineQueries {
       |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---- Q82: frame-level audio features, hash-checked --------------------
+  // The frame-feature step of a speech pipeline: PCM split into
+  // 16-frame windows, per window exact integer stats (sample count,
+  // energy, peak, per-channel zero crossings — a crossing counts in
+  // the later sample's window).  DuckDB replays the closed-form
+  // samples and pairs each with its same-channel predecessor
+  // (j - channels) to count sign flips.  All-integer, so hash-exact.
+  def q82(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(Multimodal.syntheticAudio(s, dir), 16)
+      .select(col("media_id"), col("win_no").cast("long").as("win_no"),
+        col("n_samples"), col("sum_sq"),
+        col("peak").cast("long").as("peak"), col("zero_crossings"))
+      .orderBy("media_id", "win_no")
+  val q82Sql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS channels,
+      |    (length(text) % 50) + 20 AS frames FROM documents),
+      |s AS (SELECT p.doc_id, (t.j // p.channels) // 16 AS win_no,
+      |    ((p.doc_id*31 + t.j*7919) % 65536) - 32768 AS v,
+      |    CASE WHEN t.j >= p.channels THEN
+      |      ((p.doc_id*31 + (t.j - p.channels)*7919) % 65536) - 32768
+      |    END AS pv
+      |  FROM p CROSS JOIN generate_series(0, 149) t(j)
+      |  WHERE t.j < p.frames * p.channels)
+      |SELECT doc_id AS media_id, CAST(win_no AS BIGINT) AS win_no,
+      |  count(*) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(count(*) FILTER (pv IS NOT NULL AND pv*v < 0) AS BIGINT)
+      |    AS zero_crossings
+      |FROM s GROUP BY doc_id, win_no ORDER BY media_id, win_no""".stripMargin
+
   // ---- Q81: JSONL corpus round trip, hash-checked ------------------------
   // LLM corpora ship as JSON-lines; this proves the graft JSONL
   // source/sink preserves every byte: documents → partitioned JSONL
@@ -2020,6 +2050,7 @@ object PipelineQueries {
     "q29_multimodal" -> (q29 _),
     "q79_audio_codec" -> (q79 _),
     "q81_jsonl_roundtrip" -> (q81 _),
+    "q82_audio_frames" -> (q82 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2056,6 +2087,7 @@ object PipelineQueries {
     "q29_multimodal" -> q29Sql,
     "q79_audio_codec" -> q79Sql,
     "q81_jsonl_roundtrip" -> q81Sql,
+    "q82_audio_frames" -> q82Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,

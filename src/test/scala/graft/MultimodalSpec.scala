@@ -120,6 +120,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudioWindows: per-channel crossings land in the later sample's window") {
+    // stereo, winFrames = 2: channel 0 alternates sign every frame,
+    // channel 1 stays positive — crossings come from channel 0 only,
+    // and the frame-2 crossing (prev = frame 1) counts in window 1
+    val samples = Array[Short](100, 50, -100, 60, 100, 70, -100, 80)
+    val wav = Multimodal.encodeWavPcm16(8000, 2, samples)
+    val wins = Multimodal.decodeAudioWindows(wav, 2).get
+    assert(wins.map(_.winNo) == Seq(0, 1))
+    assert(wins.map(_.nSamples) == Seq(4L, 4L))
+    // window 0: frames 0,1 — one crossing (100 -> -100); window 1:
+    // frames 2,3 — crossings (-100 -> 100 at frame 2, counted here,
+    // and 100 -> -100 at frame 3)
+    assert(wins.map(_.zeroCrossings) == Seq(1L, 2L),
+      s"got ${wins.map(_.zeroCrossings)}")
+    assert(wins.map(_.peak) == Seq(100, 100))
+    assert(wins.map(_.sumSq) ==
+      Seq(100L*100*2 + 50L*50 + 60L*60, 100L*100*2 + 70L*70 + 80L*80))
+    // stats across windows must agree with the whole-file decode
+    val whole = Multimodal.decodeAudio(wav).get
+    assert(wins.map(_.sumSq).sum == whole.sumSq)
+    assert(wins.map(_.nSamples).sum == whole.nSamples)
+  }
+
   test("sampleFrames explodes to n frames per row") {
     val frames = Multimodal.sampleFrames(media().limit(5), 4)
     assert(frames.count() == 20)
