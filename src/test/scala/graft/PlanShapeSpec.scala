@@ -123,6 +123,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q82: frame features are a pure per-partition explode (no data shuffle)") {
+    val p = plan(PipelineQueries.all("q82_audio_frames")(spark, sf))
+    // media bytes must never cross an exchange: decode + window
+    // explode happen in-place; only the presentation ORDER BY may
+    // exchange (a range exchange)
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"frame extraction must not hash-shuffle media rows:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q78 shape: runningFoldTws plans exactly one stateful exchange") {
+    // the TWS running fold must group once for the state store and
+    // never re-Exchange afterwards — same contract as q70's audit
+    import graft.core.Folds
+    import graft.streaming.StreamingAgg
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = StreamingAgg.runningFoldTws(in.toDS(), Folds.sumD)
+      .toDF("k", "v").writeStream.format("memory")
+      .queryName("q78_plan_sink").outputMode("update").start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      // the executed microbatch plan: inspect via the query's last
+      // execution — one shuffle, the stateful-operator requirement
+      val exec = spark.streams.active.find(_.name == "q78_plan_sink").get
+      val plan = exec.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(countOf(plan, "Exchange ") == 1,
+        s"exactly one stateful exchange expected:\n$plan")
+      assert(plan.contains("TransformWithState"),
+        s"must run through the v2 stateful operator:\n$plan")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sketch folds carry native (non-Kryo) buffer encoders") {
     // a Kryo encoder's schema is a single BinaryType blob; native
     // array/map buffers cross the shuffle as codegen'd unsafe rows
