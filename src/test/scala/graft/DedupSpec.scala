@@ -197,6 +197,39 @@ class DedupSpec extends AnyFunSuite {
     assert(TxLog.compact(spark, dir).isEmpty, "single batch: nothing to fold")
   }
 
+  test("lshIndexSink with txPairsDir lands pairs through the TxLog") {
+    import graft.sources.TxLog
+    import graft.streaming.StreamingAgg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 450), "doc_id", "text",
+      "dedupspec_sink_tx", buckets = 4)
+    graft.sources.Tables.dropWithLocation(spark, "dedupspec_sink_tx_batches")
+    val pairsDir = java.nio.file.Files.createTempDirectory("txsink").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingAgg.lshIndexSink(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "dedupspec_sink_tx", pairsTable = "unused_when_tx",
+      buckets = 4, txPairsDir = Some(pairsDir))
+    try {
+      val rows = docs.where(col("doc_id") >= 450)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val (b1, b2) = rows.partition(_._1 < 475)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // both micro-batches committed through the manifest log; the
+    // pairs match a direct batch probe of the same docs
+    assert(TxLog.committedBatchIds(spark, pairsDir) == Seq(0L, 1L))
+    val streamed = TxLog.readCommitted(spark, pairsDir)
+    assert(streamed.count() ==
+      streamed.dropDuplicates("id_a", "id_b").count())
+    assert(!spark.catalog.tableExists("unused_when_tx"),
+      "tx mode must not create the plain pairs table")
+  }
+
   test("ingestBatchIntoIndexTx: crash-replay duplicates nothing user-visible") {
     import graft.sources.TxLog
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
