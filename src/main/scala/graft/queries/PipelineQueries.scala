@@ -451,6 +451,35 @@ object PipelineQueries {
       |    AS zero_crossings
       |FROM s GROUP BY doc_id, win_no ORDER BY media_id, win_no""".stripMargin
 
+  // ---- Q83: small-file compaction, hash-checked --------------------------
+  // A corpus accreted in per-batch appends becomes thousands of tiny
+  // files; Tables.compactFiles rewrites them at a target file size.
+  // The gate fragments documents into 64 tiny files, compacts to ~1
+  // file, and fingerprints every row off the compacted copy — the
+  // oracle reads the original parquet, so any dropped/duplicated/
+  // mangled row flips a hash.  The file-count collapse is asserted
+  // Spark-side (64 fragments in, 1 file out at this size).
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("q83_compact").toString
+    tbl(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val fragFiles = new java.io.File(s"$base/frag")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    require(fragFiles == 64, s"expected 64 fragments, got $fragFiles")
+    val n = graft.sources.Tables.compactFiles(s, s"$base/frag", s"$base/out")
+    val outFiles = new java.io.File(s"$base/out")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    require(outFiles == n && n < 64,
+      s"compaction must collapse 64 fragments, got $outFiles files (plan $n)")
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+  val q83Sql: String =
+    """SELECT doc_id, lang, n_chars, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- Q81: JSONL corpus round trip, hash-checked ------------------------
   // LLM corpora ship as JSON-lines; this proves the graft JSONL
   // source/sink preserves every byte: documents → partitioned JSONL
@@ -2051,6 +2080,7 @@ object PipelineQueries {
     "q79_audio_codec" -> (q79 _),
     "q81_jsonl_roundtrip" -> (q81 _),
     "q82_audio_frames" -> (q82 _),
+    "q83_compact_files" -> (q83 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2088,6 +2118,7 @@ object PipelineQueries {
     "q79_audio_codec" -> q79Sql,
     "q81_jsonl_roundtrip" -> q81Sql,
     "q82_audio_frames" -> q82Sql,
+    "q83_compact_files" -> q83Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,

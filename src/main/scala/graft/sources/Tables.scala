@@ -94,6 +94,29 @@ object Tables {
       .sortWithinPartitions(col(shardCol), col(posCol))
       .write.mode(mode).partitionBy(shardCol).parquet(path)
 
+  /** Compact a parquet directory's many small files into ~`targetMB`
+    * files — the small-file killer for training readers (a 100 TB
+    * corpus accreted in per-batch appends ends up as millions of
+    * KB-scale files; open/seek overhead then dominates the scan).
+    * One distributed read + one write, content-identical (q83
+    * hash-checks); file count = ceil(input bytes / targetMB), so the
+    * output lands at roughly the row-group-friendly size HDFS-likes
+    * want.  Round-robin repartition spreads rows evenly regardless
+    * of input skew.  Partition layout is NOT preserved — compact
+    * unpartitioned dirs or one partition directory at a time.
+    * Returns the output file count. */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 1024): Int = {
+    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   /** Honest drop even across JVM restarts: a previous session may
     * have left the managed table's LOCATION behind while the
     * (in-memory) catalog entry died with it — the next `saveAsTable`
