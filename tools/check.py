@@ -3,7 +3,12 @@
 parquet, run the matching oracle SQL in DuckDB over the same testdata,
 and diff (columns sorted by name, rows sorted, values stringified).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--skip q,q,...]
+
+--skip names oracle entries to leave out (e.g. q19_ngram_jaccard at
+sf1, whose SQL replay is quadratic in candidate pairs); a query whose
+output dir is missing is also skipped when named here instead of
+counting as a failure.
 """
 import json, os, sys
 import duckdb
@@ -18,7 +23,7 @@ def norm(v):
         return f"{v:.6f}"
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -28,6 +33,9 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         sql = oracles[name]
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
@@ -69,4 +77,10 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    skip = ()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], skip))
