@@ -465,7 +465,13 @@ object Dedup {
       try {
         if (!graft.sources.TxLog.isCommitted(spark, pairsDir, batchId)) {
           val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
-          graft.sources.TxLog.commitBatch(pairs, pairsDir, batchId)
+          val committed = graft.sources.TxLog.commitBatch(pairs, pairsDir, batchId)
+          // commitBatch returns false ONLY for a verified already-
+          // committed batch (any real I/O failure propagates); re-check
+          // so the index append + batch marker can never record a batch
+          // whose pairs did not land
+          require(committed || graft.sources.TxLog.isCommitted(spark, pairsDir, batchId),
+            s"TxLog batch $batchId reported already-committed but no marker is visible")
           unpersistInputsOf(pairs)
         }
         appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)

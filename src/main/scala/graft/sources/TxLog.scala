@@ -1,141 +1,270 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A minimal manifest commit log giving EXACTLY-ONCE batch appends on
   * plain parquet — the role a transactional table format (Delta,
   * Iceberg) plays, rebuilt from the two primitives every HDFS-like
-  * filesystem has: write-to-a-fresh-directory and atomic
-  * create-no-overwrite of a single marker file.
+  * filesystem has: write-to-a-fresh-directory and an atomic
+  * no-overwrite rename of a single marker file.
   *
   * Layout under `dir`:
   * {{{
-  *   _staged/<batchId>-<uuid>/   parquet files for one attempt
-  *   _commits/<batchId>          marker; CONTENT = the staged dir name
+  *   _staged/<marker>-<uuid>/    parquet files for one attempt
+  *   _commits/<batchId>          writer marker; CONTENT = staged dir name
+  *   _commits/c<maxFoldedId>     compaction marker (same content shape)
+  *   _commits/.tmp/<uuid>        marker bodies awaiting the publish rename
   * }}}
   *
   * Protocol per batch:
   *  1. write the batch's rows to a fresh `_staged/<batchId>-<uuid>/`
   *     (a crashed attempt leaves an orphan dir no marker references);
-  *  2. publish with ONE atomic `create(_commits/<batchId>,
-  *     overwrite=false)` whose content names the staged dir.
+  *  2. write the marker BODY (the staged dir name) to
+  *     `_commits/.tmp/<uuid>` and close it — content is durable before
+  *     anything references it;
+  *  3. publish with ONE no-overwrite rename of the tmp file to
+  *     `_commits/<batchId>` (`FileContext.rename(…, Rename.NONE)` —
+  *     atomic on HDFS-likes; the pattern Spark's own streaming
+  *     checkpoint manager uses for its commit log).
   *
-  * A replay of an already-committed batch is a no-op (the marker
-  * exists); a replay of a crashed attempt stages a NEW dir and
-  * commits that one — the orphan from the crash is invisible to
-  * readers, which resolve content exclusively through markers, and is
-  * reclaimed by [[vacuum]].  Two concurrent attempts race on the
-  * atomic marker create; exactly one wins, the loser's dir is an
-  * orphan.  No reader ever needs a defensive DISTINCT.
+  * A crash at any point leaves either no marker (replay re-stages and
+  * commits) or a complete marker (replay is a no-op) — never a
+  * half-written marker, because the rename is the only operation that
+  * makes a marker visible.  Two concurrent attempts race on the
+  * no-overwrite rename; one wins, the loser's staged dir is an orphan
+  * for [[vacuum]].  (On a POSIX local fs the exists-check inside the
+  * rename is check-then-act, so two attempts landing within the same
+  * microsecond can both report success — the marker then names ONE of
+  * the two identical staged dirs, so reads stay exactly-once; HDFS
+  * renames are atomic and report the race exactly.)  No reader ever
+  * needs a defensive DISTINCT.
   *
-  * Scale notes: readers pay one `_commits` listing (one file per
-  * batch — at 1 batch/minute that is ~500k files/year, so compact or
-  * date-partition the log before that bites); the data files
+  * Compaction markers live in their own name shape (`c<n>`, n = the
+  * largest writer id folded in) so they can NEVER collide with a
+  * writer's monotonically-increasing batch ids, and [[isCommitted]]
+  * treats every id ≤ n as committed — a stream replaying a batch that
+  * compaction already folded still skips it.  Readers resolve live
+  * markers BY NAME (numeric ids above the newest compaction id, plus
+  * that compaction marker), so a crash between publishing the folded
+  * marker and deleting the stale ones never double-reads — recovery
+  * is just [[vacuum]].
+  *
+  * Scale notes: readers pay one `_commits` listing plus one small
+  * read per live marker; [[compact]] (optionally generational via
+  * `keepRecent`) bounds the live-marker count, and above
+  * [[bulkReadThreshold]] live markers the bodies are read in one
+  * distributed pass instead of a driver loop.  The data files
   * themselves are read with ordinary partitioned parquet scans, so
   * filter pushdown and column pruning are untouched.
   */
 object TxLog {
+
+  /** Live-marker count above which [[committedDirs]] reads marker
+    * bodies with a distributed text scan (one Spark job) instead of a
+    * sequential driver loop of per-file opens. */
+  val bulkReadThreshold: Int = 1024
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  private def commitsPath(root: Path) = new Path(root, "_commits")
+
+  /** Parse a marker file name: Right(batchId) for writer markers,
+    * Left(maxFoldedId) for compaction markers, None for anything else
+    * (tmp dir, stray files). */
+  private def parseMarker(name: String): Option[Either[Long, Long]] =
+    if (name.forall(_.isDigit) && name.nonEmpty) Some(Right(name.toLong))
+    else if (name.length > 1 && name.head == 'c' && name.tail.forall(_.isDigit))
+      Some(Left(name.tail.toLong))
+    else None
+
+  /** (live writer ids, newest compaction id if any).  Live = writer
+    * markers above the newest compaction id; everything at or below
+    * it (and older compaction markers) is stale — already folded,
+    * awaiting [[vacuum]].  Zero-length markers are half-published
+    * debris from pre-rename-protocol writers: uncommitted. */
+  private def liveMarkers(f: FileSystem, root: Path): (Seq[Long], Option[Long]) = {
+    val commits = commitsPath(root)
+    if (!f.exists(commits)) return (Seq.empty, None)
+    val named = f.listStatus(commits).toSeq
+      .filter(st => st.isFile && st.getLen > 0)
+      .flatMap(st => parseMarker(st.getPath.getName))
+    val compactId = named.collect { case Left(n) => n }.sorted.lastOption
+    val floor = compactId.getOrElse(-1L)
+    (named.collect { case Right(id) if id > floor => id }.sorted, compactId)
+  }
+
+  /** True if `batchId`'s rows are in the log — via its own marker or
+    * a compaction marker that folded it. */
   def isCommitted(spark: SparkSession, dir: String, batchId: Long): Boolean = {
     val (f, root) = fs(spark, dir)
-    f.exists(new Path(root, s"_commits/$batchId"))
+    lastCompactedId(spark, dir).exists(batchId <= _) || {
+      val st = try Some(f.getFileStatus(new Path(commitsPath(root), batchId.toString)))
+               catch { case _: java.io.FileNotFoundException => None }
+      st.exists(s => s.isFile && s.getLen > 0)
+    }
+  }
+
+  /** The newest compaction marker's fold ceiling: every writer batch
+    * id ≤ this is committed (its rows live in the folded batch). */
+  def lastCompactedId(spark: SparkSession, dir: String): Option[Long] = {
+    val (f, root) = fs(spark, dir)
+    liveMarkers(f, root)._2
   }
 
   /** Stage `df` and atomically publish it as `batchId`.  Returns true
     * if this call committed, false if the batch was already committed
-    * (the staged attempt is then left as an orphan for [[vacuum]]). */
+    * or another attempt won the publish race (the staged attempt is
+    * then an orphan for [[vacuum]]).  Any other I/O failure — disk
+    * full, permissions, fs hiccup — PROPAGATES: only a verified
+    * already-committed state may report false. */
   def commitBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = df.sparkSession
     val (f, root) = fs(spark, dir)
-    val marker = new Path(root, s"_commits/$batchId")
-    if (f.exists(marker)) return false
+    if (isCommitted(spark, dir, batchId)) return false
     val staged = s"$batchId-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(root, s"_staged/$staged").toString)
-    f.mkdirs(marker.getParent)
-    val out =
-      try f.create(marker, /*overwrite=*/ false)
-      catch { case _: java.io.IOException => return false } // lost the race
+    publishMarker(spark, f, root, batchId.toString, staged)
+  }
+
+  /** Write the marker body to `_commits/.tmp/` then publish it with a
+    * no-overwrite rename.  Returns false only when the destination
+    * marker already exists (someone else committed). */
+  private def publishMarker(spark: SparkSession, f: FileSystem, root: Path,
+      markerName: String, staged: String): Boolean = {
+    val commits = commitsPath(root)
+    val tmp = new Path(commits, s".tmp/${java.util.UUID.randomUUID()}")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, /*overwrite=*/ false)
     try out.write(staged.getBytes("UTF-8")) finally out.close()
-    true
+    val fc = FileContext.getFileContext(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(commits, markerName)),
+        Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false) // lost the race; marker content is the winner's
+        false
+    }
   }
 
   /** All committed rows: the union of exactly the staged dirs the
-    * markers name.  Empty-log reads return an empty frame only if a
-    * schema can't be inferred — callers handle the no-commits case. */
+    * live markers name. */
   def readCommitted(spark: SparkSession, dir: String): DataFrame = {
     val dirs = committedDirs(spark, dir)
     require(dirs.nonEmpty, s"TxLog at $dir has no committed batches")
     spark.read.parquet(dirs: _*)
   }
 
+  /** Live writer batch ids (compaction-folded ids are subsumed by
+    * [[lastCompactedId]] and not listed). */
   def committedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
     val (f, root) = fs(spark, dir)
-    val commits = new Path(root, "_commits")
-    if (!f.exists(commits)) Seq.empty
-    else f.listStatus(commits).toSeq.map(_.getPath.getName.toLong).sorted
+    liveMarkers(f, root)._1
   }
 
   private def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
     val (f, root) = fs(spark, dir)
-    val commits = new Path(root, "_commits")
-    if (!f.exists(commits)) Seq.empty
-    else f.listStatus(commits).toSeq.map { st =>
-      val in = f.open(st.getPath)
-      val staged =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      new Path(root, s"_staged/$staged").toString
-    }
+    val (ids, compactId) = liveMarkers(f, root)
+    val names = compactId.map(n => s"c$n").toSeq ++ ids.map(_.toString)
+    val bodies =
+      if (names.size <= bulkReadThreshold)
+        names.map { n =>
+          val in = f.open(new Path(commitsPath(root), n))
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      else {
+        // one distributed pass over the marker files instead of 10^5
+        // serial driver opens; filter back to the live set (the scan
+        // glob can't express "numeric above the compaction floor")
+        import spark.implicits._
+        val live = names.toSet
+        spark.read.textFile(new Path(commitsPath(root), "[0-9c]*").toString)
+          .withColumn("f", org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.input_file_name(), "/"), -1))
+          .as[(String, String)].collect().toSeq
+          .collect { case (body, name) if live.contains(name) => body.trim }
+      }
+    bodies.map(b => new Path(root, s"_staged/$b").toString)
   }
 
-  /** Fold all committed batches into ONE batch, bounding the
-    * `_commits` listing cost (the documented knob: compact before the
-    * log reaches ~10^5 marker files).  Safe against crashes at any
-    * point — the protocol only ever adds a marker atomically and
-    * deletes old markers AFTER the combined batch is committed:
+  /** Fold committed batches into ONE, bounding the live-marker count
+    * (the documented knob: compact before the log reaches ~10^5
+    * markers).  `keepRecent` leaves that many of the newest writer
+    * batches unfolded — generational compaction, so a frequently-run
+    * compact never rewrites the whole corpus, only the closed tail.
     *
-    *  1. read all committed rows, stage them as one new batch under
-    *     `maxId + 1` and commit it (atomic marker create — a crash
-    *     before this point changes nothing);
-    *  2. delete the old markers (a crash mid-delete leaves some old
-    *     markers alongside the combined one — rows would double-read,
-    *     so readers must not run between steps; compact during a
-    *     quiet window or hold the writer role while compacting);
-    *  3. vacuum the now-orphaned staged dirs.
+    * Crash-safe at every point: the folded batch is published under
+    * `c<maxFoldedId>` (its own marker namespace — a writer's next
+    * batch id can never collide with it), and readers ignore
+    * stale markers BY NAME the instant the folded marker lands, so
+    * there is no double-read window; a crash before the stale-marker
+    * deletes finishes is healed by [[vacuum]].  Single-WRITER still:
+    * concurrent ingest during compaction could commit a batch whose
+    * id the fold ceiling then swallows, so hold the writer role while
+    * compacting.
     *
-    * Returns the new batch id, or None when the log has fewer than
-    * two committed batches (nothing to fold).  Single-writer, like
-    * every append protocol here: concurrent ingest during compaction
-    * is the caller's lock to take. */
-  def compact(spark: SparkSession, dir: String): Option[Long] = {
-    val ids = committedBatchIds(spark, dir)
-    if (ids.size < 2) return None
-    val combinedId = ids.max + 1
-    val all = readCommitted(spark, dir)
-    require(commitBatch(all, dir, combinedId),
-      s"TxLog.compact: batch $combinedId already exists in $dir — " +
-        "a concurrent writer is active; compaction requires the writer role")
+    * Returns the folded marker's ceiling id, or None when fewer than
+    * two live markers would fold. */
+  def compact(spark: SparkSession, dir: String, keepRecent: Int = 0): Option[Long] = {
+    require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
     val (f, root) = fs(spark, dir)
-    ids.foreach(id => f.delete(new Path(root, s"_commits/$id"), false))
+    val (ids, compactId) = liveMarkers(f, root)
+    val foldIds = ids.dropRight(keepRecent)
+    val foldNames = compactId.map(n => s"c$n").toSeq ++ foldIds.map(_.toString)
+    if (foldNames.size < 2) return None
+    val ceiling = foldIds.lastOption.getOrElse(compactId.get)
+    val dirs = foldNames.map { n =>
+      val in = f.open(new Path(commitsPath(root), n))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      new Path(root, s"_staged/$body").toString
+    }
+    val staged = s"c$ceiling-${java.util.UUID.randomUUID()}"
+    spark.read.parquet(dirs: _*).write.mode("overwrite")
+      .parquet(new Path(root, s"_staged/$staged").toString)
+    require(publishMarker(spark, f, root, s"c$ceiling", staged),
+      s"TxLog.compact: marker c$ceiling already exists in $dir — " +
+        "a concurrent compactor is active; compaction requires the writer role")
+    // stale markers are invisible to readers already (name floor);
+    // deleting them + orphaned dirs is pure cleanup
+    foldNames.foreach(n => f.delete(new Path(commitsPath(root), n), false))
     vacuum(spark, dir)
-    Some(combinedId)
+    Some(ceiling)
   }
 
-  /** Delete staged dirs no marker references (crashed or race-losing
-    * attempts).  Returns how many orphans were removed. */
+  /** Delete staged dirs no live marker references (crashed attempts,
+    * race losers, compaction-folded batches) plus stale markers and
+    * leftover tmp bodies.  Returns how many staged dirs were removed.
+    * Run under the writer role — an in-flight commit's staged dir
+    * looks like an orphan until its marker lands. */
   def vacuum(spark: SparkSession, dir: String): Int = {
     val (f, root) = fs(spark, dir)
+    // stale markers first, so a crashed compact converges
+    val (ids, compactId) = liveMarkers(f, root)
+    val commits = commitsPath(root)
+    if (f.exists(commits)) {
+      val live = ids.map(_.toString).toSet ++ compactId.map(n => s"c$n")
+      f.listStatus(commits).toSeq.filter(_.isFile)
+        .filterNot(st => live.contains(st.getPath.getName))
+        .foreach(st => f.delete(st.getPath, false))
+      val tmp = new Path(commits, ".tmp")
+      if (f.exists(tmp))
+        f.listStatus(tmp).foreach(st => f.delete(st.getPath, false))
+    }
     val stagedRoot = new Path(root, "_staged")
     if (!f.exists(stagedRoot)) return 0
-    val live = committedDirs(spark, dir).map(new Path(_).getName).toSet
+    val liveDirs = committedDirs(spark, dir).map(new Path(_).getName).toSet
     val orphans = f.listStatus(stagedRoot).toSeq
-      .filterNot(st => live.contains(st.getPath.getName))
+      .filterNot(st => liveDirs.contains(st.getPath.getName))
     orphans.foreach(st => f.delete(st.getPath, true))
     orphans.size
   }

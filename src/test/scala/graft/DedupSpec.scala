@@ -189,12 +189,64 @@ class DedupSpec extends AnyFunSuite {
       assert(TxLog.commitBatch(Seq((i, s"b$i")).toDF("id", "v"), dir, i)))
     val before = TxLog.readCommitted(spark, dir)
       .orderBy("id").collect().toSeq
-    assert(TxLog.compact(spark, dir) == Some(4L))
-    assert(TxLog.committedBatchIds(spark, dir) == Seq(4L),
-      "old markers replaced by the single combined one")
+    assert(TxLog.compact(spark, dir) == Some(3L),
+      "folded marker carries the largest folded writer id")
+    assert(TxLog.committedBatchIds(spark, dir).isEmpty,
+      "writer markers replaced by the compaction marker")
+    assert(TxLog.lastCompactedId(spark, dir) == Some(3L))
     assert(TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq
       == before, "compaction must not change the committed rows")
     assert(TxLog.compact(spark, dir).isEmpty, "single batch: nothing to fold")
+    // the compaction marker lives OUTSIDE the writer id namespace: a
+    // stream replaying any folded batch id still sees it committed,
+    // and the writer's next id (4) is untouched by the c3 marker
+    (0L to 3L).foreach(i => assert(TxLog.isCommitted(spark, dir, i),
+      s"folded batch $i must still read as committed"))
+    assert(!TxLog.isCommitted(spark, dir, 4L))
+    assert(!TxLog.commitBatch(Seq((99L, "replay")).toDF("id", "v"), dir, 2L),
+      "replay of a folded batch must be a no-op")
+    assert(TxLog.readCommitted(spark, dir).count() == 4)
+    assert(TxLog.commitBatch(Seq((4L, "b4")).toDF("id", "v"), dir, 4L))
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(4L))
+    assert(TxLog.readCommitted(spark, dir).count() == 5)
+  }
+
+  test("TxLog.compact(keepRecent): generational fold leaves the open tail") {
+    import graft.sources.TxLog
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_gen").toString
+    (0L to 5L).foreach(i =>
+      assert(TxLog.commitBatch(Seq((i, s"b$i")).toDF("id", "v"), dir, i)))
+    // fold only the closed tail (ids 0..3); 4 and 5 stay live
+    assert(TxLog.compact(spark, dir, keepRecent = 2) == Some(3L))
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(4L, 5L))
+    assert(TxLog.lastCompactedId(spark, dir) == Some(3L))
+    assert(TxLog.readCommitted(spark, dir).count() == 6)
+    // a second generational pass folds the previous fold + 4 into c4
+    assert(TxLog.compact(spark, dir, keepRecent = 1) == Some(4L))
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(5L))
+    assert(TxLog.readCommitted(spark, dir).count() == 6)
+    // nothing left to fold below the kept tail
+    assert(TxLog.compact(spark, dir, keepRecent = 1).isEmpty)
+  }
+
+  test("TxLog: a half-published (zero-length) marker reads as uncommitted") {
+    import graft.sources.TxLog
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_halfpub").toString
+    assert(TxLog.commitBatch(Seq((1L, "a")).toDF("id", "v"), dir, 0L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate pre-rename-protocol debris: an empty marker file
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/1"), false).close()
+    assert(!TxLog.isCommitted(spark, dir, 1L),
+      "an empty marker must not claim the batch")
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(0L))
+    assert(TxLog.readCommitted(spark, dir).count() == 1)
+    // vacuum clears the debris so the batch can be committed for real
+    TxLog.vacuum(spark, dir)
+    assert(TxLog.commitBatch(Seq((2L, "b")).toDF("id", "v"), dir, 1L))
+    assert(TxLog.readCommitted(spark, dir).count() == 2)
   }
 
   test("lshIndexSink with txPairsDir lands pairs through the TxLog") {
