@@ -264,10 +264,15 @@ object Dedup {
       prep)
   }
 
-  /** Persist the minhash-LSH dedup index for a corpus as two bucketed
-    * tables — the production shape for a CONTINUOUSLY-INGESTED corpus,
-    * where recomputing signatures over 100 TB per arriving batch
-    * ([[lshPairs]]'s shape) is the thing to avoid:
+  /** The batch_id the initial [[writeLshIndex]] bootstrap lands
+    * under — below every stream/ingest batch id (those start at 0). */
+  val bootstrapBatchId: Long = -1L
+
+  /** Persist the minhash-LSH dedup index for a corpus as two
+    * partitioned + bucketed tables — the production shape for a
+    * CONTINUOUSLY-INGESTED corpus, where recomputing signatures over
+    * 100 TB per arriving batch ([[lshPairs]]'s shape) is the thing to
+    * avoid:
     *
     *  - `<name>_bands`   (id, band_id, bh), bucketed by `bh`: the
     *    incremental band join probes this pre-hashed side WITHOUT
@@ -275,35 +280,73 @@ object Dedup {
     *  - `<name>_shingles` (id, sh), bucketed by `id`: candidate-pair
     *    verification fetches stored shingle sets by id.
     *
+    * Both are additionally PARTITIONED by `batch_id`, which is what
+    * makes per-batch appends IDEMPOTENT: [[appendToLshIndex]] lands a
+    * batch with dynamic partition overwrite, so a crash-replay
+    * REPLACES the batch's own partition instead of appending a second
+    * copy — the index can never hold a document's signature twice, and
+    * readers need no defensive dedup.  Bucket files group by bucket id
+    * across partition directories, so the probe-side no-shuffle
+    * contract is untouched by the partitioning.
+    *
     * Write once, then per batch: [[lshPairsAgainstIndex]] +
     * [[appendToLshIndex]]. */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
       name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit =
     writeIndexTables(df, idCol, textCol, name, n, bands, buckets,
-      org.apache.spark.sql.SaveMode.Overwrite)
+      bootstrapBatchId, initial = true)
 
   /** Append a processed batch to the index (same bucket spec, so the
     * co-location contract survives).  Call AFTER
-    * [[lshPairsAgainstIndex]] on that batch — ids must not repeat. */
-  def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
-      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit =
+    * [[lshPairsAgainstIndex]] on that batch — ids must not repeat
+    * across batches, and `batchId` must be unique per batch (reusing
+    * one OVERWRITES that batch's partition: replay-idempotence). */
+  def appendToLshIndex(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, n: Int = 3, bands: Int = 8,
+      buckets: Int = 16): Unit =
     writeIndexTables(batch, idCol, textCol, name, n, bands, buckets,
-      org.apache.spark.sql.SaveMode.Append)
+      batchId, initial = false)
 
   /** The single definition of the index's table shape — write and
     * append MUST stay identical or the bucket co-location contract
-    * silently breaks between them. */
+    * silently breaks between them.  `initial` creates the tables
+    * (partitioned by batch_id, bucketed); appends INSERT OVERWRITE
+    * the batch's own partition (dynamic mode), which is a no-op-shaped
+    * replace on replay: the closest plain-parquet gets to a
+    * transactional append, and exactly what foreachBatch's
+    * at-least-once redelivery needs. */
   private def writeIndexTables(df: DataFrame, idCol: String, textCol: String,
       name: String, n: Int, bands: Int, buckets: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      batchId: Long, initial: Boolean): Unit = {
     val shingleTbl = shinglePrep(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.sources.Tables.writeBucketed(shingleTbl, s"${name}_shingles",
-        buckets, Seq("id"), mode = mode)
-      graft.sources.Tables.writeBucketed(bandedOf(shingleTbl, bands),
-        s"${name}_bands", buckets, Seq("bh"), mode = mode)
+      writeIndexTable(shingleTbl.withColumn("batch_id", lit(batchId)),
+        s"${name}_shingles", buckets, "id", initial)
+      writeIndexTable(bandedOf(shingleTbl, bands).withColumn("batch_id", lit(batchId)),
+        s"${name}_bands", buckets, "bh", initial)
     } finally shingleTbl.unpersist()
+  }
+
+  private def writeIndexTable(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String, initial: Boolean): Unit = {
+    val spark = df.sparkSession
+    if (initial) {
+      graft.sources.Tables.dropWithLocation(spark, table)
+      df.write.partitionBy("batch_id").bucketBy(buckets, bucketCol)
+        .format("parquet").saveAsTable(table)
+    } else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      // Overwrite + dynamic mode replaces ONLY the partitions present
+      // in df — i.e. this batch's — leaving every other batch intact
+      try df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Incremental LSH near-dup: the pairs a new batch introduces —
@@ -375,14 +418,11 @@ object Dedup {
             s"maxBroadcastBytes=$maxBroadcastBytes — shuffle semi-join fallback")
         candIds
       }
-    // dropDuplicates AFTER the prune: an at-least-once index append
-    // (ingestBatchIntoIndexTx's crash-replay window) can leave a
-    // duplicated shingle row, which would duplicate every pair that
-    // id participates in — deduping the candidate-pruned slice makes
-    // index duplication correctness-neutral at the cost of one
-    // shuffle over the (small) candidate set only
-    val allSh = idxSh.join(idsSide, Seq("id"), "left_semi")
-      .dropDuplicates("id").unionByName(newSh)
+    // no dedup needed on the stored slice: appendToLshIndex lands each
+    // batch as its own overwritten partition, so a crash-replay can
+    // never leave a document's shingles in the index twice
+    val allSh = idxSh.select(col("id"), col("sh"))
+      .join(idsSide, Seq("id"), "left_semi").unionByName(newSh)
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val jac = inter /
       ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
@@ -405,10 +445,12 @@ object Dedup {
     * foreachBatch's at-least-once recovery contract.
     *
     * The marker commits LAST, so a crash mid-step replays the whole
-    * step and can duplicate that one batch's pairs/bands on plain
-    * parquet tables; readers defend with DISTINCT.  For exactly-once
-    * pairs without the DISTINCT, use [[ingestBatchIntoIndexTx]].
-    * Batch ids must be disjoint from already-indexed ids. */
+    * step.  The index append is replay-safe (the batch's partition is
+    * overwritten, not duplicated), but the PAIRS append is a plain
+    * parquet append and can duplicate that one batch's pairs; readers
+    * of `pairsTable` defend with DISTINCT.  For exactly-once pairs
+    * without the DISTINCT, use [[ingestBatchIntoIndexTx]].  Batch ids
+    * must be disjoint from already-indexed ids. */
   def ingestBatchIntoIndex(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, pairsTable: String, n: Int = 3,
       bands: Int = 8, buckets: Int = 16, minJaccard: Double = 0.0): Boolean = {
@@ -424,7 +466,7 @@ object Dedup {
         pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(pairsTable)
         unpersistInputsOf(pairs)
-        appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)
+        appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(s"${name}_batches")
@@ -435,23 +477,21 @@ object Dedup {
 
   /** EXACTLY-ONCE twin of [[ingestBatchIntoIndex]]: the user-facing
     * pairs output goes through a [[graft.sources.TxLog]] manifest
-    * commit (stage → one atomic marker create) at `pairsDir`, so a
+    * commit (stage → one atomic marker publish) at `pairsDir`, so a
     * crash-replay can never duplicate a batch's pairs and readers
     * ([[graft.sources.TxLog.readCommitted]]) need no defensive
-    * DISTINCT.  The internal bands/shingles appends stay at-least-once
-    * — a replay can duplicate them — but [[lshPairsAgainstIndex]]
-    * dedups the candidate-pruned shingle slice and distinct-s band
-    * candidates, so index duplication is cost-only, never
-    * correctness: the standard production split (transactional
-    * user-visible output, idempotent-by-reader internal state).
+    * DISTINCT.  The internal bands/shingles appends are replay-safe
+    * too: each batch lands as its own overwritten partition
+    * ([[appendToLshIndex]]), so a replay replaces rather than
+    * duplicates — end-to-end, no step of this protocol can double a
+    * row, and no reader dedups anything.
     *
     * Crash matrix (replay = calling this again with the same batch):
     *  - before the pairs commit: everything re-runs, one commit wins;
     *  - after pairs commit, before index append: pairs skip (marker
-    *    exists), index appends once;
+    *    exists), index partition lands once;
     *  - after index append, before `<name>_batches` marker: pairs
-    *    skip, index rows duplicate (neutralized at read), marker
-    *    lands. */
+    *    skip, index partition is overwritten in place, marker lands. */
   def ingestBatchIntoIndexTx(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, pairsDir: String, n: Int = 3,
       bands: Int = 8, buckets: Int = 16, minJaccard: Double = 0.0): Boolean = {
@@ -474,7 +514,7 @@ object Dedup {
             s"TxLog batch $batchId reported already-committed but no marker is visible")
           unpersistInputsOf(pairs)
         }
-        appendToLshIndex(b, idCol, textCol, name, n, bands, buckets)
+        appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(s"${name}_batches")

@@ -342,7 +342,9 @@ object StreamingAgg {
     * ([[graft.ext.Dedup.ingestBatchIntoIndex]]).
     *
     * foreachBatch recovery is at-least-once; the `<name>_batches`
-    * marker table turns replays into no-ops.  Index state lives in
+    * marker table turns replays into no-ops, and the index appends
+    * themselves are replay-safe (each batch overwrites its own
+    * batch_id partition).  Index state lives in
     * the bh-bucketed tables, NOT the streaming state store — the
     * store would otherwise hold every signature in the corpus, while
     * the table form keeps the probe join's scale shape (only the new

@@ -89,9 +89,9 @@ object IndexBench {
     Dedup.writeLshIndex(docs(0L, base.toLong), "id", "text", "ixgrow_idx")
     var size = base.toLong
     println(f"index_size=$size%8d  probe_s=${probeTime()}%.2f")
-    Seq(4, 16).foreach { mult =>
+    Seq(4, 16).zipWithIndex.foreach { case (mult, i) =>
       val target = base.toLong * mult
-      Dedup.appendToLshIndex(docs(size, target), "id", "text", "ixgrow_idx")
+      Dedup.appendToLshIndex(docs(size, target), i.toLong, "id", "text", "ixgrow_idx")
       size = target
       println(f"index_size=$size%8d  probe_s=${probeTime()}%.2f")
     }

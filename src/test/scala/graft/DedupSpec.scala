@@ -93,7 +93,7 @@ class DedupSpec extends AnyFunSuite {
       assert(b1 == full1, s"batch1 ${b1.size} pairs vs restricted ${full1.size}")
       Dedup.appendToLshIndex(
         docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2),
-        "doc_id", "text", "dedupspec_idx", buckets = 4)
+        0L, "doc_id", "text", "dedupspec_idx", buckets = 4)
       // batch 2 against the GROWN index — exercises the append path
       // end-to-end, not just its row counts
       val b2 = norm(Dedup.lshPairsAgainstIndex(
@@ -104,9 +104,15 @@ class DedupSpec extends AnyFunSuite {
       val empty = Dedup.lshPairsAgainstIndex(
         docs.where(col("doc_id") < 0), "doc_id", "text", "dedupspec_idx")
       assert(empty.count() == 0)
-      Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut2), "doc_id",
+      Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut2), 1L, "doc_id",
         "text", "dedupspec_idx", buckets = 4)
       assert(spark.table("dedupspec_idx_shingles").count() == docs.count())
+      // replaying an append with the same batch id REPLACES its
+      // partition — the index never holds a signature twice
+      Dedup.appendToLshIndex(docs.where(col("doc_id") >= cut2), 1L, "doc_id",
+        "text", "dedupspec_idx", buckets = 4)
+      assert(spark.table("dedupspec_idx_shingles").count() == docs.count(),
+        "replayed append must overwrite, not duplicate")
     } finally full.unpersist()
   }
 
@@ -304,10 +310,15 @@ class DedupSpec extends AnyFunSuite {
     // user-visible pairs: byte-identical, NO dedup applied at read
     assert(TxLog.readCommitted(spark, pairsDir)
       .orderBy("id_a", "id_b").collect().toSeq == pairsOnce)
-    // internal index state DID duplicate (at-least-once, documented)…
-    assert(spark.table("dedupspec_tx_shingles").count() > shinglesOnce)
-    // …and the next batch's probe against the duplicated index still
-    // produces duplicate-free pairs (candidate-pruned shingle dedup)
+    // internal index state is exactly-once too: the replay OVERWROTE
+    // batch 0's partition instead of appending a second copy
+    assert(spark.table("dedupspec_tx_shingles").count() == shinglesOnce,
+      "replayed index append must overwrite its partition, not duplicate")
+    val sh = spark.table("dedupspec_tx_shingles")
+    assert(sh.count() == sh.dropDuplicates("id").count(),
+      "index tables must be duplicate-free after crash-replay")
+    // the next batch probes the replayed index and still produces
+    // duplicate-free pairs — with no dedup anywhere on the read path
     assert(Dedup.ingestBatchIntoIndexTx(b2, 1L, "doc_id", "text",
       "dedupspec_tx", pairsDir, buckets = 4))
     val all = TxLog.readCommitted(spark, pairsDir)

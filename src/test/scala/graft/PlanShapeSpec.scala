@@ -134,6 +134,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q72: index probe — stored slice prunes via broadcast semi-join, no dedup agg") {
+    // the incremental-index probe's scale contract: the stored
+    // shingle table is semi-join-pruned by BROADCAST candidate ids
+    // (never reshuffled wholesale), and — now that appendToLshIndex
+    // lands each batch as its own overwritten partition — there is NO
+    // defensive dropDuplicates aggregate on the stored slice (its
+    // physical signature would be a first(sh) HashAggregate)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.ext.Dedup.writeLshIndex(docs.where(col("doc_id") < 400),
+      "doc_id", "text", "planshape_q72_idx")
+    try {
+      // STATIC plan (no collect): the executed AQE string re-prints
+      // nested cached-plan sections and truncates mid-tree, hiding the
+      // semi joins from string matching; the shape under test is
+      // decided at planning time (the candidate-id broadcast is an
+      // explicit hint, not an AQE stat decision)
+      val df = graft.ext.Dedup.lshPairsAgainstIndex(
+        docs.where(col("doc_id") >= 400), "doc_id", "text", "planshape_q72_idx")
+      val p = df.queryExecution.executedPlan.toString
+      assert(countOf(p, "BroadcastHashJoin .*LeftSemi") >= 2,
+        s"both shingle fetches must prune the stored table via broadcast semi-join:\n$p")
+      assert(countOf(p, "SortMergeJoin .*LeftSemi") == 0,
+        s"the stored-slice prune must not shuffle the shingle table:\n$p")
+      assert(!p.contains("first(sh"),
+        s"stored slice must not carry a defensive dedup aggregate:\n$p")
+      assert(p.contains("planshape_q72_idx_bands"), "probe must read the stored band table")
+      assert(!p.contains("CartesianProduct"))
+    } finally Seq("planshape_q72_idx_bands", "planshape_q72_idx_shingles")
+      .foreach(graft.sources.Tables.dropWithLocation(spark, _))
+  }
+
   test("q78 shape: runningFoldTws plans exactly one stateful exchange") {
     // the TWS running fold must group once for the state store and
     // never re-Exchange afterwards — same contract as q70's audit
