@@ -24,6 +24,38 @@ object PipelineQueries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ---- Scratch space for queries that exercise write paths --------------
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walked = java.nio.file.Files.walk(p)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walked.close()
+    }
+
+  /** One fixed root for all gate scratch areas, removed when the JVM
+    * exits.  (A `finally`-scoped delete inside the query would break
+    * the contract: the returned DataFrame READS these dirs lazily, so
+    * they must outlive the call.) */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_gate_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRec(root) catch { case _: java.io.IOException => () }))
+    root
+  }
+
+  /** Per-query scratch dir, WIPED on reuse — repeated gate runs hold
+    * at most one copy per query instead of leaking a fresh
+    * createTempDirectory copy of the documents table every round. */
+  private def scratchDir(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    deleteRec(d)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   // ---- DuckDB SQL generators (share constants with ColFns) --------------
 
   /** DuckDB twin of ColFns.h60: first 15 md5 hex chars as int64. */
@@ -178,12 +210,12 @@ object PipelineQueries {
       n = 5, lenBand = 64, minJaccard = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-  val q19Sql: String =
+  private def q19SqlFor(docFilter: String): String =
     s"""WITH prep AS (SELECT doc_id AS id, lang,
        |    list_distinct(list_transform(${charShinglesSql("lower(text)", 5)},
        |      gs -> ${h60Sql("gs")})) AS g,
        |    CAST(floor(length(text)/64) AS BIGINT) AS bucket
-       |  FROM documents),
+       |  FROM documents$docFilter),
        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.g, b.g))) AS jac
@@ -192,6 +224,32 @@ object PipelineQueries {
        |    AND a.id < b.id)
        |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs
        |GROUP BY id_a, id_b HAVING max(jac) >= 0.05 ORDER BY id_a, id_b""".stripMargin
+  val q19Sql: String = q19SqlFor("")
+
+  // ---- Q85: q19's pairs on a deterministic 1-in-8 id slice --------------
+  // The FULL-corpus pair run, restricted afterwards to pairs whose
+  // both endpoints fall in a deterministic md5 slice of doc ids.
+  // Because every per-pair quantity (lang/length band, shingle sets,
+  // jaccard, the max over shared bands) is pointwise in the pair's
+  // two documents, this equals q19 run on the sliced corpus — which
+  // is what the oracle computes, quadratic in |corpus|/8 instead of
+  // |corpus|.  At sf1 (50k docs) this is the feasible hash check for
+  // the one query whose full oracle replay is quadratic; the Spark
+  // side still executes the complete pair pipeline (the slice
+  // predicate sits above least/greatest, which Catalyst does not
+  // rewrite into per-side pushdowns).
+  private val Q85SliceMod = 8
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    def inSlice(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.ColFns.h60(c.cast("string")), lit(Q85SliceMod)) === 0
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "lang",
+      n = 5, lenBand = 64, minJaccard = 0.05)
+      .where(inSlice(col("id_a")) && inSlice(col("id_b")))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+  val q85Sql: String = q19SqlFor(
+    s" WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % $Q85SliceMod = 0")
 
   // ---- Q20: embedding-cosine near-dup pairs (sign-LSH blocked) ----------
   // 4 planes / cos >= 0.35 tuned to the synthetic embeddings (max
@@ -460,7 +518,7 @@ object PipelineQueries {
   // mangled row flips a hash.  The file-count collapse is asserted
   // Spark-side (64 fragments in, 1 file out at this size).
   def q83(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("q83_compact").toString
+    val base = scratchDir("q83_compact")
     tbl(s, dir, "documents").repartition(64)
       .write.mode("overwrite").parquet(s"$base/frag")
     val fragFiles = new java.io.File(s"$base/frag")
@@ -480,6 +538,41 @@ object PipelineQueries {
     """SELECT doc_id, lang, n_chars, md5(text) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- Q84: PARTITION-AWARE compaction, layout + hash checked ------------
+  // Same contract as q83 but over a Hive-partitioned tree (lang=
+  // directories): Tables.compactPartitioned must compact every leaf
+  // partition independently while preserving the directory layout
+  // VERBATIM.  Layout identity and the per-partition file-count
+  // collapse are asserted Spark-side; row fidelity (including the
+  // partition column surviving the round trip) is the oracle hash.
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("q84_compactp")
+    tbl(s, dir, "documents").repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$base/frag")
+    def langDirs(sub: String): Set[String] = new java.io.File(s"$base/$sub")
+      .listFiles.filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(_.getName).toSet
+    def filesIn(sub: String, d: String): Int = new java.io.File(s"$base/$sub/$d")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val before = langDirs("frag")
+    require(before.nonEmpty, "expected lang= partition dirs")
+    require(before.forall(d => filesIn("frag", d) > 1),
+      "every partition must start fragmented for the collapse to mean anything")
+    val (nLeaves, _) = graft.sources.Tables.compactPartitioned(
+      s, s"$base/frag", s"$base/out", parallelism = 4)
+    require(nLeaves == before.size,
+      s"leaf discovery found $nLeaves dirs, expected ${before.size}")
+    val after = langDirs("out")
+    require(after == before, s"partition layout must be preserved: $before vs $after")
+    require(before.forall(d => filesIn("out", d) < filesIn("frag", d)),
+      "every partition's file count must collapse")
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+  val q84Sql: String = q83Sql
+
   // ---- Q81: JSONL corpus round trip, hash-checked ------------------------
   // LLM corpora ship as JSON-lines; this proves the graft JSONL
   // source/sink preserves every byte: documents → partitioned JSONL
@@ -489,7 +582,7 @@ object PipelineQueries {
   // fingerprint; the oracle computes the same md5 straight off the
   // parquet.
   def q81(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("q81_jsonl").toString
+    val out = scratchDir("q81_jsonl")
     val docs = tbl(s, dir, "documents")
     graft.sources.Tables.writeJsonl(docs, out, partitionCols = Seq("lang"))
     graft.sources.Tables.json(s, out, docs.schema)
@@ -1992,18 +2085,17 @@ object PipelineQueries {
   // `<name>_batches` marker is wiped (simulating a crash after the
   // pairs commit + index append but before the marker), and the same
   // batch is ingested again — the replay must not duplicate a single
-  // pair (TxLog skips the committed batch) even though the index
-  // tables now hold batch 1's bands/shingles TWICE; batch 2 then
-  // probes that duplicated index, proving the candidate-pruned
-  // shingle dedup neutralizes it.  Hash-equality with q73's oracle
-  // (no DISTINCT anywhere on the read path) is the exactly-once
-  // proof.
+  // pair (TxLog skips the committed batch) and must not duplicate a
+  // single index row either (the replayed append OVERWRITES batch 1's
+  // partition); batch 2 then probes the replayed index.  Hash-equality
+  // with q73's oracle — with no DISTINCT or dedup anywhere on the
+  // read path — is the end-to-end exactly-once proof.
   def q80(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
       "q80_lsh_idx")
     graft.sources.Tables.dropWithLocation(s, "q80_lsh_idx_batches")
-    val pairsDir = java.nio.file.Files.createTempDirectory("q80_pairs").toString
+    val pairsDir = scratchDir("q80_pairs")
     val b1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
       .select(col("doc_id"), col("text"))
     val b2 = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
@@ -2081,6 +2173,8 @@ object PipelineQueries {
     "q81_jsonl_roundtrip" -> (q81 _),
     "q82_audio_frames" -> (q82 _),
     "q83_compact_files" -> (q83 _),
+    "q84_compact_partitioned" -> (q84 _),
+    "q85_ngram_jaccard_sliced" -> (q85 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2119,6 +2213,8 @@ object PipelineQueries {
     "q81_jsonl_roundtrip" -> q81Sql,
     "q82_audio_frames" -> q82Sql,
     "q83_compact_files" -> q83Sql,
+    "q84_compact_partitioned" -> q84Sql,
+    "q85_ngram_jaccard_sliced" -> q85Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,

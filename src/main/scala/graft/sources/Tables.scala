@@ -117,6 +117,58 @@ object Tables {
     nFiles
   }
 
+  /** Partition-aware [[compactFiles]]: mirror a Hive-partitioned
+    * directory tree, compacting each leaf partition directory
+    * independently into ~`targetMB` files at the SAME relative path.
+    * Layout (directory names, partition values, nesting) is preserved
+    * VERBATIM because relative paths are copied as strings — never
+    * re-derived from parsed values, so there is no
+    * escaping/type/date-format round trip to get wrong.
+    *
+    * Each leaf is one distributed read+write job; leaves are submitted
+    * concurrently from a `parallelism`-sized thread pool, so
+    * throughput scales with the cluster, not the driver loop.  At
+    * 10^5+ partitions raise `parallelism` or shard the invocation by
+    * partition prefix (compaction of disjoint subtrees composes).
+    * Returns (leaf dir count, total output files planned). */
+  def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 1024, parallelism: Int = 8): (Int, Int) = {
+    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(inPath).getFileSystem(conf)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    def isData(st: org.apache.hadoop.fs.FileStatus): Boolean = st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    // Hive layout keeps data only at the leaves; a dir holding data
+    // files IS a leaf (its subdirs, if any, are metadata like _spark_
+    // staging remnants, not partitions)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(p)
+      if (st.exists(isData)) Seq(p)
+      else st.filter(_.isDirectory).toSeq.map(_.getPath).flatMap(leaves)
+    }
+    val leafDirs = if (fs.exists(root)) leaves(root) else Seq.empty
+    if (leafDirs.isEmpty) return (0, 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, leafDirs.size))
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val jobs = leafDirs.map { leaf =>
+        val rel = leaf.toString.stripPrefix(root.toString).stripPrefix("/")
+        val out = if (rel.isEmpty) outPath else s"$outPath/$rel"
+        scala.concurrent.Future(compactFiles(spark, leaf.toString, out, targetMB))(ec)
+      }
+      val counts = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs)(
+          scala.collection.BuildFrom.buildFromIterableOps, ec),
+        scala.concurrent.duration.Duration.Inf)
+      (leafDirs.size, counts.sum)
+    } finally pool.shutdown()
+  }
+
   /** Honest drop even across JVM restarts: a previous session may
     * have left the managed table's LOCATION behind while the
     * (in-memory) catalog entry died with it — the next `saveAsTable`

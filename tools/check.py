@@ -10,7 +10,7 @@ sf1, whose SQL replay is quadratic in candidate pairs); a query whose
 output dir is missing is also skipped when named here instead of
 counting as a failure.
 """
-import json, os, sys
+import argparse, json, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -77,10 +77,17 @@ def main(sf_dir, out_dir, skip=()):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    skip = ()
-    if "--skip" in argv:
-        i = argv.index("--skip")
-        skip = tuple(argv[i + 1].split(","))
-        argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], skip))
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("sf_dir", help="testdata dir with the parquet tables")
+    ap.add_argument("out_dir", help="Verify output dir (holds oracle_sql.json)")
+    ap.add_argument("--skip", default="", metavar="q,q,...",
+                    help="comma-separated oracle names to leave out")
+    args = ap.parse_args()
+    skip = tuple(s for s in args.skip.split(",") if s)
+    with open(os.path.join(args.out_dir, "oracle_sql.json")) as f:
+        known = set(json.load(f))
+    unknown = [s for s in skip if s not in known]
+    if unknown:
+        ap.error(f"--skip names not in oracle_sql.json: {unknown}")
+    sys.exit(main(args.sf_dir, args.out_dir, skip))
