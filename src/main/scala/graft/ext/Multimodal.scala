@@ -142,22 +142,59 @@ object Multimodal {
   }
 
   /** Audio facts read back out of encoded bytes.  Everything but
-    * `rms` is exact integer math (zero float risk in the oracle). */
-  final case class AudioDecoded(sampleRate: Int, channels: Int,
+    * `rms` is exact integer math (zero float risk in the oracle).
+    * `bits` is the container's sample size (16/24 for PCM, 32 for
+    * float) — peak/sumSq are in the NATIVE integer units for PCM and
+    * 16-bit-equivalent units for float (see [[sampleReader]]). */
+  final case class AudioDecoded(sampleRate: Int, channels: Int, bits: Int,
       nFrames: Long, durationMs: Long, peak: Int, sumSq: Long) {
     def nSamples: Long = nFrames * channels
     def rms: Double =
       if (nSamples == 0L) 0.0 else math.sqrt(sumSq.toDouble / nSamples)
   }
 
+  /** Per-sample integer extractor for the supported encodings —
+    * 16/24-bit signed PCM (native units, either endianness) and
+    * 32-bit IEEE float.  Float samples are reported in
+    * 16-bit-EQUIVALENT units (`round(f·32768)`), which is exact
+    * whenever the source quantizes to k/32768 — true of any
+    * 16-bit-derived float corpus — and keeps every downstream stat
+    * integer.  `None` = unsupported encoding.  (24-bit sumSq bound:
+    * Σv² overflows Long only past ~2^17 consecutive FULL-SCALE
+    * samples per row — beyond any sane per-document clip.) */
+  private def sampleReader(fmt: javax.sound.sampled.AudioFormat): Option[(Array[Byte], Int) => Int] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val be = fmt.isBigEndian
+    (fmt.getEncoding, fmt.getSampleSizeInBits) match {
+      case (Encoding.PCM_SIGNED, 16) => Some { (b, o) =>
+        if (be) (b(o).toInt << 8) | (b(o + 1) & 0xff)
+        else (b(o + 1).toInt << 8) | (b(o) & 0xff)
+      }
+      case (Encoding.PCM_SIGNED, 24) => Some { (b, o) =>
+        if (be) (b(o).toInt << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+        else (b(o + 2).toInt << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+      }
+      case (Encoding.PCM_FLOAT, 32) => Some { (b, o) =>
+        val i =
+          if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
+            ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        math.round(java.lang.Float.intBitsToFloat(i) * 32768f)
+      }
+      case _ => None
+    }
+  }
+
   /** REAL audio decode via `javax.sound.sampled.AudioSystem` (the
     * JDK's WAV/AU/AIFF parser — zero extra dependencies).  Streams
     * PCM frames through a fixed buffer (constant memory per row, like
-    * [[decodeImage]]); supports the dominant corpus layout, 16-bit
-    * signed PCM, in either endianness.  `None` for bytes no installed
-    * reader understands or non-16-bit encodings. */
+    * [[decodeImage]]); supports 16/24-bit signed PCM in either
+    * endianness and 32-bit IEEE-float (see [[sampleReader]] for the
+    * float unit convention).  `None` for bytes no installed reader
+    * understands or other encodings. */
   def decodeAudio(content: Array[Byte]): Option[AudioDecoded] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioSystem
     val in =
       // NonFatal like decodeImage: malformed-but-recognized media can
       // throw RuntimeExceptions out of the JDK parser
@@ -166,34 +203,41 @@ object Multimodal {
     if (in == null) None
     else try {
       val fmt = in.getFormat
-      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) None
-      else {
+      sampleReader(fmt).map { rd =>
         val channels = fmt.getChannels
-        val frameSize = fmt.getFrameSize // = 2 * channels
+        val frameSize = fmt.getFrameSize // = bytesPerSample * channels
+        val bps = fmt.getSampleSizeInBits / 8
         var frames = 0L; var peak = 0; var sumSq = 0L
         val buf = new Array[Byte](frameSize * 4096)
         var read = in.read(buf) // reads whole frames by contract
         while (read > 0) {
           var i = 0
-          while (i + 1 < read) {
-            val v =
-              if (fmt.isBigEndian) (buf(i).toInt << 8) | (buf(i + 1) & 0xff)
-              else (buf(i + 1).toInt << 8) | (buf(i) & 0xff)
+          while (i + bps <= read) {
+            val v = rd(buf, i)
             val a = math.abs(v)
             if (a > peak) peak = a
             sumSq += v.toLong * v
-            i += 2
+            i += bps
           }
           frames += read / frameSize
           read = in.read(buf)
         }
         val rate = fmt.getSampleRate.toInt
-        Some(AudioDecoded(rate, channels, frames, frames * 1000L / rate,
-          peak, sumSq))
+        AudioDecoded(rate, channels, fmt.getSampleSizeInBits, frames,
+          frames * 1000L / rate, peak, sumSq)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()
+  }
+
+  private def writeWav(fmt: javax.sound.sampled.AudioFormat,
+      data: Array[Byte], frames: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioInputStream, AudioSystem}
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, frames)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** REAL encode: 16-bit signed little-endian PCM WAV via
@@ -202,7 +246,7 @@ object Multimodal {
     * index `i * channels + c`. */
   def encodeWavPcm16(sampleRate: Int, channels: Int,
       samples: Array[Short]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     require(channels > 0 && samples.length % channels == 0,
       s"sample count ${samples.length} must be a multiple of channels=$channels")
     val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
@@ -214,11 +258,48 @@ object Multimodal {
       bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
-      fmt, samples.length / channels)
-    val out = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    writeWav(fmt, bytes, samples.length / channels)
+  }
+
+  /** 24-bit signed little-endian PCM WAV (same frame-major layout);
+    * sample values must fit 24 bits: [-8388608, 8388607]. */
+  def encodeWavPcm24(sampleRate: Int, channels: Int,
+      samples: Array[Int]): Array[Byte] = {
+    import javax.sound.sampled.AudioFormat
+    require(channels > 0 && samples.length % channels == 0,
+      s"sample count ${samples.length} must be a multiple of channels=$channels")
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 24, channels, 3 * channels, sampleRate.toFloat,
+      /*bigEndian=*/ false)
+    val bytes = new Array[Byte](samples.length * 3)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= -8388608 && v <= 8388607, s"sample $v exceeds 24 bits")
+      bytes(3 * i) = (v & 0xff).toByte
+      bytes(3 * i + 1) = ((v >> 8) & 0xff).toByte
+      bytes(3 * i + 2) = ((v >> 16) & 0xff).toByte
+      i += 1
+    }
+    writeWav(fmt, bytes, samples.length / channels)
+  }
+
+  /** 32-bit IEEE-float WAV (format tag 3).  For exact decoded stats,
+    * quantize samples to k/32768 — [[sampleReader]] reports float
+    * samples as `round(f·32768)`, lossless on that grid. */
+  def encodeWavFloat32(sampleRate: Int, channels: Int,
+      samples: Array[Float]): Array[Byte] = {
+    import javax.sound.sampled.AudioFormat
+    require(channels > 0 && samples.length % channels == 0,
+      s"sample count ${samples.length} must be a multiple of channels=$channels")
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT,
+      sampleRate.toFloat, 32, channels, 4 * channels, sampleRate.toFloat,
+      /*bigEndian=*/ false)
+    val bytes = new Array[Byte](samples.length * 4)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < samples.length) { bb.putFloat(samples(i)); i += 1 }
+    writeWav(fmt, bytes, samples.length / channels)
   }
 
   /** Decode every audio row and append sample-rate/duration/loudness
@@ -228,6 +309,7 @@ object Multimodal {
     val schema = StructType(media.schema.fields ++ Seq(
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("audio_channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
       StructField("n_frames", LongType, nullable = true),
       StructField("duration_ms", LongType, nullable = true),
       StructField("peak", IntegerType, nullable = true),
@@ -242,9 +324,9 @@ object Multimodal {
           // unify Int/Long/Double via weak conformance and silently
           // widen every element to Double, breaking the BIGINT fields
           case Some(d) => Row.fromSeq(r.toSeq ++ Seq[Any](d.sampleRate, d.channels,
-            d.nFrames, d.durationMs, d.peak, d.sumSq, d.rms))
+            d.bits, d.nFrames, d.durationMs, d.peak, d.sumSq, d.rms))
           case None => Row.fromSeq(r.toSeq ++
-            Seq(null, null, null, null, null, null, null))
+            Seq(null, null, null, null, null, null, null, null))
         }
       }
     }(enc)
@@ -270,11 +352,10 @@ object Multimodal {
     if (in == null) None
     else try {
       val fmt = in.getFormat
-      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) None
-      else {
+      sampleReader(fmt).map { rd =>
         val channels = fmt.getChannels
         val frameSize = fmt.getFrameSize
+        val bps = fmt.getSampleSizeInBits / 8
         val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
         val prev = new Array[Int](channels)
         val hasPrev = new Array[Boolean](channels)
@@ -291,10 +372,7 @@ object Multimodal {
             if (w != win) { flush(); win = w; n = 0; sumSq = 0; peak = 0; zc = 0 }
             var c = 0
             while (c < channels) {
-              val o = i + 2 * c
-              val v =
-                if (fmt.isBigEndian) (buf(o).toInt << 8) | (buf(o + 1) & 0xff)
-                else (buf(o + 1).toInt << 8) | (buf(o) & 0xff)
+              val v = rd(buf, i + bps * c)
               val a = math.abs(v)
               if (a > peak) peak = a
               sumSq += v.toLong * v
@@ -309,7 +387,7 @@ object Multimodal {
           read = in.read(buf)
         }
         flush()
-        Some(out.toSeq)
+        out.toSeq
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()
@@ -364,6 +442,41 @@ object Multimodal {
         val samples = Array.tabulate[Short](frames * channels)(j =>
           (((id * 31L + j.toLong * 7919L) % 65536L) - 32768L).toShort)
         val wav = encodeWavPcm16(rate, channels, samples)
+        Row(id, wav, Row("audio", "wav", null, null, frames * 1000L / rate))
+      }
+    }(enc)
+  }
+
+  /** [[syntheticAudio]]'s three-encoding sibling: the SAME closed-form
+    * base samples v16(j), landed as
+    *   doc_id %% 3 == 0 → 16-bit PCM (samples v16),
+    *   doc_id %% 3 == 1 → 24-bit PCM (samples v16·256 — exact, and
+    *                      decoded in native 24-bit units),
+    *   doc_id %% 3 == 2 → 32-bit float (samples v16/32768 — exactly
+    *                      representable, decoded back to v16),
+    * so one oracle formula with a per-row scale factor replays every
+    * decoded stat while the Spark side round-trips three genuinely
+    * different WAV layouts through the JDK codec. */
+  def syntheticAudioMixed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+    val enc = org.apache.spark.sql.Encoders.row(MediaSchema)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val len = r.getInt(1)
+        val channels = (id % 2 + 1).toInt
+        val rate = 8000 * ((id % 3).toInt + 1)
+        val frames = len % 50 + 20
+        def v16(j: Int): Int = (((id * 31L + j.toLong * 7919L) % 65536L) - 32768L).toInt
+        val n = frames * channels
+        val wav = (id % 3) match {
+          case 0L => encodeWavPcm16(rate, channels,
+            Array.tabulate[Short](n)(j => v16(j).toShort))
+          case 1L => encodeWavPcm24(rate, channels,
+            Array.tabulate[Int](n)(j => v16(j) * 256))
+          case _ => encodeWavFloat32(rate, channels,
+            Array.tabulate[Float](n)(j => v16(j) / 32768f))
+        }
         Row(id, wav, Row("audio", "wav", null, null, frames * 1000L / rate))
       }
     }(enc)

@@ -479,6 +479,44 @@ object PipelineQueries {
       |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---- Q86: multi-encoding audio codec round trip, hash-checked ---------
+  // q79 over three genuinely different WAV layouts in one corpus:
+  // 16-bit PCM, 24-bit PCM (samples ×256, decoded in native units),
+  // and 32-bit IEEE float (samples /32768, exactly representable, so
+  // the decoder's round(f·32768) recovers the base integers).  The
+  // decoded `bits` column pins that each row really went through its
+  // own encoding; one oracle formula with a per-row scale replays
+  // peak/energy exactly.
+  def q86(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withAudioStats(Multimodal.syntheticAudioMixed(s, dir))
+      .select(col("media_id"), col("bits").cast("long").as("bits"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("audio_channels").cast("long").as("channels"),
+        col("n_frames"), col("duration_ms"),
+        col("peak").cast("long").as("peak"), col("sum_sq"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("media_id")
+  val q86Sql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS channels,
+      |    8000 * ((doc_id % 3) + 1) AS rate,
+      |    (length(text) % 50) + 20 AS frames,
+      |    CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 32 END AS bits,
+      |    CASE doc_id % 3 WHEN 1 THEN 256 ELSE 1 END AS scale
+      |  FROM documents),
+      |s AS (SELECT p.doc_id, p.channels, p.rate, p.frames, p.bits, p.scale,
+      |    (((p.doc_id*31 + t.j*7919) % 65536) - 32768) * p.scale AS v
+      |  FROM p CROSS JOIN generate_series(0, 149) t(j)
+      |  WHERE t.j < p.frames * p.channels)
+      |SELECT doc_id AS media_id, CAST(max(bits) AS BIGINT) AS bits,
+      |  CAST(max(rate) AS BIGINT) AS sample_rate,
+      |  CAST(max(channels) AS BIGINT) AS channels,
+      |  CAST(max(frames) AS BIGINT) AS n_frames,
+      |  CAST(max(frames) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+      |  round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ---- Q82: frame-level audio features, hash-checked --------------------
   // The frame-feature step of a speech pipeline: PCM split into
   // 16-frame windows, per window exact integer stats (sample count,
@@ -2175,6 +2213,7 @@ object PipelineQueries {
     "q83_compact_files" -> (q83 _),
     "q84_compact_partitioned" -> (q84 _),
     "q85_ngram_jaccard_sliced" -> (q85 _),
+    "q86_audio_encodings" -> (q86 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2215,6 +2254,7 @@ object PipelineQueries {
     "q83_compact_files" -> q83Sql,
     "q84_compact_partitioned" -> q84Sql,
     "q85_ngram_jaccard_sliced" -> q85Sql,
+    "q86_audio_encodings" -> q86Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,

@@ -101,6 +101,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(d.rms - math.sqrt(d.sumSq.toDouble / (frames * channels))) < 1e-12)
   }
 
+  test("24-bit and float WAV round trips recover exact stats in their units") {
+    val channels = 2; val rate = 16000; val frames = 25
+    val base = Array.tabulate[Int](frames * channels)(j =>
+      (((7L * 31L + j.toLong * 7919L) % 65536L) - 32768L).toInt)
+    // 24-bit: native units are the 16-bit samples scaled by 256
+    val wav24 = Multimodal.encodeWavPcm24(rate, channels, base.map(_ * 256))
+    val d24 = Multimodal.decodeAudio(wav24).get
+    assert(d24.bits == 24 && d24.channels == channels && d24.nFrames == frames)
+    assert(d24.peak == base.map(v => math.abs(v * 256)).max)
+    assert(d24.sumSq == base.map(v => (v * 256L) * (v * 256L)).sum)
+    // float: k/32768 samples decode back to exactly k (16-bit units)
+    val wavF = Multimodal.encodeWavFloat32(rate, channels, base.map(_ / 32768f))
+    val dF = Multimodal.decodeAudio(wavF).get
+    assert(dF.bits == 32 && dF.channels == channels && dF.nFrames == frames)
+    assert(dF.peak == base.map(math.abs).max)
+    assert(dF.sumSq == base.map(v => v.toLong * v).sum)
+    // windowed decode agrees with the whole-file decode on both
+    for ((wav, whole) <- Seq((wav24, d24), (wavF, dF))) {
+      val wins = Multimodal.decodeAudioWindows(wav, 4).get
+      assert(wins.map(_.sumSq).sum == whole.sumSq)
+      assert(wins.map(_.nSamples).sum == whole.nSamples)
+      assert(wins.map(_.peak).max == whole.peak)
+    }
+  }
+
   test("decodeAudio returns None for non-audio bytes") {
     assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
     assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
