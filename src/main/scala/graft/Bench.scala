@@ -117,10 +117,55 @@ object Bench {
     }
     val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
 
+    // B9: the streaming surface's tracked number — runningFoldTws
+    // (transformWithState, RocksDB state store, named ValueState)
+    // drains 200k rows in 10 micro-batches over 1,000 keys.  Reported
+    // in seconds like every bench; rows/sec = 200k / b9.  TimeMode is
+    // None (no TTL), so processAllAvailable terminates (with a TTL
+    // the clock must advance and the query never quiesces).
+    //
+    // Production sizing knobs, both load-bearing here: state
+    // partitions sized to KEY CARDINALITY, not cores (32 partitions ×
+    // 10 batches = 320 RocksDB commits per run for 1k keys — measured
+    // 9.9 s; 8 partitions right-sizes it), and RocksDB changelog
+    // checkpointing (per-batch delta upload instead of full
+    // snapshots — the setting a real cluster runs with).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // b9 runs last; state sizing
+    val b9rows = 200000; val b9batches = 10; val b9keys = 1000
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      val walked = java.nio.file.Files.walk(p)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walked.close()
+    }
+    def b9run(): Unit = {
+      implicit val sq = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("b9_ckpt")
+      val q = graft.streaming.StreamingAgg.runningFoldTws(in.toDS(), Folds.sumD)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val per = b9rows / b9batches
+        var i = 0
+        while (i < b9batches) {
+          val base = i.toLong * per
+          in.addData((0 until per).map(j => ((base + j) % b9keys, (j % 97).toDouble)))
+          q.processAllAvailable()
+          i += 1
+        }
+      } finally { q.stop(); deleteRec(ckpt) }
+    }
+    val b9 = best5Loaded { b9run() }
+
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
-      "b8_q15b_ann_lsh" -> b8)
+      "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9)
     val qjson = qs.map { case (k, (v, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention

@@ -57,13 +57,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * distributed pass instead of a driver loop.  The data files
   * themselves are read with ordinary partitioned parquet scans, so
   * filter pushdown and column pruning are untouched.
+  *
+  * Operational lifecycle (who takes the writer role, when to compact
+  * and vacuum, what readers see mid-crash): SCALE.md §"Ingest
+  * recovery runbook".
   */
 object TxLog {
 
   /** Live-marker count above which [[committedDirs]] reads marker
-    * bodies with a distributed text scan (one Spark job) instead of a
-    * sequential driver loop of per-file opens. */
+    * bodies with a bounded driver-side THREAD POOL instead of a
+    * sequential loop.  (A distributed `spark.read.textFile` pass was
+    * tried first and measured 8× SLOWER than even the serial loop at
+    * 10^4 markers — Spark's per-tiny-file listing/split overhead
+    * dwarfs the ~0.3 ms/marker open cost; tools/TxLogBench holds the
+    * curve.  Concurrency, not distribution, is the right tool for
+    * 10^4-10^5 metadata-sized reads.) */
   val bulkReadThreshold: Int = 1024
+
+  /** Threads for the parallel marker-body read. */
+  private val bulkReadParallelism: Int = 32
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -98,14 +110,16 @@ object TxLog {
   }
 
   /** True if `batchId`'s rows are in the log — via its own marker or
-    * a compaction marker that folded it. */
+    * a compaction marker that folded it.  The own-marker probe runs
+    * FIRST: it is one `getFileStatus`, so the common writer-replay
+    * check ("did I already commit this?") never pays the `_commits`
+    * listing that the compaction-floor check needs. */
   def isCommitted(spark: SparkSession, dir: String, batchId: Long): Boolean = {
     val (f, root) = fs(spark, dir)
-    lastCompactedId(spark, dir).exists(batchId <= _) || {
-      val st = try Some(f.getFileStatus(new Path(commitsPath(root), batchId.toString)))
-               catch { case _: java.io.FileNotFoundException => None }
-      st.exists(s => s.isFile && s.getLen > 0)
-    }
+    val st = try Some(f.getFileStatus(new Path(commitsPath(root), batchId.toString)))
+             catch { case _: java.io.FileNotFoundException => None }
+    st.exists(s => s.isFile && s.getLen > 0) ||
+      lastCompactedId(spark, dir).exists(batchId <= _)
   }
 
   /** The newest compaction marker's fold ceiling: every writer batch
@@ -169,29 +183,34 @@ object TxLog {
     liveMarkers(f, root)._1
   }
 
-  private def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
+  /** The staged dirs the live markers resolve to — the path-resolution
+    * step [[readCommitted]] pays before its parquet scan (exposed for
+    * callers that compose their own read, and for measuring marker
+    * cost at scale: tools/TxLogBench). */
+  def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
     val names = compactId.map(n => s"c$n").toSeq ++ ids.map(_.toString)
+    def readBody(n: String): String = {
+      val in = f.open(new Path(commitsPath(root), n))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     val bodies =
-      if (names.size <= bulkReadThreshold)
-        names.map { n =>
-          val in = f.open(new Path(commitsPath(root), n))
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }
+      if (names.size <= bulkReadThreshold) names.map(readBody)
       else {
-        // one distributed pass over the marker files instead of 10^5
-        // serial driver opens; filter back to the live set (the scan
-        // glob can't express "numeric above the compaction floor")
-        import spark.implicits._
-        val live = names.toSet
-        spark.read.textFile(new Path(commitsPath(root), "[0-9c]*").toString)
-          .withColumn("f", org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.split(
-              org.apache.spark.sql.functions.input_file_name(), "/"), -1))
-          .as[(String, String)].collect().toSeq
-          .collect { case (body, name) if live.contains(name) => body.trim }
+        // bounded thread pool over the marker files: each body is a
+        // one-line metadata read, so concurrency (not a Spark job)
+        // amortizes the per-open latency — see bulkReadThreshold
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(bulkReadParallelism)
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              names.map(n => scala.concurrent.Future(readBody(n))(ec)))(
+              scala.collection.BuildFrom.buildFromIterableOps, ec),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
     bodies.map(b => new Path(root, s"_staged/$b").toString)
   }

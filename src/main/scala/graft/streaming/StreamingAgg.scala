@@ -354,7 +354,9 @@ object StreamingAgg {
     * [[graft.sources.TxLog]] manifest log there instead of
     * `pairsTable`, upgrading the pairs output to EXACTLY-ONCE under
     * crash-replay ([[graft.ext.Dedup.ingestBatchIntoIndexTx]]); read
-    * them back with [[graft.sources.TxLog.readCommitted]]. */
+    * them back with [[graft.sources.TxLog.readCommitted]].  Full
+    * crash-recover-compact lifecycle: SCALE.md §"Ingest recovery
+    * runbook". */
   def lshIndexSink(docs: DataFrame, idCol: String, textCol: String,
       name: String, pairsTable: String, checkpointDir: Option[String] = None,
       n: Int = 3, bands: Int = 8, buckets: Int = 16,

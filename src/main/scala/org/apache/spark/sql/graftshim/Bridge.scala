@@ -35,6 +35,12 @@ object Bridge {
       case _ => None
     }
 
+  /** Drain the async listener bus — metric-asserting tests (shuffle
+    * byte ceilings) must not race event delivery.  `listenerBus` is
+    * `private[spark]`, hence the shim home. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Output-column name a Column binds to: its alias, or its
     * attribute name.  None for nameless computed expressions. */
   def columnName(c: Column): Option[String] = c.node match {

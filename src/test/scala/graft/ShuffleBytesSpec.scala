@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-VOLUME regression gate, the byte-level companion of
+  * PlanShapeSpec: a refactor can keep a plan's operator shape while
+  * doubling the traffic through it (an extra column in the exchange,
+  * a lost projection, a widened key).  These ceilings pin the bytes
+  * the hottest pipeline operators actually shuffle at sf0.001, with
+  * ~3× headroom over measured values so data-content jitter never
+  * flakes the suite — a real regression (whole-array or whole-text
+  * columns entering an exchange) blows past 3× immediately.
+  *
+  * Ceilings are for THIS fixed input (sf0.001, 32 shuffle
+  * partitions); they gate relative regressions, not absolute cost.
+  */
+class ShuffleBytesSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Total shuffle-write bytes across every stage `body` runs.
+    * Shuffle write is counted (not read) so re-used exchanges aren't
+    * double-billed. */
+  private def shuffleBytes(body: => Unit): Long = {
+    spark.catalog.clearCache() // cold operator, like Bench's timing
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        total.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    total.get()
+  }
+
+  private def assertCeiling(name: String, bytes: Long, ceiling: Long): Unit = {
+    info(f"$name shuffled $bytes%,d bytes (ceiling $ceiling%,d)")
+    assert(bytes <= ceiling,
+      s"$name shuffled $bytes bytes, over the $ceiling ceiling — " +
+        "a shape-preserving volume regression (extra exchange column, " +
+        "lost projection, widened key?)")
+    assert(bytes > 0, s"$name shuffled nothing — the measurement is broken")
+  }
+
+  test("q17 minhash-LSH: shuffle volume stays O(bands + pairs), not O(text)") {
+    val b = shuffleBytes { PipelineQueries.q17(spark, sf).count() }
+    assertCeiling("q17", b, 280 << 10) // measured 89,018
+  }
+
+  test("q72 incremental-index probe: batch-side-only shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.ext.Dedup.writeLshIndex(docs.where(col("doc_id") < 400),
+      "doc_id", "text", "shufbytes_q72_idx")
+    try {
+      // the probe's contract: only the NEW batch's bands/shingles and
+      // the candidate slice move — the stored index never reshuffles
+      val b = shuffleBytes {
+        graft.ext.Dedup.lshPairsAgainstIndex(
+          docs.where(col("doc_id") >= 400), "doc_id", "text",
+          "shufbytes_q72_idx").count()
+      }
+      assertCeiling("q72 probe", b, 384 << 10) // measured 121,715
+    } finally Seq("shufbytes_q72_idx_bands", "shufbytes_q72_idx_shingles")
+      .foreach(graft.sources.Tables.dropWithLocation(spark, _))
+  }
+
+  test("q76 shuffle-shard: one hash exchange of (id, shard, pos)-width rows") {
+    val b = shuffleBytes { PipelineQueries.q76(spark, sf).count() }
+    assertCeiling("q76", b, 8 << 10) // measured 273 (one thin exchange)
+  }
+}
