@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.ColFns._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus pipelines.
@@ -435,22 +435,57 @@ object Dedup {
       newSh, newBands, cands, candIds)
   }
 
+  /** Land `df` as `table`'s `batch_id=batchId` partition — creating
+    * the partitioned table on first use, dynamic-overwriting the
+    * batch's own partition afterwards.  Replay = replace: the
+    * append-idempotence contract shared with the index tables.
+    * Single-writer, like every ingest entry point. */
+  private def writeBatchPartition(df: DataFrame, table: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val withB = df.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table))
+      withB.write.partitionBy("batch_id").format("parquet").saveAsTable(table)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try withB.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** One IDEMPOTENT ingest step for a continuously-maintained index:
     * probe the stored index for the near-dup pairs `batch` introduces
-    * (batch↔index and batch↔batch), append them to `pairsTable`,
-    * append the batch's bands/shingles to the index, and mark
-    * `batchId` done in `<name>_batches`.  Re-running an already-marked
-    * batch id is a no-op (returns false) —
+    * (batch↔index and batch↔batch), land them as `pairsTable`'s
+    * `batch_id` partition, append the batch's bands/shingles to the
+    * index, and mark `batchId` done in `<name>_batches`.  Re-running
+    * an already-marked batch id is a no-op (returns false) —
     * [[graft.streaming.StreamingAgg.lshIndexSink]] relies on this for
     * foreachBatch's at-least-once recovery contract.
     *
     * The marker commits LAST, so a crash mid-step replays the whole
-    * step.  The index append is replay-safe (the batch's partition is
-    * overwritten, not duplicated), but the PAIRS append is a plain
-    * parquet append and can duplicate that one batch's pairs; readers
-    * of `pairsTable` defend with DISTINCT.  For exactly-once pairs
-    * without the DISTINCT, use [[ingestBatchIntoIndexTx]].  Batch ids
-    * must be disjoint from already-indexed ids. */
+    * step — and every stage of the replay is exactly-once:
+    *  - crash before the pairs write committed: nothing landed;
+    *    replay recomputes against the still-clean index;
+    *  - crash between pairs and index append: replay recomputes the
+    *    SAME pairs (the index is still clean) and dynamic-overwrites
+    *    the batch's pairs partition — replace, never duplicate;
+    *  - crash after the index append: replay must NOT re-probe (the
+    *    index now holds the batch's own signatures — a fresh probe
+    *    would match the batch against its stored self); the
+    *    [[indexHasBatch]] guard detects the landed partition, and
+    *    since pairs commit BEFORE the index, their partition is
+    *    already complete — replay skips straight to the marker.
+    * No reader dedups anything.  What this form does NOT give is
+    * atomic cross-file visibility — a reader overlapping a replay can
+    * observe a partition mid-rewrite on object stores (HDFS-like
+    * commit protocols make it unobservable).  For manifest-committed
+    * visibility (plus vacuum/compact tooling), use
+    * [[ingestBatchIntoIndexTx]].  Batch ids must be disjoint from
+    * already-indexed ids. */
   def ingestBatchIntoIndex(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, pairsTable: String, n: Int = 3,
       bands: Int = 8, buckets: Int = 16, minJaccard: Double = 0.0): Boolean = {
@@ -462,11 +497,12 @@ object Dedup {
     else {
       val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
-        pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(pairsTable)
-        unpersistInputsOf(pairs)
-        appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
+        if (!indexHasBatch(spark, name, batchId)) {
+          val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
+          writeBatchPartition(pairs, pairsTable, batchId)
+          unpersistInputsOf(pairs)
+          appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
+        }
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(s"${name}_batches")
@@ -474,6 +510,17 @@ object Dedup {
       } finally b.unpersist()
     }
   }
+
+  /** Replay-stage detector: has `batchId`'s band partition already
+    * landed in the index?  One partition-pruned existence probe.
+    * Pairs always commit before the index does, so a landed index
+    * partition implies the batch's pairs are complete — and a fresh
+    * probe at this stage would be WRONG (the batch would match its
+    * own stored signatures). */
+  private def indexHasBatch(spark: SparkSession, name: String, batchId: Long): Boolean =
+    spark.catalog.tableExists(s"${name}_bands") &&
+      spark.table(s"${name}_bands")
+        .where(col("batch_id") === batchId).limit(1).count() > 0
 
   /** EXACTLY-ONCE twin of [[ingestBatchIntoIndex]]: the user-facing
     * pairs output goes through a [[graft.sources.TxLog]] manifest
@@ -514,7 +561,10 @@ object Dedup {
             s"TxLog batch $batchId reported already-committed but no marker is visible")
           unpersistInputsOf(pairs)
         }
-        appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
+        // skip the (idempotent) re-append when the partition already
+        // landed — a replay past this stage only owes the marker
+        if (!indexHasBatch(spark, name, batchId))
+          appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(s"${name}_batches")

@@ -136,6 +136,15 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.table("dedupspec_ing_shingles").count() == shingles)
     // a NEW batch id with fresh ids does proceed
     assert(spark.table("dedupspec_ing_batches").count() == 1)
+    // crash-replay (marker wiped before it landed): the replayed step
+    // REPLACES the batch's pairs partition — count unchanged, no
+    // DISTINCT anywhere
+    graft.sources.Tables.dropWithLocation(spark, "dedupspec_ing_batches")
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      "dedupspec_ing", "dedupspec_ing_pairs", buckets = 4))
+    assert(spark.table("dedupspec_ing_pairs").count() == pairs,
+      "replayed pairs partition must overwrite, not duplicate")
+    assert(spark.table("dedupspec_ing_shingles").count() == shingles)
   }
 
   test("TxLog: atomic manifest commits are exactly-once under replay") {
