@@ -60,6 +60,45 @@ class TablesSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("compactPartitioned preserves a MULTI-LEVEL partition tree verbatim") {
+    // q84 gates the single-level case; this pins two-level nesting
+    // (lang=X/source=Y) — relative paths must mirror exactly and
+    // every leaf must collapse, with content identical
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("tables_compactp").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.repartition(4).write.mode("overwrite")
+        .partitionBy("lang", "source").parquet(s"$base/in")
+      def leaves(sub: String): Set[String] = {
+        def walk(f: java.io.File, rel: String): Seq[(String, Int)] = {
+          val parquet = Option(f.listFiles).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet"))
+          if (parquet > 0) Seq((rel, parquet))
+          else Option(f.listFiles).getOrElse(Array.empty).filter(_.isDirectory)
+            .flatMap(d => walk(d, if (rel.isEmpty) d.getName else s"$rel/${d.getName}")).toSeq
+        }
+        walk(new java.io.File(s"$base/$sub"), "").map(_._1).toSet
+      }
+      val in = leaves("in")
+      assert(in.nonEmpty && in.forall(_.contains("/")), s"expected two-level leaves: $in")
+      val (nLeaves, _) = graft.sources.Tables.compactPartitioned(
+        spark, s"$base/in", s"$base/out", parallelism = 3)
+      assert(nLeaves == in.size)
+      assert(leaves("out") == in, "relative leaf paths must mirror verbatim")
+      val cols = spark.read.parquet(s"$base/in").columns.sorted.map(col).toIndexedSeq
+      def rows(sub: String): Seq[String] = spark.read.parquet(s"$base/$sub")
+        .select(cols: _*).collect().map(_.toString).sorted.toSeq
+      assert(rows("in") == rows("out"), "content must round-trip identically")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val warehouse = Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
