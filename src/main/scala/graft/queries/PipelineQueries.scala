@@ -547,6 +547,40 @@ object PipelineQueries {
       |    AS zero_crossings
       |FROM s GROUP BY doc_id, win_no ORDER BY media_id, win_no""".stripMargin
 
+  // ---- Q87: frame features across all three audio encodings --------------
+  // q82's windowed decode over the mixed 16/24/float corpus: the
+  // per-encoding sample reader must produce the same windows, scaled
+  // by the 24-bit unit factor where applicable.  Zero crossings are
+  // scale-invariant (sign flips survive a positive scale); energy
+  // and peak scale by s² and s.  Exercises the float and 24-bit
+  // readers through the streaming window loop, not just whole-file
+  // stats (q86).
+  def q87(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(Multimodal.syntheticAudioMixed(s, dir), 16)
+      .select(col("media_id"), col("win_no").cast("long").as("win_no"),
+        col("n_samples"), col("sum_sq"),
+        col("peak").cast("long").as("peak"), col("zero_crossings"))
+      .orderBy("media_id", "win_no")
+  val q87Sql: String =
+    """WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS channels,
+      |    (length(text) % 50) + 20 AS frames,
+      |    CASE doc_id % 3 WHEN 1 THEN 256 ELSE 1 END AS scale
+      |  FROM documents),
+      |s AS (SELECT p.doc_id, (t.j // p.channels) // 16 AS win_no, p.scale,
+      |    ((p.doc_id*31 + t.j*7919) % 65536) - 32768 AS v,
+      |    CASE WHEN t.j >= p.channels THEN
+      |      ((p.doc_id*31 + (t.j - p.channels)*7919) % 65536) - 32768
+      |    END AS pv
+      |  FROM p CROSS JOIN generate_series(0, 149) t(j)
+      |  WHERE t.j < p.frames * p.channels)
+      |SELECT doc_id AS media_id, CAST(win_no AS BIGINT) AS win_no,
+      |  count(*) AS n_samples,
+      |  CAST(sum(v*v*scale*scale) AS BIGINT) AS sum_sq,
+      |  CAST(max(abs(v)*scale) AS BIGINT) AS peak,
+      |  CAST(count(*) FILTER (pv IS NOT NULL AND pv*v < 0) AS BIGINT)
+      |    AS zero_crossings
+      |FROM s GROUP BY doc_id, win_no ORDER BY media_id, win_no""".stripMargin
+
   // ---- Q83: small-file compaction, hash-checked --------------------------
   // A corpus accreted in per-batch appends becomes thousands of tiny
   // files; Tables.compactFiles rewrites them at a target file size.
@@ -2214,6 +2248,7 @@ object PipelineQueries {
     "q84_compact_partitioned" -> (q84 _),
     "q85_ngram_jaccard_sliced" -> (q85 _),
     "q86_audio_encodings" -> (q86 _),
+    "q87_audio_frames_mixed" -> (q87 _),
     "q30_stream_window" -> (q30 _),
     "q40_stream_exec" -> (q40 _),
     "q42_media_meta" -> (q42 _),
@@ -2255,6 +2290,7 @@ object PipelineQueries {
     "q84_compact_partitioned" -> q84Sql,
     "q85_ngram_jaccard_sliced" -> q85Sql,
     "q86_audio_encodings" -> q86Sql,
+    "q87_audio_frames_mixed" -> q87Sql,
     "q76_shuffle_shard" -> q76Sql,
     "q77_stateful_dedup_tws" -> q77Sql,
     "q78_running_fold_tws" -> q78Sql,
