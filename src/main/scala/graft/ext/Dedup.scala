@@ -467,18 +467,32 @@ object Dedup {
     * foreachBatch's at-least-once recovery contract.
     *
     * The marker commits LAST, so a crash mid-step replays the whole
-    * step — and every stage of the replay is exactly-once:
+    * step — and every stage of the replay is exactly-once.  The two
+    * replay guards are deliberately SPLIT across the two index tables
+    * ([[writeIndexTables]] lands `_shingles` first, `_bands` second):
+    * the re-probe guard keys off the FIRST-written table, the
+    * re-append guard off the LAST-written one, so every crash point —
+    * including the window between the two table writes — replays
+    * correctly:
     *  - crash before the pairs write committed: nothing landed;
     *    replay recomputes against the still-clean index;
     *  - crash between pairs and index append: replay recomputes the
     *    SAME pairs (the index is still clean) and dynamic-overwrites
     *    the batch's pairs partition — replace, never duplicate;
-    *  - crash after the index append: replay must NOT re-probe (the
-    *    index now holds the batch's own signatures — a fresh probe
-    *    would match the batch against its stored self); the
-    *    [[indexHasBatch]] guard detects the landed partition, and
-    *    since pairs commit BEFORE the index, their partition is
-    *    already complete — replay skips straight to the marker.
+    *  - crash BETWEEN the two index table writes (`_shingles` landed,
+    *    `_bands` not): replay must NOT re-probe — the index already
+    *    holds the batch's own shingles, so a fresh probe would fetch
+    *    every candidate's shingles twice (stored slice ∪ fresh batch)
+    *    and land duplicated pair rows as the partition's final
+    *    content.  [[indexHasShingles]] detects the landed first table
+    *    and skips the probe (pairs committed before any index write,
+    *    so their partition is complete); [[indexHasBatch]] sees the
+    *    missing `_bands` partition and re-runs the append, which
+    *    dynamic-overwrites BOTH partitions — idempotent;
+    *  - crash after the full index append: both guards fire — replay
+    *    skips straight to the marker.
+    * DedupSpec "half-append crash window" pins the between-writes
+    * case by deleting only the `_bands` partition and replaying.
     * No reader dedups anything.  What this form does NOT give is
     * atomic cross-file visibility — a reader overlapping a replay can
     * observe a partition mid-rewrite on object stores (HDFS-like
@@ -497,12 +511,19 @@ object Dedup {
     else {
       val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!indexHasBatch(spark, name, batchId)) {
+        // Re-probe guard: keyed off _shingles, the FIRST table the
+        // append writes — its presence means the probe+pairs stage
+        // completed AND the index may hold the batch's own signatures
+        if (!indexHasShingles(spark, name, batchId)) {
           val pairs = lshPairsAgainstIndex(b, idCol, textCol, name, n, bands, minJaccard)
           writeBatchPartition(pairs, pairsTable, batchId)
           unpersistInputsOf(pairs)
-          appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
         }
+        // Re-append guard: keyed off _bands, the LAST table the append
+        // writes — absent means the append is owed (in full or from a
+        // half-append crash); the re-run overwrites both partitions
+        if (!indexHasBatch(spark, name, batchId))
+          appendToLshIndex(b, batchId, idCol, textCol, name, n, bands, buckets)
         spark.range(1).select(lit(batchId).as("batch_id")).write
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(s"${name}_batches")
@@ -511,16 +532,32 @@ object Dedup {
     }
   }
 
-  /** Replay-stage detector: has `batchId`'s band partition already
-    * landed in the index?  One partition-pruned existence probe.
-    * Pairs always commit before the index does, so a landed index
-    * partition implies the batch's pairs are complete — and a fresh
-    * probe at this stage would be WRONG (the batch would match its
-    * own stored signatures). */
+  /** Re-probe guard: has `batchId`'s SHINGLE partition landed?
+    * `_shingles` is the FIRST table [[writeIndexTables]] writes, so
+    * its presence means the probe+pairs stage completed (pairs always
+    * commit before any index write) and the index may already hold
+    * the batch's own signatures — a fresh probe past this point would
+    * fetch candidates' shingles from both the stored slice and the
+    * batch and emit duplicated pairs.  Gating the probe on `_bands`
+    * (written SECOND) instead would miss the half-append crash window
+    * between the two writes — exactly the bug this split fixes.
+    * One partition-pruned existence probe. */
+  private def indexHasShingles(spark: SparkSession, name: String, batchId: Long): Boolean =
+    partitionLanded(spark, s"${name}_shingles", batchId)
+
+  /** Re-append guard: has `batchId`'s BAND partition landed?
+    * `_bands` is the LAST table [[writeIndexTables]] writes, so its
+    * presence means the whole index append completed.  Absent bands →
+    * re-run [[appendToLshIndex]], which dynamic-overwrites BOTH
+    * partitions (idempotent whether the crash left zero, one, or a
+    * partially-visible table behind). */
   private def indexHasBatch(spark: SparkSession, name: String, batchId: Long): Boolean =
-    spark.catalog.tableExists(s"${name}_bands") &&
-      spark.table(s"${name}_bands")
-        .where(col("batch_id") === batchId).limit(1).count() > 0
+    partitionLanded(spark, s"${name}_bands", batchId)
+
+  /** One partition-pruned existence probe. */
+  private def partitionLanded(spark: SparkSession, table: String, batchId: Long): Boolean =
+    spark.catalog.tableExists(table) &&
+      spark.table(table).where(col("batch_id") === batchId).limit(1).count() > 0
 
   /** EXACTLY-ONCE twin of [[ingestBatchIntoIndex]]: the user-facing
     * pairs output goes through a [[graft.sources.TxLog]] manifest
@@ -537,6 +574,13 @@ object Dedup {
     *  - before the pairs commit: everything re-runs, one commit wins;
     *  - after pairs commit, before index append: pairs skip (marker
     *    exists), index partition lands once;
+    *  - BETWEEN the two index table writes (`_shingles` landed,
+    *    `_bands` not): pairs skip (marker exists — this path never
+    *    re-probes after the commit, so the half-append window that
+    *    bites a probe-after-append design cannot produce pairs here);
+    *    [[indexHasBatch]] sees the missing `_bands` partition and
+    *    re-runs the append, overwriting both partitions.  Pinned by
+    *    DedupSpec "Tx half-append crash window";
     *  - after index append, before `<name>_batches` marker: pairs
     *    skip, index partition is overwritten in place, marker lands. */
   def ingestBatchIntoIndexTx(batch: DataFrame, batchId: Long, idCol: String,

@@ -147,6 +147,48 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.table("dedupspec_ing_shingles").count() == shingles)
   }
 
+  test("half-append crash window: replay after shingles landed but bands did not") {
+    // writeIndexTables lands _shingles FIRST, _bands SECOND.  A crash
+    // between the two (and before the batch marker) leaves the batch's
+    // own shingles in the index; the replay must NOT re-probe (it
+    // would fetch every candidate's shingles from both the stored
+    // slice and the fresh batch and land duplicated pair rows) but
+    // MUST re-run the idempotent append.  This is the window the
+    // split indexHasShingles/indexHasBatch guards exist for.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 450), "doc_id", "text",
+      "dedupspec_half", buckets = 4)
+    Seq("dedupspec_half_pairs", "dedupspec_half_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    val batch = docs.where(col("doc_id") >= 450)
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      "dedupspec_half", "dedupspec_half_pairs", buckets = 4))
+    val pairsOnce = spark.table("dedupspec_half_pairs")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(pairsOnce.nonEmpty, "test needs a batch that finds pairs")
+    val shinglesOnce = spark.table("dedupspec_half_shingles").count()
+    // simulate the crash: wipe the marker and delete ONLY the batch's
+    // bands partition — exactly the state a crash between the two
+    // index table writes leaves behind
+    graft.sources.Tables.dropWithLocation(spark, "dedupspec_half_batches")
+    spark.sql("ALTER TABLE dedupspec_half_bands DROP PARTITION (batch_id=0)")
+    assert(spark.table("dedupspec_half_bands")
+      .where(col("batch_id") === 0L).count() == 0)
+    // replay the whole ingest step
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      "dedupspec_half", "dedupspec_half_pairs", buckets = 4))
+    assert(spark.table("dedupspec_half_pairs")
+      .orderBy("id_a", "id_b").collect().toSeq == pairsOnce,
+      "replay after a half-append must leave the pairs row-identical — no duplicates")
+    assert(spark.table("dedupspec_half_bands")
+      .where(col("batch_id") === 0L).count() > 0,
+      "replay must re-land the missing bands partition")
+    assert(spark.table("dedupspec_half_shingles").count() == shinglesOnce,
+      "re-append must overwrite the shingles partition, not duplicate it")
+    val sh = spark.table("dedupspec_half_shingles")
+    assert(sh.count() == sh.dropDuplicates("id").count())
+  }
+
   test("TxLog: atomic manifest commits are exactly-once under replay") {
     import graft.sources.TxLog
     import spark.implicits._
@@ -333,5 +375,38 @@ class DedupSpec extends AnyFunSuite {
     val all = TxLog.readCommitted(spark, pairsDir)
     assert(all.count() == all.dropDuplicates("id_a", "id_b").count(),
       "pairs must be unique without any reader-side DISTINCT")
+  }
+
+  test("Tx half-append crash window: bands-only loss replays cleanly") {
+    // same crash point as the non-Tx test (between the two index
+    // table writes, before the batch marker), against the TxLog path:
+    // pairs committed BEFORE any index write, so the replay skips the
+    // probe on isCommitted and only owes the idempotent re-append
+    import graft.sources.TxLog
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 450), "doc_id", "text",
+      "dedupspec_txhalf", buckets = 4)
+    graft.sources.Tables.dropWithLocation(spark, "dedupspec_txhalf_batches")
+    val pairsDir = java.nio.file.Files.createTempDirectory("txhalf").toString
+    val batch = docs.where(col("doc_id") >= 450)
+    assert(Dedup.ingestBatchIntoIndexTx(batch, 0L, "doc_id", "text",
+      "dedupspec_txhalf", pairsDir, buckets = 4))
+    val pairsOnce = TxLog.readCommitted(spark, pairsDir)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(pairsOnce.nonEmpty, "test needs a batch that finds pairs")
+    val shinglesOnce = spark.table("dedupspec_txhalf_shingles").count()
+    graft.sources.Tables.dropWithLocation(spark, "dedupspec_txhalf_batches")
+    spark.sql("ALTER TABLE dedupspec_txhalf_bands DROP PARTITION (batch_id=0)")
+    assert(Dedup.ingestBatchIntoIndexTx(batch, 0L, "doc_id", "text",
+      "dedupspec_txhalf", pairsDir, buckets = 4))
+    assert(TxLog.readCommitted(spark, pairsDir)
+      .orderBy("id_a", "id_b").collect().toSeq == pairsOnce,
+      "committed pairs must be byte-identical across the replay")
+    assert(spark.table("dedupspec_txhalf_bands")
+      .where(col("batch_id") === 0L).count() > 0,
+      "replay must re-land the missing bands partition")
+    assert(spark.table("dedupspec_txhalf_shingles").count() == shinglesOnce)
+    val sh = spark.table("dedupspec_txhalf_shingles")
+    assert(sh.count() == sh.dropDuplicates("id").count())
   }
 }
