@@ -53,10 +53,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes: readers pay one `_commits` listing plus one small
   * read per live marker; [[compact]] (optionally generational via
   * `keepRecent`) bounds the live-marker count, and above
-  * [[bulkReadThreshold]] live markers the bodies are read in one
-  * distributed pass instead of a driver loop.  The data files
-  * themselves are read with ordinary partitioned parquet scans, so
-  * filter pushdown and column pruning are untouched.
+  * [[bulkReadThreshold]] live markers the bodies are read by a
+  * bounded driver-side thread pool instead of a sequential loop (a
+  * distributed pass was measured 8× slower — see
+  * [[bulkReadThreshold]]).  The data files themselves are read with
+  * ordinary partitioned parquet scans, so filter pushdown and column
+  * pruning are untouched.
+  *
+  * Writer role: the log is SINGLE-WRITER for maintenance.  [[compact]]
+  * and [[vacuum]] enforce it with a create-no-overwrite lease file
+  * (`_writer.lock` under `dir`) held for the call's duration — a
+  * second concurrent maintainer fails loudly with the holder's
+  * identity instead of corrupting quietly — and [[commitBatch]]
+  * refuses (at entry and again just before its marker publish) while
+  * maintenance holds the lease, because [[vacuum]] would reclaim an
+  * in-flight commit's staged dir as an orphan.  The residual window —
+  * maintenance acquiring, vacuuming, and releasing entirely between a
+  * commit's two checks — is unobservable to file-level checks; the
+  * operational contract stays "one writer role", the lease is what
+  * makes violating it loud.  A crashed holder leaves the lease behind:
+  * recover with [[breakLease]] (runbook below).
   *
   * Operational lifecycle (who takes the writer role, when to compact
   * and vacuum, what readers see mid-crash): SCALE.md §"Ingest
@@ -83,6 +99,86 @@ object TxLog {
   }
 
   private def commitsPath(root: Path) = new Path(root, "_commits")
+
+  /** The maintenance lease file.  Root-level (NOT inside `_commits`)
+    * so [[vacuum]]'s stale-marker sweep can never reclaim it. */
+  private def leasePath(root: Path) = new Path(root, "_writer.lock")
+
+  /** Acquire the maintenance lease for `op`, or throw
+    * [[IllegalStateException]] naming the current holder.  Same
+    * atomic tmp-write + no-overwrite-rename primitive as
+    * [[publishMarker]] (with the same POSIX-local-fs caveat).
+    * Returns the unique token [[releaseLease]] needs — only the
+    * acquirer's own lease is ever deleted, so a [[breakLease]] +
+    * re-acquire can't be clobbered by the crashed holder resuming. */
+  private[graft] def acquireLease(spark: SparkSession, dir: String, op: String): String = {
+    val (f, root) = fs(spark, dir)
+    val token = s"$op pid=${ProcessHandle.current().pid()} " +
+      s"thread=${Thread.currentThread().getId} nonce=${java.util.UUID.randomUUID()}"
+    val tmp = new Path(commitsPath(root), s".tmp/${java.util.UUID.randomUUID()}")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, /*overwrite=*/ false)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(leasePath(root)),
+        Options.Rename.NONE)
+      token
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"TxLog at $dir: cannot start '$op' — the writer lease is held by " +
+            s"[${leaseHolder(f, root).getOrElse("<unreadable>")}]. The log is " +
+            "single-writer for maintenance; if the holder crashed, recover " +
+            "with TxLog.breakLease.")
+    }
+  }
+
+  /** Release a lease acquired with `token`.  Deletes the lease file
+    * only if it still carries OUR token — a broken-and-reacquired
+    * lease belongs to someone else and is left alone. */
+  private[graft] def releaseLease(spark: SparkSession, dir: String, token: String): Unit = {
+    val (f, root) = fs(spark, dir)
+    if (leaseHolder(f, root).contains(token)) f.delete(leasePath(root), false)
+  }
+
+  private def leaseHolder(f: FileSystem, root: Path): Option[String] =
+    if (!f.exists(leasePath(root))) None
+    else {
+      val in = f.open(leasePath(root))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  /** True while a maintenance op ([[compact]]/[[vacuum]]) holds the
+    * writer lease. */
+  def maintenanceInProgress(spark: SparkSession, dir: String): Boolean = {
+    val (f, root) = fs(spark, dir)
+    f.exists(leasePath(root))
+  }
+
+  /** Operator recovery tool: delete a lease left behind by a CRASHED
+    * holder so maintenance can resume.  Returns true if a lease was
+    * removed.  Breaking a LIVE holder's lease re-opens the concurrent
+    * maintenance hazard the lease exists to prevent — verify the
+    * holder (pid in the lease body) is dead first. */
+  def breakLease(spark: SparkSession, dir: String): Boolean = {
+    val (f, root) = fs(spark, dir)
+    f.delete(leasePath(root), false)
+  }
+
+  private def requireNoMaintenance(spark: SparkSession, dir: String, what: String): Unit =
+    if (maintenanceInProgress(spark, dir)) {
+      val (f, root) = fs(spark, dir)
+      throw new IllegalStateException(
+        s"TxLog at $dir: $what refused — maintenance holds the writer lease " +
+          s"[${leaseHolder(f, root).getOrElse("<unreadable>")}]; a concurrent " +
+          "vacuum would reclaim this commit's staged dir as an orphan. " +
+          "Re-run after maintenance finishes.")
+    }
 
   /** Parse a marker file name: Right(batchId) for writer markers,
     * Left(maxFoldedId) for compaction markers, None for anything else
@@ -134,13 +230,30 @@ object TxLog {
     * or another attempt won the publish race (the staged attempt is
     * then an orphan for [[vacuum]]).  Any other I/O failure — disk
     * full, permissions, fs hiccup — PROPAGATES: only a verified
-    * already-committed state may report false. */
+    * already-committed state may report false.
+    *
+    * Batch ids must be ≥ 0: marker names are all-digit, so a negative
+    * id would publish a marker [[parseMarker]] never recognizes —
+    * [[isCommitted]]'s direct point probe would say committed while
+    * [[readCommitted]]/[[committedDirs]] silently dropped the rows.
+    * (Spark's foreachBatch ids satisfy this; conventions like
+    * `Dedup.bootstrapBatchId = -1` are INDEX partition values, not
+    * TxLog batch ids.)  Throws [[IllegalStateException]] while
+    * maintenance holds the writer lease (see the class doc). */
   def commitBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    require(batchId >= 0,
+      s"TxLog batch ids must be >= 0, got $batchId: a negative id's marker " +
+        "would read as committed by the point probe but be invisible to readers")
     val spark = df.sparkSession
     val (f, root) = fs(spark, dir)
+    requireNoMaintenance(spark, dir, s"commitBatch($batchId)")
     if (isCommitted(spark, dir, batchId)) return false
     val staged = s"$batchId-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(root, s"_staged/$staged").toString)
+    // re-check after the (slow) stage: maintenance that started since
+    // the entry check may already have vacuumed the staged dir — throw
+    // instead of publishing a marker that could name deleted data
+    requireNoMaintenance(spark, dir, s"commitBatch($batchId) marker publish")
     publishMarker(spark, f, root, batchId.toString, staged)
   }
 
@@ -226,15 +339,23 @@ object TxLog {
     * batch id can never collide with it), and readers ignore
     * stale markers BY NAME the instant the folded marker lands, so
     * there is no double-read window; a crash before the stale-marker
-    * deletes finishes is healed by [[vacuum]].  Single-WRITER still:
-    * concurrent ingest during compaction could commit a batch whose
-    * id the fold ceiling then swallows, so hold the writer role while
-    * compacting.
+    * deletes finishes is healed by [[vacuum]].  Single-WRITER,
+    * ENFORCED: the call holds the maintenance lease for its duration,
+    * so a second concurrent compactor — or a [[commitBatch]] racing
+    * the fold — fails loudly with the holder's identity instead of
+    * corrupting quietly (the old failure mode: an in-flight commit's
+    * staged dir vacuumed from under its marker).
     *
     * Returns the folded marker's ceiling id, or None when fewer than
     * two live markers would fold. */
   def compact(spark: SparkSession, dir: String, keepRecent: Int = 0): Option[Long] = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
+    val token = acquireLease(spark, dir, s"compact(keepRecent=$keepRecent)")
+    try compactLocked(spark, dir, keepRecent)
+    finally releaseLease(spark, dir, token)
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String, keepRecent: Int): Option[Long] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
     val foldIds = ids.dropRight(keepRecent)
@@ -256,16 +377,24 @@ object TxLog {
     // stale markers are invisible to readers already (name floor);
     // deleting them + orphaned dirs is pure cleanup
     foldNames.foreach(n => f.delete(new Path(commitsPath(root), n), false))
-    vacuum(spark, dir)
+    vacuumLocked(spark, dir)
     Some(ceiling)
   }
 
   /** Delete staged dirs no live marker references (crashed attempts,
     * race losers, compaction-folded batches) plus stale markers and
     * leftover tmp bodies.  Returns how many staged dirs were removed.
-    * Run under the writer role — an in-flight commit's staged dir
-    * looks like an orphan until its marker lands. */
+    * Holds the maintenance lease for the call's duration — an
+    * in-flight commit's staged dir looks like an orphan until its
+    * marker lands, which is exactly why [[commitBatch]] refuses while
+    * the lease is held. */
   def vacuum(spark: SparkSession, dir: String): Int = {
+    val token = acquireLease(spark, dir, "vacuum")
+    try vacuumLocked(spark, dir)
+    finally releaseLease(spark, dir, token)
+  }
+
+  private def vacuumLocked(spark: SparkSession, dir: String): Int = {
     val (f, root) = fs(spark, dir)
     // stale markers first, so a crashed compact converges
     val (ids, compactId) = liveMarkers(f, root)

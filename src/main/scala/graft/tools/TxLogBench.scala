@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   * needed to measure marker resolution), then time
   *  - `committedBatchIds` (one `_commits` listing + name parse),
   *  - `committedDirs` (listing + body reads; above
-  *    [[TxLog.bulkReadThreshold]]=1024 this takes the distributed
-  *    bulk-read path, so 10^4/10^5 measure THAT),
+  *    [[TxLog.bulkReadThreshold]]=1024 this takes the bounded
+  *    driver-side thread-pool bulk-read path, so 10^4/10^5 measure
+  *    THAT),
   *  - `isCommitted` (single-marker point lookup, the writer's
   *    replay check),
   * and finally a `compact(keepRecent=100)`-shaped fold of the marker

@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.TxLog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintenance writer lease: compact/vacuum are single-writer by
+  * contract, and since round 7 the contract is ENFORCED — a second
+  * concurrent maintainer (or a commit racing maintenance) fails
+  * loudly with the holder's identity, never corrupts quietly. */
+class TxLogLeaseSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshLog(n: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("txlease").toString
+    (0L until n).foreach(i =>
+      assert(TxLog.commitBatch(Seq((i, s"b$i")).toDF("id", "v"), dir, i)))
+    dir
+  }
+
+  test("a second maintainer is refused while the lease is held, log intact") {
+    val dir = freshLog(4)
+    val before = TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq
+    val token = TxLog.acquireLease(spark, dir, "spec-compactor")
+    try {
+      // a concurrent compactor fails loudly, naming the holder
+      val exC = intercept[IllegalStateException](TxLog.compact(spark, dir))
+      assert(exC.getMessage.contains("spec-compactor"))
+      val exV = intercept[IllegalStateException](TxLog.vacuum(spark, dir))
+      assert(exV.getMessage.contains("spec-compactor"))
+      // an ingest racing maintenance fails loudly too — vacuum would
+      // reclaim its staged dir as an orphan
+      val exI = intercept[IllegalStateException](
+        TxLog.commitBatch(Seq((9L, "x")).toDF("id", "v"), dir, 9L))
+      assert(exI.getMessage.contains("spec-compactor"))
+      assert(TxLog.maintenanceInProgress(spark, dir))
+      // nothing was corrupted or half-applied by the refused calls
+      assert(TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq == before)
+      assert(TxLog.committedBatchIds(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    } finally TxLog.releaseLease(spark, dir, token)
+    // the release reopens the log: both maintenance and ingest proceed
+    assert(!TxLog.maintenanceInProgress(spark, dir))
+    assert(TxLog.compact(spark, dir) == Some(3L))
+    assert(TxLog.commitBatch(Seq((4L, "b4")).toDF("id", "v"), dir, 4L))
+    assert(TxLog.readCommitted(spark, dir).count() == 5)
+  }
+
+  test("two concurrent compactors: no corruption, loser (if any) fails loudly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshLog(6)
+    val before = TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq
+    // either they serialize (first folds, second finds <2 markers →
+    // None) or they collide (loser throws the lease exception) — the
+    // one outcome the lease forbids is both folding concurrently
+    val results = Await.result(Future.sequence((1 to 2).map(_ =>
+      Future(scala.util.Try(TxLog.compact(spark, dir))))), 2.minutes)
+    val folded = results.collect { case scala.util.Success(Some(c)) => c }
+    val refused = results.collect { case scala.util.Failure(e: IllegalStateException) => e }
+    assert(folded.size <= 1, s"at most one compactor may fold, got $folded")
+    assert(folded.size + refused.size +
+      results.count(_ == scala.util.Success(None)) == 2)
+    refused.foreach(e => assert(e.getMessage.contains("writer lease")))
+    assert(TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq == before,
+      "committed rows must be untouched by the race")
+    assert(!TxLog.maintenanceInProgress(spark, dir), "lease must be released")
+  }
+
+  test("breakLease recovers from a crashed holder") {
+    val dir = freshLog(3)
+    TxLog.acquireLease(spark, dir, "crashed-maintainer") // never released
+    intercept[IllegalStateException](TxLog.compact(spark, dir))
+    assert(TxLog.breakLease(spark, dir))
+    assert(!TxLog.maintenanceInProgress(spark, dir))
+    assert(TxLog.compact(spark, dir) == Some(2L))
+    assert(TxLog.readCommitted(spark, dir).count() == 3)
+  }
+
+  test("releaseLease with a stale token leaves a re-acquired lease alone") {
+    val dir = freshLog(1)
+    val stale = TxLog.acquireLease(spark, dir, "old-holder")
+    assert(TxLog.breakLease(spark, dir)) // operator recovered
+    val fresh = TxLog.acquireLease(spark, dir, "new-holder")
+    // the crashed holder resumes and releases: must NOT clobber the
+    // new holder's lease (token mismatch)
+    TxLog.releaseLease(spark, dir, stale)
+    assert(TxLog.maintenanceInProgress(spark, dir),
+      "a stale release must not delete the new holder's lease")
+    TxLog.releaseLease(spark, dir, fresh)
+    assert(!TxLog.maintenanceInProgress(spark, dir))
+  }
+
+  test("negative batch ids are rejected before anything lands") {
+    val dir = java.nio.file.Files.createTempDirectory("txlease_neg").toString
+    val ex = intercept[IllegalArgumentException](
+      TxLog.commitBatch(Seq((1L, "a")).toDF("id", "v"), dir, -1L))
+    assert(ex.getMessage.contains("-1"))
+    // nothing staged, nothing committed
+    val (f, root) = (new org.apache.hadoop.fs.Path(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) ->
+      new org.apache.hadoop.fs.Path(dir)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_staged")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_commits")))
+  }
+}
