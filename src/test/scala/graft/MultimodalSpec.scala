@@ -168,10 +168,95 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wins.map(_.nSamples).sum == whole.nSamples)
   }
 
-  test("sampleFrames explodes to n frames per row") {
-    val frames = Multimodal.sampleFrames(media().limit(5), 4)
-    assert(frames.count() == 20)
-    assert(frames.groupBy("media_id").count().select(max("count")).as[Long].head == 4L)
+  test("demuxFrames splits a concatenated PNG sequence byte-exactly") {
+    val frames = (0 until 5).map(k =>
+      Multimodal.encodeGrayPng(7, 5)((x, y) => (k * 17 + x * 7 + y * 13) % 256))
+    val blob = frames.reduce(_ ++ _)
+    val out = Multimodal.demuxFrames(blob)
+    assert(out.length == 5)
+    out.zip(frames).foreach { case (got, want) => assert(got.sameElements(want)) }
+    // every demuxed frame decodes through the real image path
+    out.zipWithIndex.foreach { case (f, k) =>
+      val d = Multimodal.decodeImage(f).get
+      assert(d.width == 7 && d.height == 5)
+      assert(d.sumLuma == (for { x <- 0 until 7; y <- 0 until 5 }
+        yield (k * 17 + x * 7 + y * 13) % 256).sum)
+    }
+  }
+
+  test("demuxFrames splits MJPEG (concatenated baseline JPEG) correctly") {
+    def jpeg(k: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(12, 9,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 12).foreach(x => (0 until 9).foreach(y =>
+        img.getRaster.setSample(x, y, 0, (k * 40 + x * 3 + y * 5) % 256)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (0 until 3).map(jpeg)
+    val out = Multimodal.demuxFrames(frames.reduce(_ ++ _))
+    assert(out.length == 3)
+    out.zip(frames).foreach { case (got, want) => assert(got.sameElements(want)) }
+    // JPEG is lossy, but dimensions decode exactly
+    out.foreach { f =>
+      val d = Multimodal.decodeImage(f).get
+      assert(d.width == 12 && d.height == 9 && d.channels == 1)
+    }
+    // mixed-format stream: PNG frame between two JPEGs still splits
+    val png = Multimodal.encodeGrayPng(4, 4)((x, y) => x + y)
+    val mixed = Multimodal.demuxFrames(frames(0) ++ png ++ frames(1))
+    assert(mixed.length == 3)
+    assert(mixed(1).sameElements(png))
+  }
+
+  test("demuxFrames yields complete frames before a truncated tail") {
+    val f0 = Multimodal.encodeGrayPng(5, 5)((x, y) => x * y)
+    val f1 = Multimodal.encodeGrayPng(5, 5)((x, y) => x + y)
+    val truncated = f0 ++ f1 ++ f0.take(f0.length / 2)
+    val out = Multimodal.demuxFrames(truncated)
+    assert(out.length == 2)
+    assert(out(0).sameElements(f0) && out(1).sameElements(f1))
+    assert(Multimodal.demuxFrames("not media at all".getBytes).isEmpty)
+  }
+
+  test("sampleIndices: all frames when short, even strides when long") {
+    assert(Multimodal.sampleIndices(3, 4) == Seq(0, 1, 2))
+    assert(Multimodal.sampleIndices(4, 4) == Seq(0, 1, 2, 3))
+    assert(Multimodal.sampleIndices(6, 4) == Seq(0, 1, 3, 4))
+    assert(Multimodal.sampleIndices(100, 4) == Seq(0, 25, 50, 75))
+    assert(Multimodal.sampleIndices(0, 4).isEmpty)
+    // strictly increasing (distinct) for every count > n
+    (5 to 40).foreach { c =>
+      val s = Multimodal.sampleIndices(c, 4)
+      assert(s == s.distinct.sorted && s.length == 4, s"count=$c → $s")
+    }
+  }
+
+  test("sampleFrames demuxes real sequences and keeps source frame numbers") {
+    val vids = Multimodal.syntheticVideo(spark, "/root/testdata/sf0.001").limit(20)
+      .persist()
+    try {
+      val frames = Multimodal.sampleFrames(vids, 4)
+      // per video: min(frameCount, 4) rows, frame_no = source index
+      val expected = vids.select(col("media_id"),
+        (col("meta.duration_ms") / 40).cast("int").as("f")).collect()
+        .map(r => r.getLong(0) -> math.min(r.getInt(1), 4)).toMap
+      val got = frames.groupBy("media_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.map { case (k, v) => k -> v.toLong })
+      // each sampled frame decodes and matches the closed-form pixels
+      val stats = Multimodal.videoFrameStats(vids, 4)
+        .select("media_id", "frame_no", "width_px", "height_px", "sum_luma")
+        .collect()
+      assert(stats.nonEmpty)
+      stats.foreach { r =>
+        val (id, k, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        val want = (for { x <- 0 until w; y <- 0 until h }
+          yield (id * 31 + k * 17 + x * 7 + y * 13) % 256).sum
+        assert(r.getLong(4) == want, s"media $id frame $k")
+      }
+    } finally vids.unpersist()
   }
 
   test("mediaNearDup runs end-to-end on features, not bytes") {
