@@ -31,6 +31,10 @@ class ShuffleBytesSpec extends AnyFunSuite {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         total.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
+    // drain BEFORE registering too: stage-completed events still queued
+    // from earlier tests/suites would otherwise be delivered to the new
+    // listener and billed to the measured body
+    org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
     spark.sparkContext.addSparkListener(l)
     try {
       body

@@ -10,11 +10,44 @@ sf1, whose SQL replay is quadratic in candidate pairs); a query whose
 output dir is missing is also skipped when named here instead of
 counting as a failure.
 """
-import argparse, json, os, sys
+import argparse, json, os, re, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Oracles embed expensive CTE chains (LSH pairs, k-means assignment)
+# that several queries share verbatim; the generator wraps them in
+# /*SHARED <name> EXPORTS <cte,...>*/ ... /*END SHARED*/ comment
+# sentinels.  Each SQL stays fully self-contained (the comments are
+# invisible to DuckDB, so the driver's standalone gate is untouched);
+# HERE we materialize each export once into a temp table and rewrite
+# the query to read it — at sf1 this turns five LSH-chain evaluations
+# into one.
+SHARED_RE = re.compile(r"/\*SHARED (\w+) EXPORTS ([\w,]+)\*/(.*?)/\*END SHARED\*/",
+                       re.S)
+
+def rewrite_shared(sql, con, seen_chains, materialized):
+    m = SHARED_RE.search(sql)
+    if not m:
+        return sql
+    name, exports, chain = m.group(1), m.group(2).split(","), m.group(3)
+    if name in seen_chains:
+        # same name MUST mean same chain, or the cache would silently
+        # serve one query's results to a different computation
+        assert seen_chains[name] == chain, f"SHARED {name}: divergent chain text"
+    else:
+        seen_chains[name] = chain
+    for cte in exports:
+        t = f"shared_{name}_{cte}"
+        if t not in materialized:
+            # DuckDB evaluates only the CTEs the SELECT reaches, so
+            # cheap exports don't pay for expensive sibling CTEs
+            con.execute(f"CREATE TEMP TABLE {t} AS WITH {chain} SELECT * FROM {cte}")
+            materialized.add(t)
+            print(f"SHARED materialized {t}")
+    stubs = ", ".join(f"{c} AS (SELECT * FROM shared_{name}_{c})" for c in exports)
+    return sql[:m.start()] + stubs + sql[m.end():]
 
 def norm(v):
     if v is None:
@@ -23,7 +56,7 @@ def norm(v):
         return f"{v:.6f}"
     return str(v)
 
-def main(sf_dir, out_dir, skip=()):
+def main(sf_dir, out_dir, skip=(), no_shared=False):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -32,6 +65,7 @@ def main(sf_dir, out_dir, skip=()):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    seen_chains, materialized = {}, set()
     for name in sorted(oracles):
         if name in skip:
             print(f"SKIP {name}")
@@ -43,6 +77,8 @@ def main(sf_dir, out_dir, skip=()):
             n_fail += 1
             continue
         try:
+            if not no_shared:
+                sql = rewrite_shared(sql, con, seen_chains, materialized)
             sp = con.execute(
                 f"SELECT * FROM '{spark_path}/*.parquet'").fetch_arrow_table()
             du = con.execute(sql).fetch_arrow_table()
@@ -83,6 +119,8 @@ if __name__ == "__main__":
     ap.add_argument("out_dir", help="Verify output dir (holds oracle_sql.json)")
     ap.add_argument("--skip", default="", metavar="q,q,...",
                     help="comma-separated oracle names to leave out")
+    ap.add_argument("--no-shared", action="store_true",
+                    help="disable shared-CTE materialization (A/B timing)")
     args = ap.parse_args()
     skip = tuple(s for s in args.skip.split(",") if s)
     with open(os.path.join(args.out_dir, "oracle_sql.json")) as f:
@@ -90,4 +128,4 @@ if __name__ == "__main__":
     unknown = [s for s in skip if s not in known]
     if unknown:
         ap.error(f"--skip names not in oracle_sql.json: {unknown}")
-    sys.exit(main(args.sf_dir, args.out_dir, skip))
+    sys.exit(main(args.sf_dir, args.out_dir, skip, args.no_shared))
