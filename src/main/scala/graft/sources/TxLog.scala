@@ -67,11 +67,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identity instead of corrupting quietly — and [[commitBatch]]
   * refuses (at entry and again just before its marker publish) while
   * maintenance holds the lease, because [[vacuum]] would reclaim an
-  * in-flight commit's staged dir as an orphan.  The residual window —
-  * maintenance acquiring, vacuuming, and releasing entirely between a
-  * commit's two checks — is unobservable to file-level checks; the
-  * operational contract stays "one writer role", the lease is what
-  * makes violating it loud.  A crashed holder leaves the lease behind:
+  * in-flight commit's staged dir as an orphan.  The once-residual
+  * window — maintenance acquiring, vacuuming, and releasing entirely
+  * DURING a commit's (minutes-long) stage write, so both lease checks
+  * pass but the marker would name a deleted dir — is closed by three
+  * complementary guards: [[vacuum]] never reclaims staged dirs (or
+  * tmp marker bodies) younger than its grace period (GC-safety:
+  * size `graceMs` above the longest plausible stage write, default
+  * [[defaultVacuumGraceMs]]); [[commitBatch]] verifies its staged dir
+  * still exists after the second lease check and RE-STAGES if a
+  * vacuum reclaimed it; and after the marker publish it verifies the
+  * staged dir again, unpublishing the marker and re-staging if a
+  * vacuum won the final microseconds.  A marker naming deleted data
+  * can no longer be the outcome of any interleaving — the commit
+  * either lands with its rows intact or throws after bounded
+  * re-stage attempts.  A crashed holder leaves the lease behind:
   * recover with [[breakLease]] (runbook below).
   *
   * Operational lifecycle (who takes the writer role, when to compact
@@ -92,6 +102,22 @@ object TxLog {
 
   /** Threads for the parallel marker-body read. */
   private val bulkReadParallelism: Int = 32
+
+  /** Default [[vacuum]] grace period: staged dirs and `_commits/.tmp`
+    * marker bodies YOUNGER than this are never reclaimed, so an
+    * in-flight commit's stage write (or its about-to-rename marker
+    * body) cannot be swept from under it by a maintenance call that
+    * slips entirely between the commit's two lease checks.  Size it
+    * above the longest plausible stage write for the corpus; 15
+    * minutes covers a multi-GB parquet stage with a wide margin.
+    * Operators that KNOW no writer is active (crash recovery with the
+    * writer down) may pass `graceMs = 0` to reclaim everything. */
+  val defaultVacuumGraceMs: Long = 15 * 60 * 1000L
+
+  /** Bounded re-stage attempts when a vacuum reclaims the staged dir
+    * mid-commit (only reachable when vacuum runs with a grace period
+    * shorter than the stage write). */
+  private val maxCommitAttempts: Int = 3
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -131,7 +157,7 @@ object TxLog {
         f.delete(tmp, false)
         throw new IllegalStateException(
           s"TxLog at $dir: cannot start '$op' — the writer lease is held by " +
-            s"[${leaseHolder(f, root).getOrElse("<unreadable>")}]. The log is " +
+            s"[${leaseHolderDescribed(f, root)}]. The log is " +
             "single-writer for maintenance; if the holder crashed, recover " +
             "with TxLog.breakLease.")
     }
@@ -152,6 +178,20 @@ object TxLog {
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     }
+
+  /** Holder identity plus how long the lease file has existed — the
+    * age lets an operator distinguish a live maintainer (seconds old)
+    * from a crashed one (hours old) before reaching for
+    * [[breakLease]]. */
+  private def leaseHolderDescribed(f: FileSystem, root: Path): String = {
+    val holder = leaseHolder(f, root).getOrElse("<unreadable>")
+    val age = try {
+      val ms = System.currentTimeMillis() -
+        f.getFileStatus(leasePath(root)).getModificationTime
+      s"held for ${ms / 1000} s"
+    } catch { case _: java.io.IOException => "age unknown" }
+    s"$holder; $age"
+  }
 
   /** True while a maintenance op ([[compact]]/[[vacuum]]) holds the
     * writer lease. */
@@ -175,7 +215,7 @@ object TxLog {
       val (f, root) = fs(spark, dir)
       throw new IllegalStateException(
         s"TxLog at $dir: $what refused — maintenance holds the writer lease " +
-          s"[${leaseHolder(f, root).getOrElse("<unreadable>")}]; a concurrent " +
+          s"[${leaseHolderDescribed(f, root)}]; a concurrent " +
           "vacuum would reclaim this commit's staged dir as an orphan. " +
           "Re-run after maintenance finishes.")
     }
@@ -240,21 +280,55 @@ object TxLog {
     * `Dedup.bootstrapBatchId = -1` are INDEX partition values, not
     * TxLog batch ids.)  Throws [[IllegalStateException]] while
     * maintenance holds the writer lease (see the class doc). */
-  def commitBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
+  def commitBatch(df: DataFrame, dir: String, batchId: Long): Boolean =
+    commitBatchHooked(df, dir, batchId, () => ())
+
+  /** [[commitBatch]] with a test seam fired after each stage write
+    * completes and before the pre-publish lease re-check — the spec
+    * uses it to run a full vacuum cycle "during" the stage and prove
+    * the re-stage path (a marker can never name a deleted dir). */
+  private[graft] def commitBatchHooked(df: DataFrame, dir: String, batchId: Long,
+      afterStage: () => Unit): Boolean = {
     require(batchId >= 0,
       s"TxLog batch ids must be >= 0, got $batchId: a negative id's marker " +
         "would read as committed by the point probe but be invisible to readers")
     val spark = df.sparkSession
     val (f, root) = fs(spark, dir)
     requireNoMaintenance(spark, dir, s"commitBatch($batchId)")
-    if (isCommitted(spark, dir, batchId)) return false
-    val staged = s"$batchId-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(new Path(root, s"_staged/$staged").toString)
-    // re-check after the (slow) stage: maintenance that started since
-    // the entry check may already have vacuumed the staged dir — throw
-    // instead of publishing a marker that could name deleted data
-    requireNoMaintenance(spark, dir, s"commitBatch($batchId) marker publish")
-    publishMarker(spark, f, root, batchId.toString, staged)
+    var attempt = 0
+    while (attempt < maxCommitAttempts) {
+      attempt += 1
+      if (isCommitted(spark, dir, batchId)) return false
+      val staged = s"$batchId-${java.util.UUID.randomUUID()}"
+      val stagedPath = new Path(root, s"_staged/$staged")
+      df.write.mode("overwrite").parquet(stagedPath.toString)
+      afterStage()
+      // re-check after the (slow) stage: maintenance that started
+      // since the entry check must not be racing the marker publish
+      requireNoMaintenance(spark, dir, s"commitBatch($batchId) marker publish")
+      // a vacuum may have acquired, reclaimed this unmarked staged
+      // dir, and released entirely DURING the stage (both lease
+      // checks pass) — only possible when its grace period was
+      // shorter than the stage write; detect and re-stage rather
+      // than publish a marker naming deleted data
+      if (f.exists(stagedPath)) {
+        if (!publishMarker(spark, f, root, batchId.toString, staged)) return false
+        // final guard: a vacuum landing between the re-check and the
+        // rename microseconds ago could still have swept the dir —
+        // if so, unpublish the marker (readers resolve markers by
+        // name, so the delete is the inverse of the rename) and
+        // re-stage; the window marker-rename-vs-delete is covered by
+        // the vacuum grace period, this check makes even a
+        // zero-grace vacuum unable to strand a marker
+        if (f.exists(stagedPath)) return true
+        f.delete(new Path(commitsPath(root), batchId.toString), false)
+      }
+    }
+    throw new IllegalStateException(
+      s"TxLog at $dir: commitBatch($batchId) re-staged $maxCommitAttempts times " +
+        "and a vacuum reclaimed the staged dir each time — a maintenance loop " +
+        "is running with a grace period shorter than this stage write; raise " +
+        "vacuum's graceMs above the stage duration and retry.")
   }
 
   /** Write the marker body to `_commits/.tmp/` then publish it with a
