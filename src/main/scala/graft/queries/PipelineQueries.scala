@@ -24,6 +24,16 @@ object PipelineQueries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts2` = event time as a microsecond TimestampType,
+    * whatever physical encoding the corpus shipped (nanos-as-long,
+    * TIMESTAMP_NTZ micros, or adjusted timestamp) — dispatch lives in
+    * [[graft.sources.Tables.eventTs]], used by every event-time query
+    * so a corpus re-encode is a one-place fix. */
+  private def eventsTs2(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    ev.withColumn("ts2", graft.sources.Tables.eventTs(ev))
+  }
+
   // ---- Scratch space for queries that exercise write paths --------------
 
   private def deleteRec(p: java.nio.file.Path): Unit =
@@ -721,11 +731,10 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- Q30: event-time windowed aggregation (streaming surface on batch) -
-  // `ts` arrives as raw nanos (nanosAsLong); integer-divide to micros
-  // to keep full precision, then tumble into 1-hour windows.
+  // `ts2` is the schema-adaptive micros timestamp (eventsTs2); tumble
+  // it into 1-hour windows.
   def q30(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTs2(s, dir)
     StreamingAgg.windowedAgg(ev, "ts2", "0 seconds", "1 hour",
       Seq(col("event_type")),
       Seq(count(lit(1)).as("n"),
@@ -794,9 +803,8 @@ object PipelineQueries {
   // run.
   def q40(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
-        col("event_type"), col("value"))
+    val ev = eventsTs2(s, dir)
+      .select(col("ts2"), col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)]
       .collect().sortBy(_._1.getTime)
     val sentinel =
@@ -984,8 +992,7 @@ object PipelineQueries {
   // construction (lag → break flag → running session id).  Closes the
   // gate gap where session semantics were only spec-covered.
   def q48(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTs2(s, dir)
     StreamingAgg.sessionAgg(ev, "ts2", "0 seconds", "5 minutes",
       Seq(col("event_type")), Seq(count(lit(1)).as("n")))
       .select(col("event_type"), col("session_window.start").as("sess_start"),
@@ -1057,8 +1064,7 @@ object PipelineQueries {
   // Each purchase gets the latest prior (or simultaneous) view's
   // value per user; checked against DuckDB's native ASOF LEFT JOIN.
   def q50(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsTs2(s, dir)
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts2"), col("value"))
     val views = ev.where(col("event_type") === "view")
@@ -1687,8 +1693,8 @@ object PipelineQueries {
   def q63(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Folds
     import s.implicits._
-    val ev = tbl(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
+    val ev = eventsTs2(s, dir)
+      .select(col("ts2"),
         get_json_object(col("props"), "$.k").cast("long").as("kv"))
       .where(col("kv").isNotNull)
       .withColumn("sent", lit(false))
@@ -1859,8 +1865,8 @@ object PipelineQueries {
   // tumbling (q40), heavy-hitter fold (q63), sessions (q68).
   def q68(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts2"), col("event_type"))
+    val ev = eventsTs2(s, dir)
+      .select(col("ts2"), col("event_type"))
       .as[(java.sql.Timestamp, String)]
       .collect().sortBy(_._1.getTime)
     val sentinel =
@@ -1890,9 +1896,8 @@ object PipelineQueries {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ev = tbl(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
-        col("user_id"), col("event_id"))
+    val ev = eventsTs2(s, dir)
+      .select(col("ts2"), col("user_id"), col("event_id"))
       .as[(java.sql.Timestamp, Long, Long)]
       .collect().sortBy(_._1.getTime)
     val (lrows0, rrows0) = ev.partition(_._3 % 2 == 0)
@@ -1939,9 +1944,9 @@ object PipelineQueries {
   // expiry behavior is exercised in StreamingSpec.
   def q70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
+    val ev = eventsTs2(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
-        timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+        col("ts2"), col("value"))
       .where(col("kv").isNotNull)
       .as[(Long, java.sql.Timestamp, Double)]
       .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
@@ -1979,9 +1984,9 @@ object PipelineQueries {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val ev = tbl(s, dir, "events")
+      val ev = eventsTs2(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
-          timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+          col("ts2"), col("value"))
         .where(col("kv").isNotNull)
         .as[(Long, java.sql.Timestamp, Double)]
         .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
@@ -2013,9 +2018,9 @@ object PipelineQueries {
   def q71(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Folds
     import s.implicits._
-    val ev = tbl(s, dir, "events")
+    val ev = eventsTs2(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
-        timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+        col("ts2"), col("value"))
       .where(col("kv").isNotNull)
       .as[(Long, java.sql.Timestamp, Double)]
       .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
@@ -2058,9 +2063,9 @@ object PipelineQueries {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val ev = tbl(s, dir, "events")
+      val ev = eventsTs2(s, dir)
         .select(get_json_object(col("props"), "$.k").cast("long").as("kv"),
-          timestamp_micros(expr("ts div 1000")).as("ts2"), col("value"))
+          col("ts2"), col("value"))
         .where(col("kv").isNotNull)
         .as[(Long, java.sql.Timestamp, Double)]
         .collect().sortBy(r => (StreamingAgg.eventTimeMicros(r._2), r._3))
@@ -2126,8 +2131,7 @@ object PipelineQueries {
         col("sum_value"))
 
   def q74(s: SparkSession, dir: String): DataFrame =
-    slidingEventAgg(tbl(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000"))))
+    slidingEventAgg(eventsTs2(s, dir))
       .orderBy("ws", "event_type")
   val q74Sql: String =
     """WITH e AS (SELECT event_type, value,
@@ -2145,9 +2149,8 @@ object PipelineQueries {
   // oracle as q74 — stream execution must not change results.
   def q75(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts2"),
-        col("event_type"), col("value"))
+    val ev = eventsTs2(s, dir)
+      .select(col("ts2"), col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)]
       .collect().sortBy(r => StreamingAgg.eventTimeMicros(r._1))
     if (ev.isEmpty)

@@ -18,13 +18,39 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with a usable microsecond timestamp: the testdata
-    * stores TIMESTAMP(NANOS), which Spark reads only as raw long
-    * (`nanosAsLong`); integer-divide (never double-divide — 1.7e18
-    * doesn't fit a double's mantissa) down to micros. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Schema-adaptive event-time column: the engine reads a corpus it
+    * does not control, and the physical encoding of `events.ts` has
+    * shipped in several shapes over the corpus's life.  Dispatch on the
+    * OBSERVED type rather than baking one encoding in:
+    *   - `LongType`       — legacy parquet TIMESTAMP(NANOS), which Spark
+    *     surfaces only as raw nanos-as-long; integer-divide (never
+    *     double-divide — 1.7e18 doesn't fit a double's mantissa) down
+    *     to micros.
+    *   - `TIMESTAMP_NTZ`  — parquet TIMESTAMP_MICROS without UTC
+    *     adjustment (the current testdata).  Cast to TimestampType;
+    *     with the engine-wide UTC session timezone (every entry point
+    *     sets `spark.sql.session.timeZone=UTC`) the stored micros are
+    *     preserved bit-for-bit.
+    *   - `TimestampType`  — already what downstream wants.
+    * Anything else is a loud failure, not a silent coercion. */
+  def eventTs(df: DataFrame, colName: String = "ts"): org.apache.spark.sql.Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$colName div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(colName).cast(org.apache.spark.sql.types.TimestampType)
+      case org.apache.spark.sql.types.TimestampType => col(colName)
+      case other => throw new IllegalArgumentException(
+        s"events.$colName has unsupported type $other; " +
+          "expected long (legacy nanos), timestamp_ntz, or timestamp")
+    }
+
+  /** `events` with `ts` normalized to a microsecond TimestampType via
+    * the schema-adaptive [[eventTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts", eventTs(raw))
+  }
 
   /** Schema-pinned CSV reader — explicit schema, so no inference pass
     * over the data (inference = a full extra scan at 100 TB). */

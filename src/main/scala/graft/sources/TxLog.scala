@@ -75,14 +75,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tmp marker bodies) younger than its grace period (GC-safety:
   * size `graceMs` above the longest plausible stage write, default
   * [[defaultVacuumGraceMs]]); [[commitBatch]] verifies its staged dir
-  * still exists after the second lease check and RE-STAGES if a
-  * vacuum reclaimed it; and after the marker publish it verifies the
-  * staged dir again, unpublishing the marker and re-staging if a
-  * vacuum won the final microseconds.  A marker naming deleted data
-  * can no longer be the outcome of any interleaving — the commit
-  * either lands with its rows intact or throws after bounded
-  * re-stage attempts.  A crashed holder leaves the lease behind:
-  * recover with [[breakLease]] (runbook below).
+  * still exists after the second lease check and RE-STAGES (bounded
+  * attempts) if a vacuum reclaimed it; and after the marker publish
+  * it verifies the staged dir one last time and FAILS LOUDLY if the
+  * dir is gone.  A published marker is never deleted — the
+  * no-overwrite rename is the commit point the whole protocol hangs
+  * on, and retracting one would let a peer that probed
+  * [[isCommitted]] in the window skip the batch forever.  With a
+  * grace period sized above the stage-to-publish span the loud
+  * failure is unreachable; it can fire only when an operator runs a
+  * zero/short-grace vacuum concurrently with a live writer, which
+  * the grace-period doc explicitly reserves for writer-down
+  * recovery.  A crashed holder leaves the lease behind: recover with
+  * [[breakLease]] (runbook below).
   *
   * Operational lifecycle (who takes the writer role, when to compact
   * and vacuum, what readers see mid-crash): SCALE.md §"Ingest
@@ -182,13 +187,16 @@ object TxLog {
   /** Holder identity plus how long the lease file has existed — the
     * age lets an operator distinguish a live maintainer (seconds old)
     * from a crashed one (hours old) before reaching for
-    * [[breakLease]]. */
+    * [[breakLease]].  The age compares OUR clock to the filesystem's
+    * modification time, so it is approximate under client/namenode
+    * skew — clamped at 0 and prefixed "~" so nobody reads it as
+    * exact. */
   private def leaseHolderDescribed(f: FileSystem, root: Path): String = {
     val holder = leaseHolder(f, root).getOrElse("<unreadable>")
     val age = try {
-      val ms = System.currentTimeMillis() -
-        f.getFileStatus(leasePath(root)).getModificationTime
-      s"held for ${ms / 1000} s"
+      val ms = math.max(0L, System.currentTimeMillis() -
+        f.getFileStatus(leasePath(root)).getModificationTime)
+      s"held for ~${ms / 1000} s (approx; client clock vs fs mtime)"
     } catch { case _: java.io.IOException => "age unknown" }
     s"$holder; $age"
   }
@@ -313,15 +321,22 @@ object TxLog {
       // than publish a marker naming deleted data
       if (f.exists(stagedPath)) {
         if (!publishMarker(spark, f, root, batchId.toString, staged)) return false
-        // final guard: a vacuum landing between the re-check and the
-        // rename microseconds ago could still have swept the dir —
-        // if so, unpublish the marker (readers resolve markers by
-        // name, so the delete is the inverse of the rename) and
-        // re-stage; the window marker-rename-vs-delete is covered by
-        // the vacuum grace period, this check makes even a
-        // zero-grace vacuum unable to strand a marker
+        // final guard: a vacuum that listed _staged just before the
+        // marker rename could sweep the dir in these microseconds.
+        // The published marker is NEVER retracted (it is the commit
+        // point peers may already have observed via isCommitted);
+        // instead fail loudly so the operator repairs the log.  The
+        // vacuum grace period makes this unreachable unless a
+        // zero/short-grace vacuum ran concurrently with this writer,
+        // which the grace-period contract forbids.
         if (f.exists(stagedPath)) return true
-        f.delete(new Path(commitsPath(root), batchId.toString), false)
+        throw new IllegalStateException(
+          s"TxLog at $dir: commitBatch($batchId) published marker $batchId but " +
+            s"the staged dir _staged/$staged is gone — a vacuum with a grace " +
+            "period shorter than this commit's stage-to-publish span swept it. " +
+            "The marker stands (peers may have observed it); repair by deleting " +
+            s"_commits/$batchId and re-ingesting the batch, and size vacuum's " +
+            "graceMs above the longest stage write.")
       }
     }
     throw new IllegalStateException(
@@ -422,14 +437,17 @@ object TxLog {
     *
     * Returns the folded marker's ceiling id, or None when fewer than
     * two live markers would fold. */
-  def compact(spark: SparkSession, dir: String, keepRecent: Int = 0): Option[Long] = {
+  def compact(spark: SparkSession, dir: String, keepRecent: Int = 0,
+      graceMs: Long = defaultVacuumGraceMs): Option[Long] = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val token = acquireLease(spark, dir, s"compact(keepRecent=$keepRecent)")
-    try compactLocked(spark, dir, keepRecent)
+    try compactLocked(spark, dir, keepRecent, graceMs)
     finally releaseLease(spark, dir, token)
   }
 
-  private def compactLocked(spark: SparkSession, dir: String, keepRecent: Int): Option[Long] = {
+  private def compactLocked(spark: SparkSession, dir: String, keepRecent: Int,
+      graceMs: Long): Option[Long] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
     val foldIds = ids.dropRight(keepRecent)
@@ -451,7 +469,7 @@ object TxLog {
     // stale markers are invisible to readers already (name floor);
     // deleting them + orphaned dirs is pure cleanup
     foldNames.foreach(n => f.delete(new Path(commitsPath(root), n), false))
-    vacuumLocked(spark, dir)
+    vacuumLocked(spark, dir, graceMs)
     Some(ceiling)
   }
 
@@ -461,15 +479,31 @@ object TxLog {
     * Holds the maintenance lease for the call's duration — an
     * in-flight commit's staged dir looks like an orphan until its
     * marker lands, which is exactly why [[commitBatch]] refuses while
-    * the lease is held. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+    * the lease is held.
+    *
+    * `graceMs` is the GC-safety window: orphan staged dirs and
+    * `_commits/.tmp` marker bodies whose modification time is younger
+    * than this are LEFT ALONE, because they may belong to a commit
+    * whose stage write started before this vacuum acquired the lease
+    * (the lease checks bracket the stage, they don't span it).  Stale
+    * PUBLISHED markers carry no such risk — publication is the atomic
+    * commit point, staleness is decided purely by the compaction name
+    * floor — so they are reclaimed regardless of age.  Pass
+    * `graceMs = 0` only when no writer can be active (crash recovery
+    * with ingest down). */
+  def vacuum(spark: SparkSession, dir: String,
+      graceMs: Long = defaultVacuumGraceMs): Int = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val token = acquireLease(spark, dir, "vacuum")
-    try vacuumLocked(spark, dir)
+    try vacuumLocked(spark, dir, graceMs)
     finally releaseLease(spark, dir, token)
   }
 
-  private def vacuumLocked(spark: SparkSession, dir: String): Int = {
+  private def vacuumLocked(spark: SparkSession, dir: String, graceMs: Long): Int = {
     val (f, root) = fs(spark, dir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
     // stale markers first, so a crashed compact converges
     val (ids, compactId) = liveMarkers(f, root)
     val commits = commitsPath(root)
@@ -480,13 +514,22 @@ object TxLog {
         .foreach(st => f.delete(st.getPath, false))
       val tmp = new Path(commits, ".tmp")
       if (f.exists(tmp))
-        f.listStatus(tmp).foreach(st => f.delete(st.getPath, false))
+        // a young .tmp body may be microseconds from its publish
+        // rename — deleting it would turn that publish into an
+        // uncaught FileNotFoundException
+        f.listStatus(tmp).filter(oldEnough)
+          .foreach(st => f.delete(st.getPath, false))
     }
     val stagedRoot = new Path(root, "_staged")
     if (!f.exists(stagedRoot)) return 0
     val liveDirs = committedDirs(spark, dir).map(new Path(_).getName).toSet
+    // a young unmarked dir may be an in-flight commit's stage write
+    // (its marker lands after the write completes); the dir's mtime
+    // refreshes as task files land, so age-since-last-write is the
+    // honest "nobody is filling this" signal
     val orphans = f.listStatus(stagedRoot).toSeq
       .filterNot(st => liveDirs.contains(st.getPath.getName))
+      .filter(oldEnough)
     orphans.foreach(st => f.delete(st.getPath, true))
     orphans.size
   }

@@ -206,15 +206,16 @@ class DedupSpec extends AnyFunSuite {
       .parquet(s"$dir/_staged/1-deadbeef-crashed-attempt")
     assert(TxLog.readCommitted(spark, dir).count() == 2,
       "orphaned staged data must be invisible to readers")
-    // vacuum reclaims exactly the orphan
-    assert(TxLog.vacuum(spark, dir) == 1)
+    // vacuum reclaims exactly the orphan (zero grace: this spec KNOWS
+    // no writer is active — the operator crash-recovery contract)
+    assert(TxLog.vacuum(spark, dir, graceMs = 0) == 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/_staged/1-deadbeef-crashed-attempt")))
     // second batch lands beside the first
     assert(TxLog.commitBatch(Seq((3L, "c")).toDF("id", "v"), dir, 1L))
     assert(TxLog.committedBatchIds(spark, dir) == Seq(0L, 1L))
     assert(TxLog.readCommitted(spark, dir).count() == 3)
-    assert(TxLog.vacuum(spark, dir) == 0)
+    assert(TxLog.vacuum(spark, dir, graceMs = 0) == 0)
   }
 
   test("TxLog: concurrent commits of one batch — exactly one wins") {
@@ -235,7 +236,8 @@ class DedupSpec extends AnyFunSuite {
     assert(wins == 1, s"exactly one concurrent commit must win, got $wins")
     val rows = TxLog.readCommitted(spark, dir).collect()
     assert(rows.length == 1, s"one winner's payload only, got ${rows.toSeq}")
-    assert(TxLog.vacuum(spark, dir) == 1, "loser's staged dir is an orphan")
+    assert(TxLog.vacuum(spark, dir, graceMs = 0) == 1,
+      "loser's staged dir is an orphan")
   }
 
   test("TxLog.compact folds committed batches into one marker") {

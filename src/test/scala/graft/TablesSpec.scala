@@ -9,12 +9,37 @@ class TablesSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("events reader converts nano ts to usable timestamps losslessly") {
+  test("events reader adapts to the stored ts encoding and yields timestamps") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType.typeName == "timestamp")
     val (lo, hi) = ev.agg(min("ts"), max("ts"))
       .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().head
     assert(lo.before(hi))
+  }
+
+  test("eventTs dispatches on observed type: long nanos, ntz, ltz — losslessly") {
+    import org.apache.spark.sql.types._
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    // legacy nanos-as-long shape
+    val legacy = Seq(micros * 1000L + 789L).toDF("ts") // sub-µs nanos truncate
+    val fromLong = legacy.select(Tables.eventTs(legacy).as("ts"))
+    assert(fromLong.schema("ts").dataType == TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).as[Long].collect().head == micros)
+    // TIMESTAMP_NTZ micros (current testdata shape); UTC session tz
+    // makes the cast value-preserving
+    val ntz = legacy.select(
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType).as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val fromNtz = ntz.select(Tables.eventTs(ntz).as("ts"))
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).as[Long].collect().head == micros)
+    // already TimestampType: pass through untouched
+    val ltz = legacy.select(timestamp_micros(expr("ts div 1000")).as("ts"))
+    val fromLtz = ltz.select(Tables.eventTs(ltz).as("ts"))
+    assert(fromLtz.select(unix_micros(col("ts"))).as[Long].collect().head == micros)
+    // anything else fails loudly, not coerces silently
+    val bad = Seq("x").toDF("ts")
+    intercept[IllegalArgumentException](Tables.eventTs(bad))
   }
 
   test("partitioned write enables partition pruning on read") {

@@ -91,6 +91,58 @@ class TxLogLeaseSpec extends AnyFunSuite {
     assert(!TxLog.maintenanceInProgress(spark, dir))
   }
 
+  test("a zero-grace vacuum mid-stage: commit re-stages, batch lands intact") {
+    // the commitBatchHooked seam fires after each stage write and
+    // before the pre-publish lease re-check — exactly the window a
+    // maintenance cycle can slip into unnoticed.  A zero-grace vacuum
+    // there sweeps the unmarked staged dir; the commit must detect the
+    // loss and re-stage rather than publish a marker naming deleted
+    // data.
+    val dir = freshLog(2)
+    val vacuumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val committed = TxLog.commitBatchHooked(
+      Seq((7L, "x")).toDF("id", "v"), dir, 2L,
+      () => if (vacuumed.getAndIncrement() == 0) TxLog.vacuum(spark, dir, graceMs = 0))
+    assert(committed, "the re-staged attempt must land the batch")
+    assert(vacuumed.get() == 2, "one re-stage after the mid-stage sweep")
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(0L, 1L, 2L))
+    assert(TxLog.readCommitted(spark, dir).where($"id" === 7L).count() == 1,
+      "the batch's rows must be readable — no marker may name deleted data")
+  }
+
+  test("a grace-respecting vacuum leaves young staged dirs and tmp bodies alone") {
+    val dir = freshLog(1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fresh unmarked staged dir — indistinguishable from an
+    // in-flight commit's stage write — and a fresh tmp marker body
+    // microseconds from its publish rename
+    Seq((9L, "inflight")).toDF("id", "v")
+      .write.parquet(s"$dir/_staged/1-cafe-inflight-stage")
+    val tmpBody = new org.apache.hadoop.fs.Path(s"$dir/_commits/.tmp/pending")
+    fs.create(tmpBody, false).close()
+    assert(TxLog.vacuum(spark, dir) == 0,
+      "default grace must spare everything younger than it")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staged/1-cafe-inflight-stage")))
+    assert(fs.exists(tmpBody))
+    // writer-down recovery: zero grace reclaims both
+    assert(TxLog.vacuum(spark, dir, graceMs = 0) == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staged/1-cafe-inflight-stage")))
+    assert(!fs.exists(tmpBody))
+  }
+
+  test("lease refusal messages carry the holder's age for breakLease triage") {
+    val dir = freshLog(1)
+    val token = TxLog.acquireLease(spark, dir, "aged-holder")
+    try {
+      val ex = intercept[IllegalStateException](
+        TxLog.commitBatch(Seq((5L, "y")).toDF("id", "v"), dir, 5L))
+      assert(ex.getMessage.contains("aged-holder"))
+      assert("held for ~\\d+ s".r.findFirstIn(ex.getMessage).isDefined,
+        s"refusal must state how long the lease has existed: ${ex.getMessage}")
+    } finally TxLog.releaseLease(spark, dir, token)
+  }
+
   test("negative batch ids are rejected before anything lands") {
     val dir = java.nio.file.Files.createTempDirectory("txlease_neg").toString
     val ex = intercept[IllegalArgumentException](
