@@ -40,11 +40,47 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split("\\s+").head.toDouble
     catch { case _: Throwable => 0.0 }
 
-  /** best5 plus the load average observed around the block. */
-  private def best5Loaded(f: => Unit): (Double, Double, Double) = {
+  /** A block measured while the 1-minute load sat above this is
+    * contention-suspect: the machine was running something besides
+    * this bench (or hadn't yet decayed a previous block's own load). */
+  private val contendedThreshold = 2.0
+
+  /** Shared quiesce budget (ms) across the whole run: blocks may
+    * collectively wait this long for ambient load to decay below
+    * [[contendedThreshold]] before timing.  Bounded so a genuinely
+    * busy machine delays the artifact by minutes, not forever — a
+    * block that starts above threshold after the budget is spent is
+    * simply flagged `contended` in the JSON.  Sized for the 1-minute
+    * average's own decay: after the LSH blocks drive load to ~13,
+    * getting back under threshold takes ~2 min of idle — the budget
+    * must absorb two such decays or the tail blocks get flagged for
+    * the bench's OWN wake (measured: 180 s budget → b8-b10 flagged
+    * on a quiet box). */
+  private var quiesceBudgetMs = 420000L
+
+  private def awaitQuiet(): Unit =
+    while (loadAvg() > contendedThreshold && quiesceBudgetMs > 0) {
+      Thread.sleep(3000); quiesceBudgetMs -= 3000
+    }
+
+  /** Timing + load stamps + contention verdict for one block.
+    * Two consecutive driver rounds produced load-artifact headlines
+    * (r7: every block at load 11–19; r8: b6 at 14.0 s under ambient
+    * 4.3 — quiet reruns of the same binary: 1.4 s), so each block now
+    * (a) waits for ambient load to decay (bounded by the shared
+    * quiesce budget) and (b) carries an explicit `contended` flag —
+    * a true flag means "re-measure quiet before reading this number
+    * as a regression", recorded so nobody has to re-litigate.
+    * The flag keys off the PRE-block stamp alone: the post stamp is
+    * partially self-inflicted (a 10 s all-core block raises the
+    * 1-minute average by several points on its own) and is kept as
+    * informational context, not verdict. */
+  private def best5Loaded(f: => Unit): (Double, Double, Double, Boolean) = {
+    awaitQuiet()
     val l0 = loadAvg()
     val t = best5(f)
-    (t, l0, loadAvg())
+    val l1 = loadAvg()
+    (t, l0, l1, l0 > contendedThreshold)
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,13 +145,15 @@ object Bench {
     // their prep tables; clear the cache inside the timed body so
     // every iteration measures a cold operator, not a warm cache.
     import graft.queries.PipelineQueries
+    // b8 (cheap ANN) runs BEFORE the two LSH heavyweights so its
+    // pre-block load stamp reflects ambient, not b6/b7's own wake
+    val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
     val b6 = best5Loaded {
       PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
     }
     val b7 = best5Loaded {
       PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
     }
-    val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
 
     // B9: the streaming surface's tracked number — runningFoldTws
     // (transformWithState, RocksDB state store, named ValueState)
@@ -162,17 +200,61 @@ object Bench {
     }
     val b9 = best5Loaded { b9run() }
 
+    // B10: the OTHER streaming state pattern — statefulDedupFirstTws
+    // (event-time timers + manual TTL on RocksDB, the q70/q77 path).
+    // b9's ValueState fold never registers a timer; dedup registers
+    // one per key era and fires it when the watermark passes firstSeen
+    // + ttl, so its RocksDB access pattern (timer CF writes + range
+    // scans on expiry) is different enough to deserve its own number.
+    // 200k rows / 10 batches / 1,000 keys; rows 10 ms apart in event
+    // time, so each batch advances the watermark 200 s and a 30 s TTL
+    // retires every key's era ~6 times per batch — timers fire
+    // throughout, not just at the tail.  TimeMode is EventTime, so
+    // processAllAvailable terminates (the data itself drives the
+    // clock — no wall-clock wait).
+    val b10rows = 200000; val b10batches = 10; val b10keys = 1000
+    def b10run(): Unit = {
+      implicit val sq = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("b10_ckpt")
+      val q = graft.streaming.StreamingAgg
+        .statefulDedupFirstTws(in.toDS(), "0 seconds", ttlMs = 30000L)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val per = b10rows / b10batches
+        var i = 0
+        while (i < b10batches) {
+          val base = i.toLong * per
+          in.addData((0 until per).map { j =>
+            val n = base + j
+            (n % b10keys, new java.sql.Timestamp(1700000000000L + n * 10L),
+              (j % 97).toDouble)
+          })
+          q.processAllAvailable()
+          i += 1
+        }
+      } finally { q.stop(); deleteRec(ckpt) }
+    }
+    val b10 = best5Loaded { b10run() }
+
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
-      "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9)
-    val qjson = qs.map { case (k, (v, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
+      "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9,
+      "b10_dedup_ttl_tws" -> b10)
+    val qjson = qs.map { case (k, (v, _, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention
-    val ljson = qs.map { case (k, (_, l0, l1)) => s""""$k":[$l0,$l1]""" }.mkString("{", ",", "}")
-    val loadMax = qs.map { case (_, (_, l0, l1)) => math.max(l0, l1) }.max
+    val ljson = qs.map { case (k, (_, l0, l1, _)) => s""""$k":[$l0,$l1]""" }.mkString("{", ",", "}")
+    // per-bench contention verdict (pre-block ambient > threshold
+    // after the bounded quiesce wait): a true here means "re-measure
+    // quiet before reading the number as a regression"
+    val cjson = qs.map { case (k, (_, _, _, c)) => s""""$k":$c""" }.mkString("{", ",", "}")
+    val loadMax = qs.map { case (_, (_, l0, l1, _)) => math.max(l0, l1) }.max
     val total = qs.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"load_1m":$ljson,"load_max":$loadMax,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"load_1m":$ljson,"contended":$cjson,"load_max":$loadMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

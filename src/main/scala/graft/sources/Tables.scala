@@ -156,7 +156,18 @@ object Tables {
     * throughput scales with the cluster, not the driver loop.  At
     * 10^5+ partitions raise `parallelism` or shard the invocation by
     * partition prefix (compaction of disjoint subtrees composes).
-    * Returns (leaf dir count, total output files planned). */
+    * Returns (leaf dir count, total output files planned).
+    *
+    * Dirs holding NO data files — empty partition dirs, and dirs
+    * containing only job metadata (`_SUCCESS`, `_committed*`,
+    * dotfiles) — are SKIPPED, not mirrored: to a Hive-layout reader
+    * an absent partition directory and an empty one are the same
+    * zero rows, and real ingest trees shed both shapes constantly
+    * (aborted task dirs, metadata-only commit leftovers), so
+    * compaction drops them rather than fabricating empty parquet
+    * output.  Such dirs do not count toward the returned leaf count.
+    * An input tree with no data anywhere returns (0, 0) and writes
+    * nothing. */
   def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
       targetMB: Int = 1024, parallelism: Int = 8): (Int, Int) = {
     require(targetMB > 0, s"targetMB must be positive, got $targetMB")

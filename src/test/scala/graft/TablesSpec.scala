@@ -124,6 +124,68 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("compactPartitioned skips empty and metadata-only partition dirs") {
+    // real ingest trees contain both shapes (aborted task dirs,
+    // _SUCCESS-only commit leftovers); contract: dropped, not
+    // mirrored — absent dir == empty dir to a Hive-layout reader
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("tables_compacte").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.repartition(2).write.mode("overwrite")
+        .partitionBy("lang").parquet(s"$base/in")
+      // an empty partition dir and a _SUCCESS-only one, beside real leaves
+      assert(new java.io.File(s"$base/in/lang=empty").mkdirs())
+      assert(new java.io.File(s"$base/in/lang=metaonly").mkdirs())
+      assert(new java.io.File(s"$base/in/lang=metaonly/_SUCCESS").createNewFile())
+      val dataLeaves = Option(new java.io.File(s"$base/in").listFiles)
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory &&
+          Option(d.listFiles).getOrElse(Array.empty)
+            .exists(_.getName.endsWith(".parquet")))
+        .map(_.getName).toSet
+      assert(dataLeaves.nonEmpty)
+      val (nLeaves, _) = graft.sources.Tables.compactPartitioned(
+        spark, s"$base/in", s"$base/out", parallelism = 2)
+      assert(nLeaves == dataLeaves.size,
+        "only data-bearing leaves count toward the leaf total")
+      assert(!new java.io.File(s"$base/out/lang=empty").exists(),
+        "an empty partition dir must not be mirrored")
+      assert(!new java.io.File(s"$base/out/lang=metaonly").exists(),
+        "a _SUCCESS-only dir must not be mirrored")
+      val outLeaves = Option(new java.io.File(s"$base/out").listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+      assert(outLeaves == dataLeaves, "data-bearing leaves mirror verbatim")
+      val cols = spark.read.parquet(s"$base/in").columns.sorted.map(col).toIndexedSeq
+      def rows(sub: String): Seq[String] = spark.read.parquet(s"$base/$sub")
+        .select(cols: _*).collect().map(_.toString).sorted.toSeq
+      assert(rows("in") == rows("out"), "content must round-trip identically")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("compactPartitioned on a tree with no data anywhere is a no-op (0, 0)") {
+    val base = java.nio.file.Files.createTempDirectory("tables_compact0").toString
+    try {
+      assert(new java.io.File(s"$base/in/lang=a").mkdirs())
+      assert(new java.io.File(s"$base/in/_SUCCESS").createNewFile())
+      assert(graft.sources.Tables.compactPartitioned(
+        spark, s"$base/in", s"$base/out") == ((0, 0)))
+      assert(!new java.io.File(s"$base/out").exists(), "nothing may be written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val warehouse = Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
