@@ -43,6 +43,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan must not read unused columns: $readSchema")
   }
 
+  test("events time-range filter pushes through the schema-adaptive ts cast") {
+    // the canonical 100 TB pruning path: a time-range scan over the
+    // event corpus.  Tables.events normalizes whatever physical ts
+    // encoding the corpus shipped (currently TIMESTAMP_NTZ micros →
+    // cast to TimestampType under the UTC session tz); Catalyst must
+    // keep rewriting range predicates on the CAST column back into
+    // the stored column's domain so they reach the parquet scan as
+    // PushedFilters — if a reader change regresses this, every
+    // time-bounded query re-reads the full corpus.
+    import org.apache.spark.sql.functions.{col, lit}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = plan(ev.where(col("ts") > lit("2024-06-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts"))
+    assert("PushedFilters: \\[IsNotNull\\(ts\\), GreaterThan\\(ts,".r
+      .findFirstIn(p).isDefined,
+      s"time-range filter must reach the parquet scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
