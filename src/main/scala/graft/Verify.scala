@@ -15,8 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet stores TIMESTAMP(NANOS) which the
-      // vectorized reader rejects; read as long (no query uses ts yet)
+      // events.ts has shipped as both TIMESTAMP(NANOS) and
+      // TIMESTAMP_MICROS across corpus regenerations; this keeps a
+      // nanos-encoded corpus loadable (read as raw long) and
+      // Tables.eventTs dispatches on whichever shape is observed
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
