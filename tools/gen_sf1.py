@@ -9,9 +9,12 @@ the driver owns the real generator, so we scale the largest driver
 table instead of inventing new distributions.
 
 Construction: 10 key-shifted copies of sf0.1, preserving each
-table's EXACT arrow schema (events.ts stays timestamp[ns] so Spark
-keeps reading raw nanos while DuckDB keeps reading TIMESTAMP —
-a Spark re-write would silently drop that logical type).
+table's EXACT arrow schema — whatever physical encoding the driver
+shipped for events.ts (timestamp[ns] through round 7, timestamp[us]
+since the round-8 regeneration) carries through verbatim, so the
+local sf1 always exercises the same reader path as the driver's own
+testdata (Tables.eventTs dispatches on the observed type; a Spark
+re-write here would silently re-encode the logical type).
 
   - region/nation: unchanged (true dimensions).
   - customer/supplier/part: keys += copy * (max+1).
