@@ -104,6 +104,64 @@ object Components {
         coalesce(col("component"), col(nodeCol)).as("component"))
   }
 
+  /** Incremental closure: fold ONE new batch of edges into an
+    * existing assignment without replaying historical pairs — the
+    * continuous-ingest companion to [[connectedComponents]], pairing
+    * with the incremental LSH index ([[Dedup.writeLshIndex]] /
+    * [[Dedup.lshPairsAgainstIndex]]): each arriving batch yields new
+    * candidate pairs, and cluster assignments must follow without a
+    * full recompute.
+    *
+    * `prior` is a valid assignment (`nodeCol`, "component") where
+    * every component label is the MINIMUM member id — exactly what
+    * [[connectedComponents]] (and this method) emit.  The update
+    * contracts each prior component to its label: a new edge (a, b)
+    * becomes an edge between labels (rootOf(a), rootOf(b)), same-root
+    * edges drop, and the closure runs over that ROOT graph alone —
+    * O(|batch|) edges, never O(|history|).  Contraction preserves
+    * both connectivity and min-labels (a component's label is already
+    * the min of its members, so the merged min over roots is the
+    * merged min over members), making the result bit-identical to a
+    * full recompute over history ∪ batch.
+    *
+    * Output covers prior nodes ∪ batch endpoints (batch endpoints
+    * unseen before enter as their own root).  The remap join's right
+    * side holds only roots whose label CHANGED this batch — tiny in
+    * steady state, so AQE broadcasts it and the one pass over `prior`
+    * is shuffle-free; the root-graph closure itself touches O(|batch|)
+    * rows.  That per-batch cost — one prior scan + a batch-sized
+    * closure — is the shape that survives a 10^9-node assignment
+    * table at 100 TB, where replaying history (or even shuffling the
+    * assignment table per batch) would not. */
+  def incrementalComponents(prior: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, nodeCol: String, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pri = prior.select(col(nodeCol).as("n"), col("component").as("c"))
+    val e = canon(newEdges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+    val endpoints = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+    // each endpoint's prior root; unseen endpoints root themselves
+    val endpointRoot = endpoints.join(pri, Seq("n"), "left")
+      .select(col("n"), coalesce(col("c"), col("n")).as("r"))
+    val rootEdges = e
+      .join(endpointRoot.select(col("n").as("u"), col("r").as("ru")), Seq("u"))
+      .join(endpointRoot.select(col("n").as("v"), col("r").as("rv")), Seq("v"))
+      .where(col("ru") =!= col("rv"))
+      .select("ru", "rv")
+    val rootNodes = endpointRoot.select(col("r").as("n")).distinct()
+    // closure over the contracted root graph: O(|batch|) edges
+    val rootMap = connectedComponents(rootEdges, "ru", "rv",
+      rootNodes, "n", maxIter, checkpointDir)
+    val changed = rootMap.where(col("n") =!= col("component"))
+      .select(col("n").as("c"), col("component").as("c2"))
+    val newNodes = endpoints.join(pri, Seq("n"), "left_anti")
+      .select(col("n"), col("n").as("c"))
+    pri.union(newNodes)
+      .join(changed, Seq("c"), "left")
+      .select(col("n").as(nodeCol),
+        coalesce(col("c2"), col("c")).as("component"))
+  }
+
   /** Drop self-loops, orient (larger, smaller), dedupe. */
   private def canon(e: DataFrame): DataFrame =
     e.where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)

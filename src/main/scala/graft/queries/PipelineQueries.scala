@@ -1350,6 +1350,40 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- Q89: INCREMENTAL cluster maintenance — batched closure ----------
+  // The continuous-ingest tail of q52: the pair stream is split into
+  // a "historical" share (one-shot closure → prior assignment) and an
+  // arriving batch, folded in via Components.incrementalComponents —
+  // which contracts the batch onto prior roots and closes over that
+  // O(|batch|) root graph only, never replaying history.  The gate
+  // pins the core claim: the incremental path's final assignment is
+  // bit-identical to the one-shot closure over ALL pairs, so the
+  // oracle is exactly q52's.
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    // cache: the pair pipeline feeds the split (materialized by the
+    // eager closure rounds) AND the returned plan's final execution;
+    // the block lives until session cleanup, like q52's prep tables
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      minJaccard = ClusterMinJaccard).cache()
+    val phase = (col("id_a") + col("id_b")) % 3
+    val hist = pairs.where(phase =!= 0)
+    val batch = pairs.where(phase === 0)
+    val histNodes = hist.select(col("id_a").as("doc_id"))
+      .union(hist.select(col("id_b").as("doc_id"))).distinct()
+    val prior = graft.ext.Components.connectedComponents(
+      hist, "id_a", "id_b", histNodes, "doc_id")
+    val updated = graft.ext.Components.incrementalComponents(
+      prior, batch, "id_a", "id_b", "doc_id")
+    docs.select("doc_id").join(updated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+  // identical final state to the one-shot closure — q52's oracle IS
+  // the incremental path's oracle
+  def q89Sql: String = q52Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2290,6 +2324,7 @@ object PipelineQueries {
     "q57_semantic_dedup" -> (q57 _),
     "q58_tfidf" -> (q58 _),
     "q52_components" -> (q52 _),
+    "q89_incremental_components" -> (q89 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2377,6 +2412,7 @@ object PipelineQueries {
     "q57_semantic_dedup" -> q57Sql,
     "q58_tfidf" -> q58Sql,
     "q52_components" -> q52Sql,
+    "q89_incremental_components" -> q89Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

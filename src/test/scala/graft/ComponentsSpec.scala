@@ -51,6 +51,45 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.length == 200 && got.forall(_._2 == 0L))
   }
 
+  test("incrementalComponents over edge batches matches one-shot closure") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 80 + trial * 40
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // three arbitrary batches; nodes enter as their batch arrives
+      val batches = edges.grouped(math.max(1, edges.size / 3)).toSeq
+      def nodesOf(es: Seq[(Long, Long)]) =
+        es.flatMap(e => Seq(e._1, e._2)).distinct
+      var assign = Components.connectedComponents(
+        batches.head.toDF("a", "b"), "a", "b",
+        nodesOf(batches.head).toDF("id"), "id")
+      for (b <- batches.tail)
+        assign = Components.incrementalComponents(
+          assign, b.toDF("a", "b"), "a", "b", "id")
+      val got = assign.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val oracle = ufComponents(n, edges)
+      // incremental covers exactly the nodes that appeared in some batch
+      val appeared = nodesOf(edges).toSet
+      assert(got.keySet == appeared, s"trial $trial node universe")
+      assert(got == oracle.filter(kv => appeared.contains(kv._1)),
+        s"trial $trial labels")
+    }
+  }
+
+  test("incrementalComponents: merging two prior clusters relabels to the min") {
+    // prior: {0,1,2} labeled 0 and {10,11} labeled 10; the batch edge
+    // (2, 11) merges them; a brand-new node 20 arrives isolated via
+    // edge (20, 21)
+    val prior = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val batch = Seq((2L, 11L), (20L, 21L)).toDF("a", "b")
+    val got = Components.incrementalComponents(prior, batch, "a", "b", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 0L, 11L -> 0L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("bloom prune rejects mismatched key types loudly") {
     // an INT-vs-BIGINT mismatch would hash apart in the bloom while
     // the exact join casts-and-matches — silent false negatives;
