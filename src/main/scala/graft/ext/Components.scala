@@ -126,13 +126,19 @@ object Components {
     *
     * Output covers prior nodes ∪ batch endpoints (batch endpoints
     * unseen before enter as their own root).  The remap join's right
-    * side holds only roots whose label CHANGED this batch — tiny in
-    * steady state, so AQE broadcasts it and the one pass over `prior`
-    * is shuffle-free; the root-graph closure itself touches O(|batch|)
-    * rows.  That per-batch cost — one prior scan + a batch-sized
-    * closure — is the shape that survives a 10^9-node assignment
-    * table at 100 TB, where replaying history (or even shuffling the
-    * assignment table per batch) would not. */
+    * side holds only roots whose label CHANGED this batch — bounded
+    * by the roots the batch touches (≤ 2·|batch|) and tiny in steady
+    * state — and is broadcast EXPLICITLY: without the hint the build
+    * side has no shuffle-stage boundary for AQE to re-plan at and
+    * Spark falls back to a sort-merge join that shuffles the whole
+    * assignment table per batch (pinned in PlanShapeSpec).  For a
+    * backfill-sized "batch" where 2·|batch| roots could overwhelm a
+    * broadcast, the right tool is the one-shot
+    * [[connectedComponents]] over history ∪ batch, not this method.
+    * Per-batch cost — one prior scan + a batch-sized closure — is
+    * the shape that survives a 10^9-node assignment table at 100 TB,
+    * where replaying history (or shuffling the assignment table per
+    * batch) would not. */
   def incrementalComponents(prior: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, nodeCol: String, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -157,7 +163,7 @@ object Components {
     val newNodes = endpoints.join(pri, Seq("n"), "left_anti")
       .select(col("n"), col("n").as("c"))
     pri.union(newNodes)
-      .join(changed, Seq("c"), "left")
+      .join(broadcast(changed), Seq("c"), "left")
       .select(col("n").as(nodeCol),
         coalesce(col("c2"), col("c")).as("component"))
   }

@@ -64,6 +64,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan must not read unused columns: $readSchema")
   }
 
+  test("incrementalComponents: changed-roots remap broadcasts, prior never re-shuffles") {
+    // the scale contract: per batch, the assignment table is scanned
+    // once and remapped through a broadcast of the (few) changed
+    // roots — if the remap ever becomes a sort-merge join, every
+    // batch shuffles the full 10^9-node assignment and the
+    // incremental path loses to recompute
+    import spark.implicits._
+    val prior = (0L until 20000L).map(i => (i, i - (i % 4))).toDF("id", "component")
+    val batch = Seq((1L, 101L), (201L, 301L)).toDF("a", "b")
+    val out = graft.ext.Components.incrementalComponents(prior, batch, "a", "b", "id")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"changed-roots remap must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"prior assignment must not shuffle for the remap:\n$p")
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
