@@ -55,8 +55,10 @@ object Bench {
     * getting back under threshold takes ~2 min of idle — the budget
     * must absorb two such decays or the tail blocks get flagged for
     * the bench's OWN wake (measured: 180 s budget → b8-b10 flagged
-    * on a quiet box). */
-  private var quiesceBudgetMs = 420000L
+    * on a quiet box).  `SPARK_GRAFT_QUIESCE_MS=0` disables waiting
+    * entirely (flags still stamp). */
+  private var quiesceBudgetMs =
+    sys.env.get("SPARK_GRAFT_QUIESCE_MS").map(_.toLong).getOrElse(420000L)
 
   private def awaitQuiet(): Unit =
     while (loadAvg() > contendedThreshold && quiesceBudgetMs > 0) {
