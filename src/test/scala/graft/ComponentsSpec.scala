@@ -77,6 +77,22 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalComponents bootstraps from an empty prior and no-ops on an empty batch") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    val batch = Seq((5L, 3L), (3L, 9L)).toDF("a", "b")
+    // empty prior: every endpoint enters as its own root — the first
+    // batch IS a one-shot closure over itself
+    val boot = Components.incrementalComponents(empty, batch, "a", "b", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(boot == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+    // empty batch: assignment passes through untouched
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val same = Components.incrementalComponents(
+      boot.toSeq.toDF("id", "component"), none, "a", "b", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(same == boot)
+  }
+
   test("incrementalComponents: merging two prior clusters relabels to the min") {
     // prior: {0,1,2} labeled 0 and {10,11} labeled 10; the batch edge
     // (2, 11) merges them; a brand-new node 20 arrives isolated via
