@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SpillCheck {
   private val Slice = Seq("q17_minhash_lsh", "q19_ngram_jaccard",
-    "q46_pipeline_e2e")
+    "q46_pipeline_e2e",
+    // the closure queries iterate hash-agg + join rounds whose
+    // sort-based fallback / external-merge paths only exercise under
+    // pressure; q89 additionally covers the incremental contraction
+    "q52_components", "q89_incremental_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
