@@ -168,6 +168,69 @@ object Components {
         coalesce(col("c2"), col("c")).as("component"))
   }
 
+  /** The DELTA form of [[incrementalComponents]]: same contraction,
+    * but the output holds ONLY rows whose assignment differs from
+    * `prior` — members of components whose root label changed this
+    * batch, plus first assignments for unseen endpoints.  This is the
+    * write shape for a log-structured assignment table: per batch,
+    * append O(|changed|) delta rows instead of rewriting all O(N)
+    * assignments, and let readers resolve latest-per-node (see
+    * [[resolveAssignments]]); periodic compaction (resolve + rewrite
+    * as a new base) bounds the read amplification, the same
+    * LSM/changelog pattern as [[graft.sources.TxLog]]'s marker
+    * compaction.  Per-batch cost: the prior scan feeds two broadcast
+    * joins (endpoint-root lookup and changed-member selection) — no
+    * shuffle of the assignment table, no O(N) write.
+    *
+    * `prior ⊕ delta` (latest-per-node) equals
+    * [[incrementalComponents]]`(prior, batch)` row-for-row — pinned
+    * by ComponentsSpec and, end-to-end against the one-shot closure
+    * oracle, by gate q90. */
+  def incrementalComponentsDelta(prior: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, nodeCol: String, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pri = prior.select(col(nodeCol).as("n"), col("component").as("c"))
+    val e = canon(newEdges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+    val endpoints = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+    val endpointRoot = endpoints.join(pri, Seq("n"), "left")
+      .select(col("n"), coalesce(col("c"), col("n")).as("r"))
+    val rootEdges = e
+      .join(endpointRoot.select(col("n").as("u"), col("r").as("ru")), Seq("u"))
+      .join(endpointRoot.select(col("n").as("v"), col("r").as("rv")), Seq("v"))
+      .where(col("ru") =!= col("rv"))
+      .select("ru", "rv")
+    val rootNodes = endpointRoot.select(col("r").as("n")).distinct()
+    val rootMap = connectedComponents(rootEdges, "ru", "rv",
+      rootNodes, "n", maxIter, checkpointDir)
+    val changed = rootMap.where(col("n") =!= col("component"))
+      .select(col("n").as("c"), col("component").as("c2"))
+    // prior members of merged components: inner join keeps only them
+    val remapped = pri.join(broadcast(changed), Seq("c"), "inner")
+      .select(col("n"), col("c2").as("c"))
+    // unseen endpoints: first assignment (their own root, remapped if
+    // their singleton merged into something this same batch)
+    val newAssigned = endpoints.join(pri, Seq("n"), "left_anti")
+      .select(col("n"), col("n").as("c"))
+      .join(broadcast(changed), Seq("c"), "left")
+      .select(col("n"), coalesce(col("c2"), col("c")).as("c"))
+    remapped.union(newAssigned)
+      .select(col("n").as(nodeCol), col("c").as("component"))
+  }
+
+  /** Latest-per-node resolution over a log of assignment rows
+    * (`nodeCol`, "component", `batchCol`): the read side of the
+    * delta-log pattern ([[incrementalComponentsDelta]]).  One
+    * hash-shuffle on the node id — `max_by` keeps the row from the
+    * highest batch.  Compaction = write the resolved frame as a new
+    * base batch and drop the folded deltas (with
+    * [[graft.sources.TxLog]] as the log, that is exactly
+    * `TxLog.compact`'s fold). */
+  def resolveAssignments(history: DataFrame, nodeCol: String,
+      batchCol: String): DataFrame =
+    history.groupBy(col(nodeCol))
+      .agg(max_by(col("component"), col(batchCol)).as("component"))
+
   /** Drop self-loops, orient (larger, smaller), dedupe. */
   private def canon(e: DataFrame): DataFrame =
     e.where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)

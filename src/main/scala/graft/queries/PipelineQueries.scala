@@ -1384,6 +1384,46 @@ object PipelineQueries {
   // the incremental path's oracle
   def q89Sql: String = q52Sql
 
+  // ---- Q90: DELTA-LOG cluster maintenance — append-only assignment -----
+  // The write-optimized tail of q89: per batch, emit only the rows
+  // whose assignment CHANGES (incrementalComponentsDelta), append
+  // them batch-tagged to a log, and resolve latest-per-node on read —
+  // the O(|changed|)-writes-per-batch shape a 10^9-node assignment
+  // table needs, where q89's full remap output would mean an O(N)
+  // rewrite every batch.  Three pair batches are folded as deltas
+  // over a base; the resolved log must equal the one-shot closure
+  // over all pairs, so the oracle is again exactly q52's.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Components
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      minJaccard = ClusterMinJaccard).cache()
+    val phase = (col("id_a") + col("id_b")) % 3
+    def slice(k: Int) = pairs.where(phase === k)
+    val baseNodes = slice(0).select(col("id_a").as("doc_id"))
+      .union(slice(0).select(col("id_b").as("doc_id"))).distinct()
+    val base = Components.connectedComponents(
+      slice(0), "id_a", "id_b", baseNodes, "doc_id")
+    var log = base.withColumn("batch", lit(0L))
+    for (k <- 1 to 2) {
+      val assign = Components.resolveAssignments(log, "doc_id", "batch")
+      val delta = Components.incrementalComponentsDelta(
+        assign, slice(k), "id_a", "id_b", "doc_id")
+      // the eager closure inside the delta call has already run; cut
+      // the log's growing lineage so batch k+1 re-reads a snapshot,
+      // like a real append-only table would
+      log = log.union(delta.withColumn("batch", lit(k.toLong))).localCheckpoint()
+    }
+    docs.select("doc_id")
+      .join(Components.resolveAssignments(log, "doc_id", "batch"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+  // resolved delta log == one-shot closure: q52's oracle again
+  def q90Sql: String = q52Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2325,6 +2365,7 @@ object PipelineQueries {
     "q58_tfidf" -> (q58 _),
     "q52_components" -> (q52 _),
     "q89_incremental_components" -> (q89 _),
+    "q90_assignment_delta_log" -> (q90 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2413,6 +2454,7 @@ object PipelineQueries {
     "q58_tfidf" -> q58Sql,
     "q52_components" -> q52Sql,
     "q89_incremental_components" -> q89Sql,
+    "q90_assignment_delta_log" -> q90Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

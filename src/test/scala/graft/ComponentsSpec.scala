@@ -106,6 +106,42 @@ class ComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("delta form: prior ⊕ delta == full incremental update, delta minimal") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val n = 100 + trial * 30
+      val all = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val (histE, batchE) = all.splitAt(all.size * 2 / 3)
+      val histNodes = histE.flatMap(e => Seq(e._1, e._2)).distinct
+      val prior = Components.connectedComponents(
+        histE.toDF("a", "b"), "a", "b", histNodes.toDF("id"), "id")
+      val full = Components.incrementalComponents(
+        prior, batchE.toDF("a", "b"), "a", "b", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val delta = Components.incrementalComponentsDelta(
+        prior, batchE.toDF("a", "b"), "a", "b", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val priorMap = prior.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(priorMap ++ delta == full, s"trial $trial: prior ⊕ delta must equal full")
+      // minimality: every delta row differs from prior (or is new)
+      delta.foreach { case (k, v) =>
+        assert(priorMap.get(k) != Some(v), s"trial $trial: redundant delta row $k -> $v")
+      }
+    }
+  }
+
+  test("resolveAssignments keeps the latest batch's row per node") {
+    val history = Seq(
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), // base
+      (2L, 1L, 1L),                             // batch 1 remap
+      (2L, 0L, 2L), (4L, 0L, 2L)                // batch 2 remap + new node
+    ).toDF("id", "component", "batch")
+    val got = Components.resolveAssignments(history, "id", "batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 3L, 4L -> 0L))
+  }
+
   test("bloom prune rejects mismatched key types loudly") {
     // an INT-vs-BIGINT mismatch would hash apart in the bloom while
     // the exact join casts-and-matches — silent false negatives;
