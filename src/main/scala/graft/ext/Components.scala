@@ -135,20 +135,55 @@ object Components {
     * backfill-sized "batch" where 2·|batch| roots could overwhelm a
     * broadcast, the right tool is the one-shot
     * [[connectedComponents]] over history ∪ batch, not this method.
-    * Per-batch cost — one prior scan + a batch-sized closure — is
-    * the shape that survives a 10^9-node assignment table at 100 TB,
-    * where replaying history (or shuffling the assignment table per
-    * batch) would not. */
+    * Per-batch cost — two streaming scans of the prior table
+    * (endpoint-root lookup, remap; each probes a broadcast hash,
+    * neither shuffles or rebroadcasts the table itself — see
+    * [[contractBatch]]) plus a batch-sized closure — is the shape
+    * that survives a 10^9-node assignment table at 100 TB, where
+    * replaying history (or shuffling the assignment table per batch)
+    * would not. */
   def incrementalComponents(prior: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String, nodeCol: String, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val pri = prior.select(col(nodeCol).as("n"), col("component").as("c"))
+    val (changed, newNodes) = contractBatch(pri, newEdges, srcCol, dstCol,
+      maxIter, checkpointDir)
+    pri.union(newNodes)
+      .join(broadcast(changed), Seq("c"), "left")
+      .select(col("n").as(nodeCol),
+        coalesce(col("c2"), col("c")).as("component"))
+  }
+
+  /** Shared prologue of the incremental variants: contract the batch
+    * onto prior roots, close over the root graph, and return
+    * (`changed` = old-root → new-root for roots whose label moved,
+    * `newNodes` = (n, c=n) first assignments for unseen endpoints).
+    *
+    * The ONE join that touches the full prior table builds its hash
+    * from the broadcast ENDPOINT set and streams `pri` past it (inner
+    * join, probe side big) — at a 10^9-row assignment table the
+    * alternative orientations are fatal: a left join FROM endpoints
+    * can only build the prior side (broadcast the whole table), and
+    * letting Catalyst pick at these sizes means a sort-merge join
+    * that shuffles it.  The O(|batch|)-sized hit set is
+    * localCheckpoint'd so the (already eager) downstream closure and
+    * the caller's lazy tail don't re-scan the prior to re-derive
+    * it. */
+  private def contractBatch(pri: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int,
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     val e = canon(newEdges.select(col(srcCol).as("u"), col(dstCol).as("v")))
     val endpoints = e.select(col("u").as("n"))
       .union(e.select(col("v").as("n"))).distinct()
+    // endpoints present in prior, with their roots: pri streams
+    val hit = pri.join(broadcast(endpoints), Seq("n"), "inner")
+      .localCheckpoint()
+    val hitN = hit.select("n")
+    val newNodes = endpoints.join(broadcast(hitN), Seq("n"), "left_anti")
+      .select(col("n"), col("n").as("c"))
     // each endpoint's prior root; unseen endpoints root themselves
-    val endpointRoot = endpoints.join(pri, Seq("n"), "left")
-      .select(col("n"), coalesce(col("c"), col("n")).as("r"))
+    val endpointRoot = hit.select(col("n"), col("c").as("r"))
+      .union(newNodes.select(col("n"), col("c").as("r")))
     val rootEdges = e
       .join(endpointRoot.select(col("n").as("u"), col("r").as("ru")), Seq("u"))
       .join(endpointRoot.select(col("n").as("v"), col("r").as("rv")), Seq("v"))
@@ -160,12 +195,7 @@ object Components {
       rootNodes, "n", maxIter, checkpointDir)
     val changed = rootMap.where(col("n") =!= col("component"))
       .select(col("n").as("c"), col("component").as("c2"))
-    val newNodes = endpoints.join(pri, Seq("n"), "left_anti")
-      .select(col("n"), col("n").as("c"))
-    pri.union(newNodes)
-      .join(broadcast(changed), Seq("c"), "left")
-      .select(col("n").as(nodeCol),
-        coalesce(col("c2"), col("c")).as("component"))
+    (changed, newNodes)
   }
 
   /** The DELTA form of [[incrementalComponents]]: same contraction,
@@ -178,9 +208,10 @@ object Components {
     * [[resolveAssignments]]); periodic compaction (resolve + rewrite
     * as a new base) bounds the read amplification, the same
     * LSM/changelog pattern as [[graft.sources.TxLog]]'s marker
-    * compaction.  Per-batch cost: the prior scan feeds two broadcast
-    * joins (endpoint-root lookup and changed-member selection) — no
-    * shuffle of the assignment table, no O(N) write.
+    * compaction.  Per-batch cost: two streaming scans of the prior
+    * table (endpoint-root lookup and changed-member selection, each
+    * probing a broadcast hash — see [[contractBatch]]) — no shuffle
+    * of the assignment table, no O(N) write.
     *
     * `prior ⊕ delta` (latest-per-node) equals
     * [[incrementalComponents]]`(prior, batch)` row-for-row — pinned
@@ -190,28 +221,14 @@ object Components {
       srcCol: String, dstCol: String, nodeCol: String, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val pri = prior.select(col(nodeCol).as("n"), col("component").as("c"))
-    val e = canon(newEdges.select(col(srcCol).as("u"), col(dstCol).as("v")))
-    val endpoints = e.select(col("u").as("n"))
-      .union(e.select(col("v").as("n"))).distinct()
-    val endpointRoot = endpoints.join(pri, Seq("n"), "left")
-      .select(col("n"), coalesce(col("c"), col("n")).as("r"))
-    val rootEdges = e
-      .join(endpointRoot.select(col("n").as("u"), col("r").as("ru")), Seq("u"))
-      .join(endpointRoot.select(col("n").as("v"), col("r").as("rv")), Seq("v"))
-      .where(col("ru") =!= col("rv"))
-      .select("ru", "rv")
-    val rootNodes = endpointRoot.select(col("r").as("n")).distinct()
-    val rootMap = connectedComponents(rootEdges, "ru", "rv",
-      rootNodes, "n", maxIter, checkpointDir)
-    val changed = rootMap.where(col("n") =!= col("component"))
-      .select(col("n").as("c"), col("component").as("c2"))
+    val (changed, newNodes) = contractBatch(pri, newEdges, srcCol, dstCol,
+      maxIter, checkpointDir)
     // prior members of merged components: inner join keeps only them
     val remapped = pri.join(broadcast(changed), Seq("c"), "inner")
       .select(col("n"), col("c2").as("c"))
     // unseen endpoints: first assignment (their own root, remapped if
     // their singleton merged into something this same batch)
-    val newAssigned = endpoints.join(pri, Seq("n"), "left_anti")
-      .select(col("n"), col("n").as("c"))
+    val newAssigned = newNodes
       .join(broadcast(changed), Seq("c"), "left")
       .select(col("n"), coalesce(col("c2"), col("c")).as("c"))
     remapped.union(newAssigned)

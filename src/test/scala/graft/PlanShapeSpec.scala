@@ -81,6 +81,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prior assignment must not shuffle for the remap:\n$p")
   }
 
+  test("incrementalComponentsDelta: prior feeds broadcast joins only, never shuffles") {
+    // the delta path's whole point is O(|changed|) output from a
+    // prior table that is scanned, not shuffled — a sort-merge join
+    // anywhere in the lazy tail means the assignment table moves
+    import spark.implicits._
+    val prior = (0L until 20000L).map(i => (i, i - (i % 4))).toDF("id", "component")
+    val batch = Seq((1L, 101L), (201L, 301L)).toDF("a", "b")
+    val out = graft.ext.Components.incrementalComponentsDelta(
+      prior, batch, "a", "b", "id")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"changed-roots selection must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"prior assignment must not shuffle in the delta path:\n$p")
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
