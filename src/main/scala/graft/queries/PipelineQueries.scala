@@ -1424,6 +1424,64 @@ object PipelineQueries {
   // resolved delta log == one-shot closure: q52's oracle again
   def q90Sql: String = q52Sql
 
+  // ---- Q91: cluster survivor selection — the dedup last mile -----------
+  // pairs → clusters (q52) → ONE representative per cluster: the
+  // member with the best quality score (q22's per-doc signal),
+  // doc_id as the deterministic tie-break — exact duplicates tie on
+  // quality, and near-dup clusters keep their best-written copy.
+  // One max_by aggregation per component; the struct ordering
+  // (quality, -doc_id) keeps the pick a single shuffle, no window
+  // sort.  Output: every cluster with its survivor and size — the
+  // frame a corpus-filtering semi-join consumes.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val scored = docs.select(
+      Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    q52(s, dir).join(scored, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+          .as("survivor_id"))
+      .select(col("component"), col("survivor_id"), col("n_members"))
+      .orderBy("component")
+  }
+  val q91Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |dup AS (SELECT id_a, id_b FROM pairs
+       |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |reach(n, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.n),
+       |lbl AS (SELECT n, min(c) AS comp FROM reach GROUP BY n),
+       |cmp AS (SELECT d.doc_id,
+       |    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
+       |  FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
+       |feat AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+       |qsc AS (SELECT doc_id, round(stopword_ratio * 0.4
+       |    + (1.0 - punct_ratio) * 0.3
+       |    + least(mean_tok_len / 8.0, 1.0) * 0.3, 6) AS q FROM feat),
+       |r AS (SELECT cmp.component, cmp.doc_id, qsc.q,
+       |    row_number() OVER (PARTITION BY cmp.component
+       |      ORDER BY qsc.q DESC, cmp.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cmp.component) AS nm
+       |  FROM cmp JOIN qsc ON qsc.doc_id = cmp.doc_id)
+       |SELECT component, doc_id AS survivor_id, CAST(nm AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
+  }
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2366,6 +2424,7 @@ object PipelineQueries {
     "q52_components" -> (q52 _),
     "q89_incremental_components" -> (q89 _),
     "q90_assignment_delta_log" -> (q90 _),
+    "q91_cluster_survivors" -> (q91 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2455,6 +2514,7 @@ object PipelineQueries {
     "q52_components" -> q52Sql,
     "q89_incremental_components" -> q89Sql,
     "q90_assignment_delta_log" -> q90Sql,
+    "q91_cluster_survivors" -> q91Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,
