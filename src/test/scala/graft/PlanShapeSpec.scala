@@ -97,6 +97,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prior assignment must not shuffle in the delta path:\n$p")
   }
 
+  test("q91: survivor pick is one hash agg — no window, no per-cluster sort") {
+    // max_by(struct(quality, -doc_id)) keeps survivor selection a
+    // partial-aggregable shuffle; a row_number window (the oracle's
+    // formulation) would sort every cluster's members
+    val p = plan(PipelineQueries.q91(spark, sf))
+    assert(!p.contains("Window"), s"no window operator in the survivor pick:\n$p")
+    assert(p.contains("HashAggregate"), s"survivor pick must hash-aggregate:\n$p")
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
