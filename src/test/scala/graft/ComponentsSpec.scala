@@ -142,6 +142,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 3L, 4L -> 0L))
   }
 
+  test("delta log over TxLog: exactly-once committed deltas resolve to the closure") {
+    // the composed continuous-clustering story: per pair batch,
+    // resolve the committed log → compute the delta → commit it
+    // through TxLog (atomic marker publish).  A crash-replay of an
+    // already-committed batch must no-op (exactly-once), and the
+    // resolved log must equal the one-shot closure over all pairs.
+    import graft.sources.TxLog
+    val dir = java.nio.file.Files.createTempDirectory("assign_log").toString
+    val rnd = new scala.util.Random(41)
+    val n = 120
+    val all = Seq.fill(n)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val batches = all.grouped(math.max(1, all.size / 3)).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val assign =
+        if (i == 0) Seq.empty[(Long, Long)].toDF("id", "component")
+        else Components.resolveAssignments(
+          TxLog.readCommitted(spark, dir), "id", "batch")
+      val delta = Components.incrementalComponentsDelta(
+        assign, b.toDF("a", "b"), "a", "b", "id")
+        .withColumn("batch", lit(i.toLong))
+      assert(TxLog.commitBatch(delta, dir, i.toLong), s"batch $i must land")
+      assert(!TxLog.commitBatch(delta, dir, i.toLong),
+        s"replaying committed batch $i must no-op")
+    }
+    val got = Components.resolveAssignments(
+      TxLog.readCommitted(spark, dir), "id", "batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val appeared = all.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+    val oracle = ufComponents(n, all).filter(kv => appeared.contains(kv._1))
+    assert(got == oracle)
+  }
+
   test("bloom prune rejects mismatched key types loudly") {
     // an INT-vs-BIGINT mismatch would hash apart in the bloom while
     // the exact join casts-and-matches — silent false negatives;
