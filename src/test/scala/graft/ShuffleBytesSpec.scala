@@ -78,4 +78,21 @@ class ShuffleBytesSpec extends AnyFunSuite {
     val b = shuffleBytes { PipelineQueries.q76(spark, sf).count() }
     assertCeiling("q76", b, 8 << 10) // measured 273 (one thin exchange)
   }
+
+  test("incremental components: shuffle volume is O(batch), prior table never moves") {
+    // a 200k-row prior (≈3.2 MB of (long, long) rows if it ever
+    // entered an exchange) against a 3-edge batch: the measured
+    // shuffle must stay in the root-closure's tiny-edge-set range —
+    // if the prior's bytes appear, an orientation regression has put
+    // the assignment table back into a shuffle
+    import spark.implicits._
+    val prior = spark.range(0, 200000)
+      .selectExpr("id", "id - id % 4 AS component")
+    val batch = Seq((1L, 101L), (201L, 301L), (999999L, 5L)).toDF("a", "b")
+    val b = shuffleBytes {
+      graft.ext.Components.incrementalComponentsDelta(
+        prior, batch, "a", "b", "id").count()
+    }
+    assertCeiling("incremental delta", b, 64 << 10)
+  }
 }
