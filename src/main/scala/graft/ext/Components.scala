@@ -71,10 +71,22 @@ object Components {
     try {
       while (!converged && it < maxIter) {
         val next = cut(smallStar(largeStar(cur)))
-        // star-graph fixed point reached ⇔ the edge set stops changing;
-        // counts first (cheap), set-difference only on count equality
-        converged = next.count() == cur.count() && next.except(cur).isEmpty
-        // the convergence actions above were the last readers of cur's
+        // Convergence = `next` IS a star forest (every non-root node
+        // has exactly one edge, to a node smaller than itself, and no
+        // root has an out-edge).  Both star operations preserve
+        // connectivity (Kiveris et al. SoCC'14, Lemmas 1-2) and only
+        // ever link within a component, so at a star forest each
+        // tree's root is smaller than every member — i.e. it IS the
+        // component minimum, the final label.  Testing the structural
+        // property directly needs ONE job (union + hash agg + isEmpty
+        // with limit 1) instead of the former count + except pair
+        // (two jobs, the second a full set-difference shuffle), and
+        // fires one round EARLIER than an edge-set-equality test
+        // (which needs an extra fixed-point round to observe
+        // next == cur).  Matters at 100 TB where every round is an
+        // O(|E|) shuffle.
+        converged = isStarForest(next)
+        // the convergence action above was the last reader of cur's
         // round — its reliable checkpoint file can go now
         if (checkpointDir.isDefined) deleteCheckpoint(cur)
         cur = next
@@ -247,6 +259,20 @@ object Components {
       batchCol: String): DataFrame =
     history.groupBy(col(nodeCol))
       .agg(max_by(col("component"), col(batchCol)).as("component"))
+
+  /** Structural convergence test: a canonical edge set (oriented
+    * u > v, distinct, no self-loops) is a star forest iff every
+    * larger-endpoint u has out-degree exactly 1 AND never itself
+    * appears as a smaller endpoint (a root).  One union + one hash
+    * aggregation + a limit-1 emptiness probe — a single Spark job
+    * shuffling ≤ 2|E| (u, flag) pairs, no join, no set difference. */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("u"), lit(1L).as("outd"), lit(0L).as("isv"))
+      .union(e.select(col("v").as("u"), lit(0L).as("outd"), lit(1L).as("isv")))
+      .groupBy("u")
+      .agg(sum(col("outd")).as("outd"), max(col("isv")).as("isv"))
+      .where(col("outd") > 1 || (col("outd") === 1 && col("isv") === 1))
+      .isEmpty
 
   /** Drop self-loops, orient (larger, smaller), dedupe. */
   private def canon(e: DataFrame): DataFrame =
