@@ -1482,6 +1482,111 @@ object PipelineQueries {
        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
   }
 
+  // ---- Q92: survivor-filtered corpus — the dedup last mile COMPOSED ----
+  // q46 upgraded from exact-text dedup to NEAR-dup-aware: LSH pairs →
+  // connected components → per-cluster survivor (q91's exact pick) →
+  // corpus keeps survivors only → quality gate → deterministic split.
+  // Proves the parts compose end-to-end: near-duplicates with
+  // perturbed text, which q46's exact dedup lets through, are
+  // collapsed to their best-quality member before the gate.
+  //
+  // The corpus filter is a broadcast LEFT ANTI join on the LOSERS
+  // (cluster members that are NOT their cluster's survivor): the
+  // build side is bounded by the number of REMOVED duplicates —
+  // ≪ corpus at any real dedup rate — whereas the equivalent
+  // left_semi on survivor ids would build from one id per cluster
+  // ≈ |corpus| rows (every singleton is its own survivor) and could
+  // never broadcast at 100 TB.  Every cluster-machinery frame here
+  // (pairs, labels, scored picks, losers) is O(pair-touched docs),
+  // never O(corpus): the closure runs over thresholded-pair
+  // endpoints only, and the pick scores only those docs.  The only
+  // full-corpus work is the scan-side quality projection and the
+  // final split aggregation — the same two passes q46 already pays.
+  // Pinned in PlanShapeSpec: the anti-join broadcasts; the corpus
+  // never shuffles for the filter.
+
+  /** Pair-touched docs that lose to a better cluster member — the
+    * broadcast-sized complement of q91's survivor pick (same rounded
+    * quality, same (q, -doc_id) tie-break). */
+  private def loserIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      minJaccard = ClusterMinJaccard)
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val comp = graft.ext.Components.connectedComponents(
+      pairs, "id_a", "id_b", nodes, "doc_id")
+    // quality is computed for pair-touched docs only — the pick never
+    // scans, scores, or shuffles the rest of the corpus
+    val scored = docs.join(broadcast(nodes), Seq("doc_id"), "left_semi")
+      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val surv = comp.join(scored, "doc_id")
+      .groupBy("component")
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+        .as("survivor_id"))
+    comp.join(surv, "component")
+      .where(col("doc_id") =!= col("survivor_id"))
+      .select("doc_id")
+  }
+
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val kept = docs.join(broadcast(loserIds(s, dir)), Seq("doc_id"), "left_anti")
+    val scored = kept
+      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(scored, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  val q92Sql: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |dup AS (SELECT id_a, id_b FROM pairs
+       |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |reach(n, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.n),
+       |lbl AS (SELECT n, min(c) AS comp FROM reach GROUP BY n),
+       |cmp AS (SELECT d.doc_id,
+       |    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
+       |  FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
+       |feat AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+       |qs AS (SELECT doc_id, n_tokens, stopword_ratio * 0.4
+       |    + (1.0 - punct_ratio) * 0.3
+       |    + least(mean_tok_len / 8.0, 1.0) * 0.3 AS quality FROM feat),
+       |r AS (SELECT cmp.doc_id, qs.n_tokens, qs.quality,
+       |    row_number() OVER (PARTITION BY cmp.component
+       |      ORDER BY round(qs.quality, 6) DESC, cmp.doc_id ASC) AS rn
+       |  FROM cmp JOIN qs ON qs.doc_id = cmp.doc_id),
+       |f AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1 AND quality >= 0.5),
+       |sp AS (SELECT doc_id, n_tokens,
+       |    CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *, ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |        FROM f))
+       |SELECT split, count(*) AS n,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2425,6 +2530,7 @@ object PipelineQueries {
     "q89_incremental_components" -> (q89 _),
     "q90_assignment_delta_log" -> (q90 _),
     "q91_cluster_survivors" -> (q91 _),
+    "q92_survivor_filtered_corpus" -> (q92 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2515,6 +2621,7 @@ object PipelineQueries {
     "q89_incremental_components" -> q89Sql,
     "q90_assignment_delta_log" -> q90Sql,
     "q91_cluster_survivors" -> q91Sql,
+    "q92_survivor_filtered_corpus" -> q92Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

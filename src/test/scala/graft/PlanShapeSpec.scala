@@ -106,6 +106,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"survivor pick must hash-aggregate:\n$p")
   }
 
+  test("q92: survivor filter is a broadcast anti-join — the corpus never shuffles") {
+    // the dedup last mile's scale contract: the corpus is filtered by
+    // a broadcast of the LOSER ids (bounded by the removed-duplicate
+    // count), never by a shuffle of the corpus against a cluster
+    // table — a sort-merge anti-join here means every dedup pass
+    // moves the full 100 TB corpus
+    val p = plan(PipelineQueries.q92(spark, sf))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"loser-id filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the survivor filter:\n$p")
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
