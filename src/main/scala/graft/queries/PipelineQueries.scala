@@ -1587,6 +1587,77 @@ object PipelineQueries {
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- Q93: CONTINUOUS-INGEST loop — the production cycle COMPOSED -----
+  // The loop a continuously-fed corpus runs, per arriving batch:
+  // Tx-commit the batch's near-dup pairs + index append
+  // (ingestBatchIntoIndexTx) → read THAT batch's pairs back
+  // (TxLog.readBatch — one increment, not a log scan) → fold them
+  // into the cluster assignment as an O(|changed|) delta
+  // (incrementalComponentsDelta) → Tx-append the delta batch-tagged →
+  // resolve latest-per-node on read.  Batch 1 is deliberately
+  // REPLAYED mid-protocol (q80's crash trick: the index batch marker
+  // is wiped after the full step): the replayed ingest must not
+  // duplicate a pair (the pairs log skips its committed batch), and
+  // the replayed closure step must not recompute or re-append (the
+  // ASSIGNMENT log's own marker gates it — the same
+  // marker-commits-last recovery shape, one layer up).  No DISTINCT
+  // anywhere on the read path, so hash-equality with the one-shot
+  // closure over ALL pairs (q52's oracle) is the exactly-once proof
+  // for the whole loop, not just the ingest layer.  Promotes
+  // ComponentsSpec's unit-scale integration case to the real-corpus
+  // gate, with per-batch cost O(|batch| closure + |changed| writes).
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Components
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val initial = docs.where(col("doc_id") < 300)
+    Dedup.writeLshIndex(initial, "doc_id", "text", "q93_lsh_idx")
+    graft.sources.Tables.dropWithLocation(s, "q93_lsh_idx_batches")
+    val pairsDir = scratchDir("q93_pairs")
+    val assignDir = scratchDir("q93_assign")
+    // bootstrap: one-shot closure over the initial corpus's own pairs
+    val basePairs = Dedup.lshPairs(initial, "doc_id", "text",
+      minJaccard = ClusterMinJaccard)
+    val baseNodes = basePairs.select(col("id_a").as("doc_id"))
+      .union(basePairs.select(col("id_b").as("doc_id"))).distinct()
+    TxLog.commitBatch(
+      Components.connectedComponents(basePairs, "id_a", "id_b", baseNodes,
+        "doc_id").withColumn("batch", lit(0L)),
+      assignDir, 0L)
+    def step(b: DataFrame, k: Long): Unit = {
+      Dedup.ingestBatchIntoIndexTx(b, k, "doc_id", "text", "q93_lsh_idx",
+        pairsDir, minJaccard = ClusterMinJaccard)
+      // recovery guard, same shape as the ingest's own: a replayed
+      // step must not recompute (or double-append) a committed delta
+      if (!TxLog.isCommitted(s, assignDir, k)) {
+        val prior = Components.resolveAssignments(
+          TxLog.readCommitted(s, assignDir), "doc_id", "batch")
+        val delta = Components.incrementalComponentsDelta(
+          prior, TxLog.readBatch(s, pairsDir, k), "id_a", "id_b", "doc_id")
+        TxLog.commitBatch(delta.withColumn("batch", lit(k)), assignDir, k)
+      }
+    }
+    val b1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val b2 = docs.where(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+    step(b1, 1L)
+    // simulated crash AFTER the full batch-1 step: the index batch
+    // marker is lost, so recovery replays the entire step
+    graft.sources.Tables.dropWithLocation(s, "q93_lsh_idx_batches")
+    step(b1, 1L)
+    step(b2, 2L)
+    docs.select("doc_id")
+      .join(Components.resolveAssignments(
+        TxLog.readCommitted(s, assignDir), "doc_id", "batch"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+  // the loop's final state must equal the one-shot closure over all
+  // pairs — q52's oracle, the same equivalence q89/q90 pin
+  def q93Sql: String = q52Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2531,6 +2602,7 @@ object PipelineQueries {
     "q90_assignment_delta_log" -> (q90 _),
     "q91_cluster_survivors" -> (q91 _),
     "q92_survivor_filtered_corpus" -> (q92 _),
+    "q93_continuous_ingest_loop" -> (q93 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2622,6 +2694,7 @@ object PipelineQueries {
     "q90_assignment_delta_log" -> q90Sql,
     "q91_cluster_survivors" -> q91Sql,
     "q92_survivor_filtered_corpus" -> q92Sql,
+    "q93_continuous_ingest_loop" -> q93Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

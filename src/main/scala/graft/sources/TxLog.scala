@@ -378,6 +378,38 @@ object TxLog {
     spark.read.parquet(dirs: _*)
   }
 
+  /** ONE committed batch's rows — the incremental consumer's read
+    * shape: a downstream stage that folds batches as they commit
+    * (e.g. [[graft.ext.Components.incrementalComponentsDelta]] over a
+    * pair log) reads each increment alone instead of re-scanning the
+    * whole log.  One marker stat + one body read + one staged-dir
+    * scan, independent of log length.  Throws if the batch was never
+    * committed, or if compaction has already folded it into the base
+    * (its rows survive in the compacted batch but are no longer
+    * separable — an incremental consumer must stay ahead of
+    * compaction's `keepRecent` horizon, or checkpoint its own
+    * progress and restart from [[readCommitted]]). */
+  def readBatch(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val marker = new Path(commitsPath(root), batchId.toString)
+    val exists = try f.getFileStatus(marker).isFile
+                 catch { case _: java.io.FileNotFoundException => false }
+    if (!exists) {
+      if (lastCompactedId(spark, dir).exists(batchId <= _))
+        throw new IllegalStateException(
+          s"TxLog at $dir: batch $batchId was folded by compaction and is no " +
+            "longer separately readable — read the compacted base via " +
+            "readCommitted, or raise compact's keepRecent above the " +
+            "consumer's lag")
+      throw new IllegalStateException(
+        s"TxLog at $dir: batch $batchId is not committed")
+    }
+    val in = f.open(marker)
+    val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+    spark.read.parquet(new Path(root, s"_staged/$staged").toString)
+  }
+
   /** Live writer batch ids (compaction-folded ids are subsumed by
     * [[lastCompactedId]] and not listed). */
   def committedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {

@@ -218,6 +218,31 @@ class DedupSpec extends AnyFunSuite {
     assert(TxLog.vacuum(spark, dir, graceMs = 0) == 0)
   }
 
+  test("TxLog: readBatch returns one increment; compacted/missing fail loudly") {
+    import graft.sources.TxLog
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txlog_readbatch").toString
+    TxLog.commitBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 0L)
+    TxLog.commitBatch(Seq((3L, "c")).toDF("id", "v"), dir, 1L)
+    // exactly batch 1's rows — not a log scan
+    assert(TxLog.readBatch(spark, dir, 1L).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    assert(TxLog.readBatch(spark, dir, 0L).count() == 2)
+    // never-committed batch: loud failure
+    val missing = intercept[IllegalStateException](
+      TxLog.readBatch(spark, dir, 7L))
+    assert(missing.getMessage.contains("not committed"))
+    // compaction folds batch 0 and 1 into the base: the increments
+    // are no longer separately readable and must say so
+    TxLog.commitBatch(Seq((4L, "d")).toDF("id", "v"), dir, 2L)
+    TxLog.compact(spark, dir, keepRecent = 1)
+    assert(TxLog.readBatch(spark, dir, 2L).count() == 1,
+      "a batch kept past the compaction horizon stays readable")
+    val folded = intercept[IllegalStateException](
+      TxLog.readBatch(spark, dir, 0L))
+    assert(folded.getMessage.contains("folded by compaction"))
+  }
+
   test("TxLog: concurrent commits of one batch — exactly one wins") {
     import graft.sources.TxLog
     import spark.implicits._
