@@ -1544,10 +1544,13 @@ object PipelineQueries {
         sum(col("doc_id")).as("sum_id"))
       .orderBy("split")
   }
-  val q92Sql: String = {
+  /** Shared oracle prefix for q92/q94: closure → per-cluster survivor
+    * pick (q91's rounded-quality + doc_id tie-break) → quality gate.
+    * Exports `f` = (doc_id, n_tokens) of the gated survivor corpus. */
+  private def survivorGateCtes: String = {
     val allStops = TextOps.StopWords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
-    s"""WITH RECURSIVE $lshPairsCtes,
+    s"""$lshPairsCtes,
        |dup AS (SELECT id_a, id_b FROM pairs
        |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
        |edges AS (SELECT id_a AS u, id_b AS v FROM dup
@@ -1575,7 +1578,10 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY cmp.component
        |      ORDER BY round(qs.quality, 6) DESC, cmp.doc_id ASC) AS rn
        |  FROM cmp JOIN qs ON qs.doc_id = cmp.doc_id),
-       |f AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1 AND quality >= 0.5),
+       |f AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1 AND quality >= 0.5)""".stripMargin
+  }
+  val q92Sql: String =
+    s"""WITH RECURSIVE $survivorGateCtes,
        |sp AS (SELECT doc_id, n_tokens,
        |    CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'
        |         ELSE 'test' END AS split
@@ -1585,7 +1591,6 @@ object PipelineQueries {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
-  }
 
   // ---- Q93: CONTINUOUS-INGEST loop — the production cycle COMPOSED -----
   // The loop a continuously-fed corpus runs, per arriving batch:
@@ -1657,6 +1662,49 @@ object PipelineQueries {
   // the loop's final state must equal the one-shot closure over all
   // pairs — q52's oracle, the same equivalence q89/q90 pin
   def q93Sql: String = q52Sql
+
+  // ---- Q94: survivor-aware re-shard — corpus EMISSION after dedup ------
+  // The last physical step of the pipeline: q92's gated survivor
+  // corpus shuffled into training shards (Sampling.shuffleShard) and
+  // LANDED on disk (Tables.writeShards: one directory per shard,
+  // files internally pos-ordered — TablesSpec pins the in-file
+  // order).  The gate reads the WRITTEN files back and checks per
+  // shard: row count, exact membership (sum of ids) and the exact
+  // permutation (sum of pos·id — any transposition changes it), plus
+  // the token payload.  Closes pairs → clusters → survivors → gate →
+  // shards end-to-end through a real write/read cycle.  Scale shape:
+  // one broadcast anti-join over the corpus (q92's filter), one hash
+  // exchange into shards with in-partition sort (q76's plan), one
+  // partitioned write — nothing new materializes on the driver.
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val kept = docs.join(broadcast(loserIds(s, dir)), Seq("doc_id"), "left_anti")
+    val gated = kept
+      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .where(col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("n_tokens"))
+    val out = scratchDir("q94_shards")
+    graft.sources.Tables.writeShards(
+      Sampling.shuffleShard(gated, "doc_id", 8), out)
+    // read back what LANDED — the layout on disk is what's verified
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("pos") * col("doc_id")).as("ord_sig"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+  val q94Sql: String =
+    s"""WITH RECURSIVE $survivorGateCtes,
+       |sh AS (SELECT doc_id, n_tokens, hv % 8 AS shard,
+       |    row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+       |  FROM (SELECT doc_id, n_tokens,
+       |        ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hv FROM f))
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_sig,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
@@ -2603,6 +2651,7 @@ object PipelineQueries {
     "q91_cluster_survivors" -> (q91 _),
     "q92_survivor_filtered_corpus" -> (q92 _),
     "q93_continuous_ingest_loop" -> (q93 _),
+    "q94_survivor_reshard" -> (q94 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2695,6 +2744,7 @@ object PipelineQueries {
     "q91_cluster_survivors" -> q91Sql,
     "q92_survivor_filtered_corpus" -> q92Sql,
     "q93_continuous_ingest_loop" -> q93Sql,
+    "q94_survivor_reshard" -> q94Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,
