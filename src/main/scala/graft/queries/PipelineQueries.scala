@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** All gate-query table reads go through the schema-adaptive
+    * normalizer: a corpus re-encode either losslessly widens into the
+    * canonical logical schema or fails loudly per column — round 8's
+    * 13-query ts outage, generalized away for every table. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.adaptiveTable(s, dir, name)
 
   /** `events` with `ts2` = event time as a microsecond TimestampType,
     * whatever physical encoding the corpus shipped (nanos-as-long,

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object RefQueries {
 
+  /** Schema-adaptive table read — see
+    * [[graft.sources.Tables.adaptiveTable]]: observed physical types
+    * normalize losslessly into the canonical logical schema or fail
+    * loudly per column. */
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.adaptiveTable(s, dir, name)
 
   /** Deterministic avg of a 2-decimal money column. */
   private def avgMoney6(c: org.apache.spark.sql.Column) =

@@ -18,28 +18,162 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Schema-adaptive event-time column: the engine reads a corpus it
-    * does not control, and the physical encoding of `events.ts` has
-    * shipped in several shapes over the corpus's life.  Dispatch on the
-    * OBSERVED type rather than baking one encoding in:
-    *   - `LongType`       — legacy parquet TIMESTAMP(NANOS), which Spark
-    *     surfaces only as raw nanos-as-long; integer-divide (never
-    *     double-divide — 1.7e18 doesn't fit a double's mantissa) down
-    *     to micros.
+  // ---- Schema-adaptive reads ---------------------------------------------
+  // The engine reads a corpus it does not control, and the corpus's
+  // physical encodings have drifted before (events.ts shipped as
+  // TIMESTAMP(NANOS)-as-long, then TIMESTAMP_MICROS NTZ — the drift
+  // once broke 13 queries at a stroke).  Every table read therefore
+  // goes through [[adaptiveTable]]: each drift-prone column is
+  // normalized from its OBSERVED type to the canonical logical type
+  // the query surface was written against — by a LOSSLESS cast when
+  // one exists, by a loud failure when the observed shape is
+  // ambiguous or narrowing.  A future re-encode either changes zero
+  // queries or fails with a message naming the column, never silently
+  // skews results.
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Column
+
+  /** Plausible epoch-NANOS window, 1990-01-01 .. 2200-01-01.  A long
+    * that claims to be nanos but falls outside is almost certainly a
+    * different unit (plain micros are ~3 orders of magnitude lower,
+    * millis ~6) — divide-by-1000 would then be a silent 1000× error,
+    * the failure mode this guard exists to make loud. */
+  private val NanosLo = 631152000000000000L
+  private val NanosHi = 7258118400000000000L
+
+  /** Long claiming nanos → micros, integer-divided (1.7e18 does not
+    * fit a double's mantissa), with a PER-ROW magnitude guard: any
+    * non-null value outside the plausible nanos window raises an
+    * error naming the column and the suspected real unit instead of
+    * returning timestamps off by 1000×. */
+  private def guardedNanosToMicros(c: Column, ctx: String): Column =
+    when(c.isNull, lit(null).cast(LongType))
+      .when(c.between(NanosLo, NanosHi), call_function("div", c, lit(1000L)))
+      .otherwise(raise_error(concat(
+        lit(s"$ctx: long value "), c.cast(StringType),
+        lit(" is outside the plausible epoch-nanos range [1990, 2200) — " +
+          "the corpus likely re-encoded this column as plain micros or " +
+          "millis; update Tables.canonical for the new unit deliberately"))))
+
+  /** Normalize one observed column to its canonical logical type:
+    * identity when they match, a lossless widening cast where one
+    * exists (integral widenings; float→double; decimal(≤15)→double,
+    * exact within the 53-bit mantissa; NTZ↔timestamp under the
+    * engine-wide UTC session zone; magnitude-guarded nanos-long →
+    * timestamp; element-wise for arrays), and a LOUD failure for
+    * anything else — never a silent narrowing or reinterpretation. */
+  private[graft] def normalize(c: Column, from: DataType, to: DataType,
+      ctx: String): Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (ByteType | ShortType | IntegerType, LongType) => c.cast(LongType)
+    case (ByteType | ShortType, IntegerType) => c.cast(IntegerType)
+    case (FloatType, DoubleType) => c.cast(DoubleType)
+    case (d: DecimalType, DoubleType) if d.precision <= 15 => c.cast(DoubleType)
+    case (TimestampNTZType, TimestampType) => c.cast(TimestampType)
+    case (TimestampType, TimestampNTZType) => c.cast(TimestampNTZType)
+    case (LongType, TimestampType) =>
+      timestamp_micros(guardedNanosToMicros(c, ctx))
+    case (LongType, TimestampNTZType) =>
+      timestamp_micros(guardedNanosToMicros(c, ctx)).cast(TimestampNTZType)
+    case (ArrayType(f, n), ArrayType(t, _)) if elementWidens(f, t) =>
+      c.cast(ArrayType(t, n))
+    case (f, t) => throw new IllegalArgumentException(
+      s"$ctx has physical type ${f.simpleString} which does not losslessly " +
+        s"normalize to canonical ${t.simpleString} — the corpus re-encoded " +
+        "into an ambiguous or narrowing shape; update Tables.canonical " +
+        "deliberately instead of silently coercing")
+  }
+
+  private def elementWidens(f: DataType, t: DataType): Boolean = (f, t) match {
+    case (a, b) if a == b => true
+    case (ByteType | ShortType | IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (d: DecimalType, DoubleType) => d.precision <= 15
+    case _ => false
+  }
+
+  /** Normalize `colName` of `df` to `wanted` (see [[normalize]]). */
+  def adaptive(df: DataFrame, colName: String, wanted: DataType,
+      table: String = "table"): Column =
+    normalize(col(colName), df.schema(colName).dataType, wanted,
+      s"$table.$colName")
+
+  /** The canonical logical schema each table's query surface was
+    * written against — the contract [[adaptiveTable]] normalizes the
+    * observed physical schema into.  `embedding` is canonically
+    * array<double>: every consumer computes in double (ColFns.vecD),
+    * so float corpora widen losslessly and a future double corpus is
+    * a no-op.  `ts`-family columns are listed with the type their
+    * queries consume today; the nanos-long legacy shape normalizes in
+    * via the guarded integer division. */
+  private val canonical: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(DoubleType), "label" -> IntegerType))
+
+  /** Read one testdata table normalized to its canonical logical
+    * schema — the drift-insurance entry point gate queries use.  A
+    * canonical column missing from the file is a loud failure; extra
+    * observed columns pass through untouched.  (`events.ts` is
+    * canonicalized separately by [[events]]/[[eventTs]] because some
+    * consumers want the raw encoding.) */
+  def adaptiveTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = table(spark, dir, name)
+    canonical.get(name).fold(raw) { cols =>
+      cols.foldLeft(raw) { case (df, (cn, dt)) =>
+        require(df.columns.contains(cn),
+          s"$name is missing canonical column $cn — observed schema: " +
+            df.schema.simpleString)
+        if (df.schema(cn).dataType == dt) df
+        else df.withColumn(cn, normalize(col(cn), df.schema(cn).dataType, dt,
+          s"$name.$cn"))
+      }
+    }
+  }
+
+  /** Schema-adaptive event-time column — [[normalize]]'s dispatch for
+    * the encodings `events.ts` has actually shipped in:
+    *   - `LongType`       — legacy parquet TIMESTAMP(NANOS), surfaced
+    *     as raw nanos-as-long; integer-divided to micros behind the
+    *     per-row magnitude guard (a plain-micros or millis re-encode
+    *     also surfaces as long — the guard makes that loud instead of
+    *     a silent 1000× skew).
     *   - `TIMESTAMP_NTZ`  — parquet TIMESTAMP_MICROS without UTC
     *     adjustment (the current testdata).  Cast to TimestampType;
-    *     with the engine-wide UTC session timezone (every entry point
-    *     sets `spark.sql.session.timeZone=UTC`) the stored micros are
-    *     preserved bit-for-bit.
+    *     with the engine-wide UTC session timezone the stored micros
+    *     are preserved bit-for-bit.
     *   - `TimestampType`  — already what downstream wants.
     * Anything else is a loud failure, not a silent coercion. */
-  def eventTs(df: DataFrame, colName: String = "ts"): org.apache.spark.sql.Column =
+  def eventTs(df: DataFrame, colName: String = "ts"): Column =
     df.schema(colName).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr(s"$colName div 1000"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        col(colName).cast(org.apache.spark.sql.types.TimestampType)
-      case org.apache.spark.sql.types.TimestampType => col(colName)
+      case dt @ (LongType | TimestampNTZType | TimestampType) =>
+        normalize(col(colName), dt, TimestampType, s"events.$colName")
       case other => throw new IllegalArgumentException(
         s"events.$colName has unsupported type $other; " +
           "expected long (legacy nanos), timestamp_ntz, or timestamp")

@@ -42,6 +42,67 @@ class TablesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Tables.eventTs(bad))
   }
 
+  test("eventTs long path: out-of-range magnitude fails loudly per row") {
+    // a corpus that re-encodes ts as PLAIN MICROS (no logical type)
+    // also surfaces as LongType — the old reader would silently
+    // divide by 1000 and skew every event time 1000×; the guard must
+    // raise instead
+    val microsShaped = Seq(1700000000123456L).toDF("ts")
+    val e = intercept[Exception](
+      microsShaped.select(Tables.eventTs(microsShaped).as("ts")).collect())
+    assert(e.getMessage.contains("epoch-nanos range"),
+      s"magnitude guard must name the suspected drift: ${e.getMessage}")
+    // in-range nanos still convert, nulls pass through
+    val ok = Seq(Some(1700000000123456L * 1000L), None).toDF("ts")
+    val out = ok.select(Tables.eventTs(ok).as("ts"))
+      .select(unix_micros(col("ts"))).as[Option[Long]].collect().toSet
+    assert(out == Set(Some(1700000000123456L), None))
+  }
+
+  test("adaptiveTable normalizes drifted physical schemas per column family") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_adaptive").toString
+    // ids shipped narrow (int32), money shipped decimal(12,2), text ok
+    Seq((1, "a", "en", "web", 5), (2, "b", "de", "web", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val docs = Tables.adaptiveTable(spark, dir, "documents")
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    assert(docs.select(sum("doc_id")).as[Long].collect().head == 3L)
+    // embeddings shipped float (today's corpus) → canonical double
+    Seq((1L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.adaptiveTable(spark, dir, "embeddings")
+    assert(emb.schema("embedding").dataType == ArrayType(DoubleType))
+    assert(emb.select(col("embedding")(1)).as[Double].collect().head == 2.0)
+    // lineitem money drifting to decimal(12,2): exact within a double
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) l_orderkey, CAST(1 AS BIGINT) l_partkey,
+        |  CAST(1 AS BIGINT) l_suppkey, CAST(1 AS INT) l_linenumber,
+        |  CAST(2 AS DOUBLE) l_quantity, CAST(1.25 AS DECIMAL(12,2)) l_extendedprice,
+        |  CAST(0.05 AS DOUBLE) l_discount, CAST(0.01 AS DOUBLE) l_tax,
+        |  'N' l_returnflag, 'O' l_linestatus,
+        |  TIMESTAMP_NTZ '2024-01-02 00:00:00' l_shipdate
+        |""".stripMargin).write.parquet(s"$dir/lineitem.parquet")
+    val li = Tables.adaptiveTable(spark, dir, "lineitem")
+    assert(li.schema("l_extendedprice").dataType == DoubleType)
+    assert(li.select(col("l_extendedprice")).as[Double].collect().head == 1.25)
+    // a NARROWING or reinterpreting drift fails loudly, per column
+    Seq(("1", "t", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val narrowing = intercept[IllegalArgumentException](
+      Tables.adaptiveTable(spark, dir, "documents"))
+    assert(narrowing.getMessage.contains("documents.doc_id"))
+    // a canonical column vanishing from the file fails loudly too
+    Seq((1L, "t")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val missing = intercept[IllegalArgumentException](
+      Tables.adaptiveTable(spark, dir, "documents"))
+    assert(missing.getMessage.contains("missing canonical column"))
+  }
+
   test("partitioned write enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
