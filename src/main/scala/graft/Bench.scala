@@ -57,8 +57,23 @@ object Bench {
     * the bench's OWN wake (measured: 180 s budget → b8-b10 flagged
     * on a quiet box).  `SPARK_GRAFT_QUIESCE_MS=0` disables waiting
     * entirely (flags still stamp). */
-  private var quiesceBudgetMs =
-    sys.env.get("SPARK_GRAFT_QUIESCE_MS").map(_.toLong).getOrElse(420000L)
+  private var quiesceBudgetMs = {
+    val key = "SPARK_GRAFT_QUIESCE_MS"
+    sys.env.get(key) match {
+      case None => 420000L
+      case Some(raw) =>
+        // validate here, with the variable named — a bare .toLong
+        // would surface as an uncontextualized NumberFormatException
+        // at class-init, and a negative value as a nonsense budget
+        val v = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a non-negative integer (milliseconds), got '$raw'")
+        }
+        if (v < 0) throw new IllegalArgumentException(
+          s"$key must be >= 0 ms, got $v")
+        v
+    }
+  }
 
   private def awaitQuiet(): Unit =
     while (loadAvg() > contendedThreshold && quiesceBudgetMs > 0) {
@@ -102,61 +117,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // B1 input: 100k (label, value), labels 'A'..'Z', values 1..100
-    // (reference bench/MapReduce.hs:47-52; Char → 1-char String).
-    val rnd = new scala.util.Random(42)
-    val charPairs = (1 to 100000).map { _ =>
-      (('A' + rnd.nextInt(26)).toChar.toString, rnd.nextInt(100) + 1)
-    }
-    // 8 partitions: 100k in-memory rows over 32 tasks is pure
-    // scheduling overhead; partition count is sized to data, not cores
-    val b1ds = spark.createDataset(charPairs).repartition(8).cache()
-    b1ds.count()
-
-    // B2 input: 100k ragged maps, A=l, B=l%47, C=l%13 iff l even
-    // (reference bench/MapReduce.hs:280-290).
-    val rnd2 = new scala.util.Random(43)
-    val ragged = (1 to 100000).map { _ =>
-      val l = rnd2.nextInt(100) + 1
-      val base = Map("A" -> l, "B" -> l % 47)
-      if (l % 2 == 0) base + ("C" -> (l % 13)) else base
-    }
-    val b2ds = spark.createDataset(ragged).repartition(8).cache()
-    b2ds.count()
-
-    val b1 = best5Loaded {
-      Simple.hashableMapReduce(b1ds,
-        Unpack.Filter[(String, Int)](_._2 % 2 == 0),
-        Assign.of[(String, Int), String, Double](_._1)(_._2.toDouble),
-        Reduce.fromFold[String, Double, Double](Folds.mean)).count()
-    }
-    val b2 = best5Loaded {
-      Simple.hashableMapReduce(b2ds,
-        Unpack.Explode[Map[String, Int], (Int, Double)] { m =>
-          for { a <- m.get("A").iterator; b <- m.get("B").iterator
-                c <- m.get("C").iterator } yield (c, (a + b).toDouble)
-        },
-        Assign.of[(Int, Double), Int, Double](_._1)(_._2),
-        Reduce.fromFold[Int, Double, Double](Folds.mean)).count()
-    }
-    val b3 = best5Loaded { RefQueries.q01(spark, sfDir).count() }
-    val b4 = best5Loaded { RefQueries.q03(spark, sfDir).count() }
-    val b5 = best5Loaded { RefQueries.q08(spark, sfDir).count() }
-    // B6-B8: the expensive pipeline operators (MinHash-LSH dedup,
-    // n-gram Jaccard near-dup, LSH-bucketed ANN).  q17/q19 persist
-    // their prep tables; clear the cache inside the timed body so
-    // every iteration measures a cold operator, not a warm cache.
-    import graft.queries.PipelineQueries
-    // b8 (cheap ANN) runs BEFORE the two LSH heavyweights so its
-    // pre-block load stamp reflects ambient, not b6/b7's own wake
-    val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
-    val b6 = best5Loaded {
-      PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
-    }
-    val b7 = best5Loaded {
-      PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
-    }
-
+    // ---- B9/B10 FIRST: the streaming blocks ----------------------------
+    // They are scale-independent (MemoryStream feeds), and their
+    // quiet-box numbers were repeatedly polluted by the LSH blocks'
+    // own load wake when they ran last (r9: b9 measured 4.63 s under
+    // post-LSH load 8.2 vs 3.46 s quiet, UNFLAGGED because the
+    // pre-block ambient stamp had decayed just under threshold).  At
+    // process start the ambient stamp is genuinely ambient — the
+    // bench's own wake cannot precede its first block.
+    //
     // B9: the streaming surface's tracked number — runningFoldTws
     // (transformWithState, RocksDB state store, named ValueState)
     // drains 200k rows in 10 micro-batches over 1,000 keys.  Reported
@@ -174,7 +143,7 @@ object Bench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8") // b9 runs last; state sizing
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state sizing, see above
     val b9rows = 200000; val b9batches = 10; val b9keys = 1000
     def deleteRec(p: java.nio.file.Path): Unit = {
       val walked = java.nio.file.Files.walk(p)
@@ -240,6 +209,64 @@ object Bench {
       } finally { q.stop(); deleteRec(ckpt) }
     }
     val b10 = best5Loaded { b10run() }
+
+    // batch blocks want the full shuffle width back
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
+    // B1 input: 100k (label, value), labels 'A'..'Z', values 1..100
+    // (reference bench/MapReduce.hs:47-52; Char → 1-char String).
+    val rnd = new scala.util.Random(42)
+    val charPairs = (1 to 100000).map { _ =>
+      (('A' + rnd.nextInt(26)).toChar.toString, rnd.nextInt(100) + 1)
+    }
+    // 8 partitions: 100k in-memory rows over 32 tasks is pure
+    // scheduling overhead; partition count is sized to data, not cores
+    val b1ds = spark.createDataset(charPairs).repartition(8).cache()
+    b1ds.count()
+
+    // B2 input: 100k ragged maps, A=l, B=l%47, C=l%13 iff l even
+    // (reference bench/MapReduce.hs:280-290).
+    val rnd2 = new scala.util.Random(43)
+    val ragged = (1 to 100000).map { _ =>
+      val l = rnd2.nextInt(100) + 1
+      val base = Map("A" -> l, "B" -> l % 47)
+      if (l % 2 == 0) base + ("C" -> (l % 13)) else base
+    }
+    val b2ds = spark.createDataset(ragged).repartition(8).cache()
+    b2ds.count()
+
+    val b1 = best5Loaded {
+      Simple.hashableMapReduce(b1ds,
+        Unpack.Filter[(String, Int)](_._2 % 2 == 0),
+        Assign.of[(String, Int), String, Double](_._1)(_._2.toDouble),
+        Reduce.fromFold[String, Double, Double](Folds.mean)).count()
+    }
+    val b2 = best5Loaded {
+      Simple.hashableMapReduce(b2ds,
+        Unpack.Explode[Map[String, Int], (Int, Double)] { m =>
+          for { a <- m.get("A").iterator; b <- m.get("B").iterator
+                c <- m.get("C").iterator } yield (c, (a + b).toDouble)
+        },
+        Assign.of[(Int, Double), Int, Double](_._1)(_._2),
+        Reduce.fromFold[Int, Double, Double](Folds.mean)).count()
+    }
+    val b3 = best5Loaded { RefQueries.q01(spark, sfDir).count() }
+    val b4 = best5Loaded { RefQueries.q03(spark, sfDir).count() }
+    val b5 = best5Loaded { RefQueries.q08(spark, sfDir).count() }
+    // B6-B8: the expensive pipeline operators (MinHash-LSH dedup,
+    // n-gram Jaccard near-dup, LSH-bucketed ANN).  q17/q19 persist
+    // their prep tables; clear the cache inside the timed body so
+    // every iteration measures a cold operator, not a warm cache.
+    import graft.queries.PipelineQueries
+    // b8 (cheap ANN) runs BEFORE the two LSH heavyweights so its
+    // pre-block load stamp reflects ambient, not b6/b7's own wake
+    val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
+    val b6 = best5Loaded {
+      PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
+    }
+    val b7 = best5Loaded {
+      PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
+    }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
