@@ -334,9 +334,15 @@ object TxLog {
           s"TxLog at $dir: commitBatch($batchId) published marker $batchId but " +
             s"the staged dir _staged/$staged is gone — a vacuum with a grace " +
             "period shorter than this commit's stage-to-publish span swept it. " +
-            "The marker stands (peers may have observed it); repair by deleting " +
-            s"_commits/$batchId and re-ingesting the batch, and size vacuum's " +
-            "graceMs above the longest stage write.")
+            "The marker stands, and peers may ALREADY have treated the batch " +
+            "as committed via isCommitted — deleting the marker would make " +
+            "those peers skip the batch forever. Repair by re-committing " +
+            "UNDER THE SAME ID: write the batch's rows to a fresh _staged " +
+            s"dir and overwrite _commits/$batchId IN PLACE to name it, so " +
+            "the marker never disappears from any reader's view; then size " +
+            "vacuum's graceMs above the longest stage write. Deleting the " +
+            "marker and re-ingesting is safe only after reconciling every " +
+            "downstream consumer that may have observed the commit.")
       }
     }
     throw new IllegalStateException(
@@ -513,11 +519,17 @@ object TxLog {
     * marker lands, which is exactly why [[commitBatch]] refuses while
     * the lease is held.
     *
-    * `graceMs` is the GC-safety window: orphan staged dirs and
-    * `_commits/.tmp` marker bodies whose modification time is younger
-    * than this are LEFT ALONE, because they may belong to a commit
-    * whose stage write started before this vacuum acquired the lease
-    * (the lease checks bracket the stage, they don't span it).  Stale
+    * `graceMs` is the GC-safety window: orphan staged dirs whose
+    * NEWEST modification time anywhere in their tree (task files land
+    * under `_temporary/` subdirs whose writes don't refresh the
+    * top-level mtime until job commit) — and `_commits/.tmp` marker
+    * bodies — younger than this are LEFT ALONE, because they may
+    * belong to a commit whose stage write started before this vacuum
+    * acquired the lease (the lease checks bracket the stage, they
+    * don't span it).  Size `graceMs` above the longest expected gap
+    * between consecutive task-file writes within one stage, not the
+    * whole job duration — the deep-mtime signal refreshes as tasks
+    * land.  Stale
     * PUBLISHED markers carry no such risk — publication is the atomic
     * commit point, staleness is decided purely by the compaction name
     * floor — so they are reclaimed regardless of age.  Pass
@@ -556,12 +568,25 @@ object TxLog {
     if (!f.exists(stagedRoot)) return 0
     val liveDirs = committedDirs(spark, dir).map(new Path(_).getName).toSet
     // a young unmarked dir may be an in-flight commit's stage write
-    // (its marker lands after the write completes); the dir's mtime
-    // refreshes as task files land, so age-since-last-write is the
-    // honest "nobody is filling this" signal
+    // (its marker lands after the write completes).  Age must be
+    // judged by the NEWEST modification time anywhere in the tree,
+    // not the top-level dir's: during a Spark parquet stage write,
+    // task files land under _temporary/ subdirectories and the
+    // top-level mtime typically refreshes only at job commit — on
+    // top-level age alone, a stage write longer than graceMs would
+    // be swept mid-write.  A subpath that vanishes while we walk is
+    // activity by definition — treat the dir as young.
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val children =
+          try f.listStatus(st.getPath)
+          catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+        (st.getModificationTime +: children.toSeq.map(newestMtime)).max
+      }
     val orphans = f.listStatus(stagedRoot).toSeq
       .filterNot(st => liveDirs.contains(st.getPath.getName))
-      .filter(oldEnough)
+      .filter(st => newestMtime(st) <= cutoff)
     orphans.foreach(st => f.delete(st.getPath, true))
     orphans.size
   }
