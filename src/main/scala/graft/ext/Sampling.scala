@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.ColFns._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -125,11 +126,37 @@ object Sampling {
   def samplePerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       k: Int, maxBroadcastPicks: Long = 4000000L): DataFrame = {
     val h = h60(col(idCol).cast("string"))
+    topKPickJoin(df, groupCols, idCol,
+      struct(h.as("h"), col(idCol).as("id")), k, reverse = true,
+      maxBroadcastPicks, "samplePerGroup")
+  }
+
+  /** Keep at most `k` rows per group, picked by DESCENDING `rankCol`
+    * (ties broken by ascending id) — the per-domain / per-source cap
+    * every crawl pipeline applies so one giant domain can't dominate
+    * the corpus.  Same bounded-top-k + broadcast-back shape as
+    * [[samplePerGroup]]: map-side partials hold ≤ k entries, the
+    * shuffle carries O(groups × k), the full rows never move for the
+    * ranking — never a per-group window sort.  `rankCol` must be
+    * deterministic in the row (e.g. a rounded quality score) for the
+    * pick to be reproducible. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      rankCol: Column, k: Int, maxBroadcastPicks: Long = 4000000L): DataFrame =
+    // natural struct order, reverse=false keeps the k LARGEST
+    // (rank, -id) pairs = highest rank, then smallest id
+    topKPickJoin(df, groupCols, idCol,
+      struct(rankCol.as("r"), (-col(idCol)).as("nid"), col(idCol).as("id")),
+      k, reverse = false, maxBroadcastPicks, "capPerGroup")
+
+  /** Shared machinery: bounded top-k pick per group (struct item whose
+    * LAST field is the id), picks broadcast back as a semi-join. */
+  private def topKPickJoin(df: DataFrame, groupCols: Seq[String],
+      idCol: String, item: Column, k: Int, reverse: Boolean,
+      maxBroadcastPicks: Long, opName: String): DataFrame = {
     val picks = df
       .groupBy(groupCols.map(col): _*)
       .agg(org.apache.spark.sql.graftshim.Bridge
-        .collectTopK(struct(h.as("h"), col(idCol).as("id")), k, reverse = true)
-        .as("top"))
+        .collectTopK(item, k, reverse).as("top"))
       .select(groupCols.map(col) :+ explode(col("top")).as("p"): _*)
       .select(groupCols.map(col) :+ col("p.id").as(idCol): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -138,11 +165,118 @@ object Sampling {
       if (nPicks <= maxBroadcastPicks) broadcast(picks)
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"samplePerGroup: $nPicks picks exceed maxBroadcastPicks=" +
+          s"$opName: $nPicks picks exceed maxBroadcastPicks=" +
             s"$maxBroadcastPicks — falling back to a shuffle semi-join")
         picks
       }
     Dedup.registerCleanup(
       df.join(picksSide, groupCols :+ idCol, "left_semi"), picks)
+  }
+
+  /** Exact scale factor of [[prioritySample]]'s uniform deviate:
+    * 2^60 as a double (a power of two, so the constant and every
+    * multiplication by it are exact). */
+  private val TwoPow60: Double = 1.152921504606846976e18
+
+  /** Deterministic weighted sample WITHOUT replacement of size ≤ k —
+    * priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): each
+    * row draws a uniform `u = (h60(id)+1) / 2^60` and gets priority
+    * `q = w / u`; the k highest-priority rows are the sample, and
+    * `w_hat = max(w, tau)` (tau = the (k+1)-th priority, 0 when the
+    * input fits entirely) is an unbiased per-row estimator of the
+    * row's weight contribution — `sum(w_hat)` over the sample
+    * estimates `sum(w)` over the corpus.  The weighted analog of
+    * [[sample]]: upweights long/important rows, reproducible in the
+    * id on any engine (the priority arithmetic is single-rounded IEEE
+    * ops — one multiply by an exact power of two, one divide — so any
+    * IEEE-754 engine computes bit-identical priorities).
+    *
+    * Scale shape: one narrow projection, then a bounded top-(k+1)
+    * aggregation — map-side partials hold ≤ k+1 entries, ONE merge of
+    * O(partitions × k) items, never a global sort.  Rows with
+    * non-positive weight get non-positive priority and are chosen
+    * only if fewer than k+1 positive rows exist.
+    *
+    * Returns (idCol, weightCol, `pri`, `w_hat`) for the selected
+    * rows; semi-join on idCol to recover full rows. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (h60(col(idCol).cast("string")) + lit(1L)).cast("double")
+    val pri = col(weightCol).cast("double") * lit(TwoPow60) / u
+    val item = struct(pri.as("pri"), (-col(idCol)).as("nid"),
+      col(idCol).as("id"), col(weightCol).as("w"))
+    df.select(item.as("it"))
+      .agg(org.apache.spark.sql.graftshim.Bridge
+        .collectTopK(col("it"), k + 1, reverse = false).as("arr"))
+      // collectTopK's buffer order is a heap's — sort the ≤ k+1
+      // survivors explicitly: natural struct order, descending
+      .select(sort_array(col("arr"), asc = false).as("arr"))
+      .select(col("arr"),
+        when(size(col("arr")) === k + 1,
+          element_at(col("arr"), k + 1).getField("pri"))
+          .otherwise(lit(0.0)).as("tau"))
+      .select(explode(slice(col("arr"), 1, k)).as("p"), col("tau"))
+      .select(col("p.id").as(idCol), col("p.w").as(weightCol),
+        col("p.pri").as("pri"),
+        greatest(col("p.w").cast("double"), col("tau")).as("w_hat"))
+  }
+
+  /** Greedy quality-ordered selection under a total weight budget —
+    * "take the best documents until the token budget is spent",
+    * WITHOUT a global sort.  Rows are bucketed by
+    * `floor(score × buckets)` (scores in [0, 1]); a ≤ buckets+1-row
+    * histogram (driver-reduced, like a k-means centroid collect)
+    * finds the threshold bucket; whole buckets above it are kept with
+    * a codegen'd filter, and only the ONE boundary bucket —
+    * ~1/buckets of the corpus — is sorted (score desc, id asc) for
+    * the exact greedy prefix under the remaining budget.  Equivalent
+    * to the full greedy scan in (score desc, id asc) order keeping
+    * the longest PREFIX whose running weight total stays ≤ `budget`
+    * — the scan stops at the first row that no longer fits (rows are
+    * atomic; no backfilling from lower-score rows).
+    *
+    * Scale shape: two scans + one bounded histogram; the only sort
+    * touches the boundary bucket, so `buckets` sets the sorted
+    * fraction (1000 → ~0.1 % of a 100 TB corpus, one task's worth per
+    * ~Spark-partition-sized slice; raise `buckets` to shrink it).
+    * Returns the selected rows with a `__budget_rank`-free schema
+    * (input columns unchanged). */
+  def takeByBudget(df: DataFrame, idCol: String, weightCol: String,
+      scoreCol: Column, budget: Long, buckets: Int = 1000): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = floor(scoreCol * buckets).cast("long")
+    val withB = df.withColumn("__bb", b)
+    // ≤ buckets+1 rows: a bounded reduce, same driver-side contract
+    // as the k-means centroid collect (Similarity.scala)
+    val hist = withB.groupBy(col("__bb"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var pre = 0L
+    var threshold = Long.MinValue // keep-everything sentinel
+    var remaining = 0L
+    var i = 0
+    var open = true
+    while (open && i < hist.length) {
+      val (bucket, w) = hist(i)
+      if (pre + w <= budget) { pre += w; i += 1 }
+      else { threshold = bucket; remaining = budget - pre; open = false }
+    }
+    if (open) withB.drop("__bb") // whole corpus fits the budget
+    else {
+      val above = withB.where(col("__bb") > threshold).drop("__bb")
+      // only the boundary bucket sorts — ~1/buckets of the input
+      val wBound = Window.orderBy(scoreCol.desc, col(idCol).asc)
+      val boundary = withB.where(col("__bb") === threshold).drop("__bb")
+        .withColumn("__cum",
+          sum(col(weightCol).cast("long")).over(
+            wBound.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("__cum") <= remaining)
+        .drop("__cum")
+      above.unionByName(boundary)
+    }
   }
 }

@@ -137,4 +137,43 @@ object TextOps {
     when(size(bg) === 0, lit(0.0))
       .otherwise(top.cast("double") / size(bg).cast("double"))
   }
+
+  /** Non-overlapping `width`-token chunks of the document, each
+    * joined back to a string (the final chunk may be shorter). */
+  private[ext] def tokenChunks(toks: Column, width: Int): Column = {
+    val nChunks = ceil(size(toks).cast("double") / width).cast("int")
+    when(nChunks < 1, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), nChunks),
+        j => concat_ws(" ", slice(toks, (j - lit(1)) * width + 1, lit(width)))))
+  }
+
+  /** Intra-document repetition REMOVAL (not just the signal): the
+    * document re-emitted with every repeated `width`-token chunk
+    * dropped, keeping each chunk's FIRST occurrence in order — the
+    * within-doc analog of corpus dedup, applied to boilerplate that
+    * repeats inside one page (nav bars, footers, spam keyword runs).
+    * A chunk is kept iff its first index in the chunk list is its own
+    * index — per-row HOFs only (O(chunks²) over a bounded doc), zero
+    * shuffle, streams at scan speed. */
+  def dedupChunksCol(text: Column, width: Int = 2): Column = {
+    val ch = tokenChunks(tokens(text), width)
+    when(size(ch) === 0, lit("")).otherwise(
+      concat_ws(" ", transform(firstOccurrenceIdx(ch),
+        i => element_at(ch, i))))
+  }
+
+  /** Number of chunks [[dedupChunksCol]] drops for the same (text,
+    * width) — the repetition-removal accounting column. */
+  def droppedChunkCount(text: Column, width: Int = 2): Column = {
+    val ch = tokenChunks(tokens(text), width)
+    when(size(ch) === 0, lit(0L)).otherwise(
+      (size(ch) - size(firstOccurrenceIdx(ch))).cast("long"))
+  }
+
+  /** 1-based indices of first-occurrence elements of `ch`, in order.
+    * Only evaluated under a size(ch) > 0 guard (sequence(1, 0) would
+    * otherwise count DOWN). */
+  private def firstOccurrenceIdx(ch: Column): Column =
+    filter(sequence(lit(1), size(ch)),
+      i => array_position(ch, element_at(ch, i)) === i.cast("long"))
 }

@@ -1548,12 +1548,29 @@ object PipelineQueries {
         sum(col("doc_id")).as("sum_id"))
       .orderBy("split")
   }
+  /** DuckDB twin of [[TextOps.qualityColsRaw]] as a reusable CTE
+    * chain: `feat` (per-doc features) and `qs` = (doc_id, n_tokens,
+    * quality).  Embedded verbatim by every oracle that scores docs. */
+  private def qualityCtes: String = {
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""feat AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+       |qs AS (SELECT doc_id, n_tokens, stopword_ratio * 0.4
+       |    + (1.0 - punct_ratio) * 0.3
+       |    + least(mean_tok_len / 8.0, 1.0) * 0.3 AS quality FROM feat)""".stripMargin
+  }
+
   /** Shared oracle prefix for q92/q94: closure → per-cluster survivor
     * pick (q91's rounded-quality + doc_id tie-break) → quality gate.
     * Exports `f` = (doc_id, n_tokens) of the gated survivor corpus. */
   private def survivorGateCtes: String = {
-    val allStops = TextOps.StopWords.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString(", ")
     s"""$lshPairsCtes,
        |dup AS (SELECT id_a, id_b FROM pairs
        |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
@@ -1567,17 +1584,7 @@ object PipelineQueries {
        |cmp AS (SELECT d.doc_id,
        |    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
        |  FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
-       |feat AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
-       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
-       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
-       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
-       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
-       |qs AS (SELECT doc_id, n_tokens, stopword_ratio * 0.4
-       |    + (1.0 - punct_ratio) * 0.3
-       |    + least(mean_tok_len / 8.0, 1.0) * 0.3 AS quality FROM feat),
+       |$qualityCtes,
        |r AS (SELECT cmp.doc_id, qs.n_tokens, qs.quality,
        |    row_number() OVER (PARTITION BY cmp.component
        |      ORDER BY round(qs.quality, 6) DESC, cmp.doc_id ASC) AS rn
@@ -1709,6 +1716,119 @@ object PipelineQueries {
        |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_sig,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---- Q95: priority-weighted corpus sample (DLT 2007) ------------------
+  // Weighted sampling without replacement + unbiased subset-sum
+  // estimation in ONE bounded top-(k+1) aggregation: priority
+  // q = w·2^60/(h60(id)+1), top-k selected, tau = (k+1)-th priority,
+  // w_hat = max(w, tau).  Both engines compute the priority with the
+  // same two single-rounded IEEE ops (multiply by an exact power of
+  // two, one divide), so the doubles — and therefore the selected
+  // SET and the estimator — are bit-identical.  Scale shape: narrow
+  // scan + map-side k+1-bounded partials + one O(partitions·k) merge;
+  // no sort, no shuffle of the corpus.
+  def q95(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(tbl(s, dir, "documents"), "doc_id", "n_chars",
+      k = 200).orderBy("doc_id")
+  val q95Sql: String = {
+    val pri = s"CAST(n_chars AS DOUBLE) * 1152921504606846976.0 / " +
+      s"CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)"
+    s"""WITH p AS (SELECT doc_id, n_chars, $pri AS pri FROM documents),
+       |r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS rn
+       |  FROM p),
+       |t AS (SELECT coalesce(max(CASE WHEN rn = 201 THEN pri END), 0.0) AS tau
+       |  FROM r)
+       |SELECT doc_id, n_chars, pri,
+       |  greatest(CAST(n_chars AS DOUBLE), (SELECT tau FROM t)) AS w_hat
+       |FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Q96: per-source cap by quality — bounded top-k per group ---------
+  // "No domain may contribute more than k docs, keep its best" — the
+  // anti-dominance cap every crawl corpus applies.  CollectTopK on
+  // struct(rounded quality, -id): map-side partials ≤ k entries, the
+  // shuffle carries O(sources × k), the picked ids broadcast back as
+  // a semi-join (PlanShapeSpec pins it) — the full rows never move
+  // for the ranking, and nothing ever window-sorts a whole source.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("source")) ++
+        TextOps.qualityColsRaw(col("text")): _*)
+    Sampling.capPerGroup(scored, Seq("source"), "doc_id",
+        round(col("quality_score"), 6), k = 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy("source")
+  }
+  val q96Sql: String =
+    s"""WITH $qualityCtes,
+       |r AS (SELECT d.source, q.doc_id, q.n_tokens,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY round(q.quality, 6) DESC, q.doc_id ASC) AS rn
+       |  FROM qs q JOIN documents d USING (doc_id))
+       |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- Q97: token-budget selection without a global sort ----------------
+  // "Fill 40 % of the corpus token budget with the best documents":
+  // greedy in (quality desc, id asc) order, a doc kept only if it
+  // fits entirely.  Sampling.takeByBudget finds the quality threshold
+  // from a ≤1001-bucket histogram (bounded driver reduce, the k-means
+  // centroid contract) and sorts ONLY the boundary bucket —
+  // ~1/1000th of the corpus — while the oracle runs the full
+  // cumulative window, proving the histogram path computes the exact
+  // greedy prefix.  Budget is 2/5 of total tokens in exact integer
+  // arithmetic on both sides.
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("q"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
+    Sampling.takeByBudget(scored, "doc_id", "n_tokens", col("q"),
+        budget = total * 2 / 5)
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+  val q97Sql: String =
+    s"""WITH $qualityCtes,
+       |o AS (SELECT doc_id, n_tokens, round(quality, 6) AS q FROM qs),
+       |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM o)
+       |SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c WHERE cum <= (SELECT CAST(sum(n_tokens) AS BIGINT) * 2 // 5
+       |                     FROM qs)""".stripMargin
+
+  // ---- Q98: intra-document repetition removal ---------------------------
+  // The within-doc analog of corpus dedup: re-emit each document with
+  // repeated 2-token chunks dropped, first occurrence kept IN ORDER
+  // (nav-bar/footer/keyword-spam boilerplate).  Pure per-row HOFs on
+  // both sides — codegen'd, zero shuffle, streams at scan speed; the
+  // oracle rebuilds the same first-occurrence index filter with
+  // list_position.
+  def q98(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.dedupChunksCol(col("text"), width = 2).as("kept_text"),
+        TextOps.droppedChunkCount(col("text"), width = 2).as("n_dropped"))
+      .orderBy("doc_id")
+  val q98Sql: String = {
+    val chunksOf = (t: String) =>
+      s"CASE WHEN len($t) = 0 THEN CAST([] AS VARCHAR[]) ELSE " +
+        s"list_transform(range(1, CAST(ceil(len($t) / 2.0) AS BIGINT) + 1), " +
+        s"j -> array_to_string(list_slice($t, (j-1)*2 + 1, (j-1)*2 + 2), ' ')) END"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, ${chunksOf("toks")} AS ch FROM t),
+       |k AS (SELECT doc_id, ch, list_transform(
+       |    list_filter(range(1, len(ch) + 1), i -> list_position(ch, ch[i]) = i),
+       |    i -> ch[i]) AS kept FROM c)
+       |SELECT doc_id, array_to_string(kept, ' ') AS kept_text,
+       |  CAST(len(ch) - len(kept) AS BIGINT) AS n_dropped
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
@@ -2656,6 +2776,10 @@ object PipelineQueries {
     "q92_survivor_filtered_corpus" -> (q92 _),
     "q93_continuous_ingest_loop" -> (q93 _),
     "q94_survivor_reshard" -> (q94 _),
+    "q95_priority_sample" -> (q95 _),
+    "q96_source_cap" -> (q96 _),
+    "q97_token_budget" -> (q97 _),
+    "q98_chunk_dedup" -> (q98 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2749,6 +2873,10 @@ object PipelineQueries {
     "q92_survivor_filtered_corpus" -> q92Sql,
     "q93_continuous_ingest_loop" -> q93Sql,
     "q94_survivor_reshard" -> q94Sql,
+    "q95_priority_sample" -> q95Sql,
+    "q96_source_cap" -> q96Sql,
+    "q97_token_budget" -> q97Sql,
+    "q98_chunk_dedup" -> q98Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -112,4 +112,27 @@ class ColFnsSpec extends AnyFunSuite {
     val got = df.select(TextOps.langIdCol(col("text"))).as[String].collect().toSeq
     assert(got == Seq("en", "es", "de"))
   }
+
+  test("dedupChunksCol drops repeated chunks, keeps first occurrence in order") {
+    val df = Seq(
+      // chunks (width 2): "a b" | "c d" | "a b" | "e" → drop 3rd
+      "a b c d a b e",
+      // all distinct → unchanged
+      "a b c d e f",
+      // same chunk thrice → one survives
+      "x y x y x y",
+      // trailing short chunk duplicates nothing ("a" ≠ "a b")
+      "a b a",
+      "").toDF("text")
+    val got = df.select(
+        TextOps.dedupChunksCol(col("text"), 2),
+        TextOps.droppedChunkCount(col("text"), 2))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a b c d e", 1L),
+      ("a b c d e f", 0L),
+      ("x y", 2L),
+      ("a b a", 0L),
+      ("", 0L)))
+  }
 }

@@ -277,6 +277,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q95: priority sample is one bounded top-k agg — no sort, no window") {
+    val p = plan(PipelineQueries.q95(spark, sf))
+    assert(p.contains("partial_collect_top_k"),
+      s"selection must be a k-bounded agg with map-side partials:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, "no window over the corpus")
+    // the only sorts allowed are the ≤ k+1-element sort_array (an
+    // expression, not an operator) and the presentation ORDER BY
+    assert(countOf(p, "\\bSort \\[") <= 1, s"corpus must never sort:\n$p")
+  }
+
+  test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
+    val p = plan(PipelineQueries.q96(spark, sf))
+    assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, "no per-source window sort")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"picked ids must broadcast back as a semi-join:\n$p")
+  }
+
+  test("q97: budget selection sorts only the boundary bucket") {
+    val p = plan(PipelineQueries.q97(spark, sf))
+    // exactly one Window (the boundary bucket's cumulative sum); the
+    // whole-bucket keep path is a plain filter union'd around it
+    assert(countOf(p, "\\bWindow\\b") == 1,
+      s"only the boundary bucket may run the cumulative window:\n$p")
+    assert(p.contains("Union"), s"above-threshold path must be a plain filter:\n$p")
+  }
+
+  test("q98: chunk dedup is a pure scan-side projection") {
+    val p = plan(PipelineQueries.q98(spark, sf))
+    // per-row HOFs only: nothing may shuffle except the ORDER BY
+    assert(countOf(p, "Exchange ") == 1, s"one presentation range exchange only:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0)
+  }
+
   test("sketch folds carry native (non-Kryo) buffer encoders") {
     // a Kryo encoder's schema is a single BinaryType blob; native
     // array/map buffers cross the shuffle as codegen'd unsafe rows

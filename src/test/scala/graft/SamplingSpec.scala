@@ -56,4 +56,123 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.shuffleShard(Seq((1L, 9)).toDF("id", "pos"), "id", 4)
     }
   }
+
+  // ---- prioritySample ----------------------------------------------------
+
+  /** Reference priorities computed the same way the operator does. */
+  private def refPriorities(rows: Seq[(Long, Long)]): Seq[(Long, Long, Double)] = {
+    import graft.functions.ColFns
+    val hv = rows.map(_._1).toDF("id")
+      .select(col("id"), ColFns.h60(col("id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.map { case (id, w) =>
+      (id, w, w.toDouble * 1.152921504606846976e18 / (hv(id) + 1L).toDouble)
+    }
+  }
+
+  test("prioritySample: selects the k highest priorities, tau = (k+1)-th") {
+    val rows = (0L until 100L).map(i => (i, 10L + i % 37))
+    val k = 10
+    val ref = refPriorities(rows).sortBy { case (id, _, p) => (-p, id) }
+    val expected = ref.take(k)
+    val tau = ref(k)._3
+    val got = Sampling.prioritySample(rows.toDF("id", "w"), "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._3).reverse
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    assert(got.map(_._3).toSeq == expected.map(_._3)) // bit-identical pri
+    got.foreach { case (_, w, _, wHat) =>
+      assert(wHat == math.max(w.toDouble, tau))
+    }
+    // DLT estimator: sum(w_hat) over the sample is within a factor of
+    // the true total (a loose sanity band; unbiasedness is the theorem)
+    val total = rows.map(_._2).sum.toDouble
+    val est = got.map(_._4).sum
+    assert(est > total * 0.3 && est < total * 3.0, s"est=$est total=$total")
+  }
+
+  test("prioritySample: input smaller than k returns everything, tau = 0") {
+    val rows = Seq((1L, 5L), (2L, 7L), (3L, 11L))
+    val got = Sampling.prioritySample(rows.toDF("id", "w"), "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // tau = 0 → w_hat = w exactly
+    got.foreach { case (_, w, wHat) => assert(wHat == w.toDouble) }
+  }
+
+  test("prioritySample: selection independent of input partitioning") {
+    val rows = (0L until 200L).map(i => (i, 1L + i % 13))
+    val a = Sampling.prioritySample(
+      rows.toDF("id", "w").repartition(1), "id", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    val b = Sampling.prioritySample(
+      rows.toDF("id", "w").repartition(23), "id", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---- capPerGroup -------------------------------------------------------
+
+  test("capPerGroup: keeps the k best per group, ties to the smaller id") {
+    val rows = (0L until 120L).map(i =>
+      (i, s"g${i % 4}", (i % 6).toDouble)) // many rank ties per group
+    val df = rows.toDF("id", "g", "r")
+    val got = Sampling.capPerGroup(df, Seq("g"), "id", col("r"), 5)
+      .select("g", "id") // the using-join reorders columns: keys first
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // oracle: per group, sort by (rank desc, id asc), take 5
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy { case (id, _, r) => (-r, id) }.take(5).map(t => (g, t._1))
+    }.sorted
+    assert(got == want)
+  }
+
+  test("capPerGroup: group smaller than k keeps every row") {
+    val df = Seq((1L, "a", 0.5), (2L, "a", 0.4), (3L, "b", 0.9))
+      .toDF("id", "g", "r")
+    val got = Sampling.capPerGroup(df, Seq("g"), "id", col("r"), 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  // ---- takeByBudget ------------------------------------------------------
+
+  /** Greedy PREFIX oracle: (score desc, id asc) order, keep the
+    * longest prefix whose running total stays ≤ budget — the scan
+    * STOPS at the first row that no longer fits (no first-fit
+    * backfilling from lower-score rows). */
+  private def greedyTake(rows: Seq[(Long, Long, Double)],
+      budget: Long): Seq[Long] = {
+    val sorted = rows.sortBy { case (id, _, q) => (-q, id) }
+    val cums = sorted.scanLeft(0L) { case (c, (_, w, _)) => c + w }.tail
+    sorted.zip(cums).takeWhile(_._2 <= budget).map(_._1._1)
+  }
+
+  test("takeByBudget matches the full greedy scan at several budgets") {
+    val rows = (0L until 300L).map(i =>
+      (i, 5L + i % 40, ((i * 7) % 100).toDouble / 100.0))
+    val df = rows.toDF("id", "w", "q")
+    val total = rows.map(_._2).sum
+    for (budget <- Seq(0L, total / 10, total / 3, total - 1, total, total + 50)) {
+      val got = Sampling.takeByBudget(df, "id", "w", col("q"), budget)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == greedyTake(rows, budget).sorted,
+        s"budget=$budget")
+    }
+  }
+
+  test("takeByBudget: bucket-boundary ties break by id inside the sorted bucket") {
+    // every row has the SAME score → one bucket, pure id-ordered greedy
+    val rows = (0L until 50L).map(i => (i, 10L, 0.5))
+    val got = Sampling.takeByBudget(rows.toDF("id", "w", "q"), "id", "w",
+      col("q"), budget = 95).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 9L)) // 9 rows × 10 = 90 ≤ 95 < 100
+  }
+
+  test("takeByBudget preserves the input schema") {
+    val df = Seq((1L, 2L, 0.3, "x")).toDF("id", "w", "q", "payload")
+    val out = Sampling.takeByBudget(df, "id", "w", col("q"), 100L)
+    assert(out.columns.toSeq == df.columns.toSeq)
+  }
 }
