@@ -222,6 +222,39 @@ object Sampling {
         greatest(col("p.w").cast("double"), col("tau")).as("w_hat"))
   }
 
+  /** Calibrate per-group sampling rates to hit a target MIXTURE under
+    * a total weight budget, then apply them deterministically — the
+    * "50 % web, 30 % books, 20 % code" data-mixing step.  For each
+    * group g with target share t_g and observed weight mass W_g, the
+    * keep rate is `min(1, t_g × budget / W_g)` (a group without
+    * enough mass contributes all it has — no other group absorbs its
+    * shortfall; re-run with renormalized targets if that matters).
+    * Rates quantize to 1/10000 hash buckets exactly like [[sample]],
+    * so membership is reproducible and joinable.  Groups absent from
+    * `targets` are dropped (rate 0).
+    *
+    * Scale shape: one bounded per-group aggregation (≤ |groups| rows,
+    * driver-reduced — the same bounded-collect contract as
+    * [[takeByBudget]]'s histogram) + one codegen'd filter scan; the
+    * corpus never shuffles. */
+  def calibrateMixture(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, targets: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(targets.values.forall(t => t >= 0.0 && t <= 1.0),
+      "target shares must be in [0, 1]")
+    val mass = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = targets.flatMap { case (g, t) =>
+      mass.get(g).map { w =>
+        g -> (if (w <= 0L) 0.0 else math.min(1.0, t * budget / w))
+      }
+    }
+    sampleByGroupRate(df, groupCol, idCol, rates)
+  }
+
   /** Greedy quality-ordered selection under a total weight budget —
     * "take the best documents until the token budget is spent",
     * WITHOUT a global sort.  Rows are bucketed by

@@ -108,9 +108,10 @@ object TextOps {
 
   /** Fraction of tokens that are repeats of an earlier token:
     * `1 - distinct/total` (0 for empty docs).  High values flag
-    * low-quality boilerplate (Gopher-style repetition filter). */
-  def dupTokenFraction(text: Column): Column = {
-    val toks = tokens(text)
+    * low-quality boilerplate (Gopher-style repetition filter).
+    * Takes a MATERIALIZED token column (project `tokens(text)` once
+    * and share it across the repetition signals). */
+  def dupTokenFraction(toks: Column): Column = {
     val n = size(toks)
     when(n === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(toks)).cast("double") / n.cast("double"))
@@ -118,8 +119,12 @@ object TextOps {
 
   /** Adjacent word-bigram array of `toks` (empty when < 2 tokens) —
     * the two slices are equal-length by construction so `zip_with`
-    * never pads. */
-  private def bigrams(toks: Column): Column = {
+    * never pads.  Project this ONCE and feed the column to
+    * [[topBigramFraction]]: referencing the un-materialized
+    * expression inside that function's lambdas would rebuild the
+    * whole bigram array per distinct bigram (the interpreted-HOF
+    * recompute pathology — see the chunk-dedup API note). */
+  def bigramsOf(toks: Column): Column = {
     val n = size(toks)
     when(n < 2, array().cast("array<string>")).otherwise(
       zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
@@ -128,47 +133,55 @@ object TextOps {
 
   /** Fraction of word bigrams taken up by the single most frequent
     * bigram (0 when < 2 tokens) — the other half of the repetition
-    * filter.  Per-row O(distinct × total) over a bounded document:
-    * all HOFs, codegen'd, no shuffle. */
-  def topBigramFraction(text: Column): Column = {
-    val bg = bigrams(tokens(text))
+    * filter.  Takes a MATERIALIZED bigram column ([[bigramsOf]],
+    * projected); per-row O(distinct × total) element compares over
+    * the bound attribute, no shuffle. */
+  def topBigramFraction(bg: Column): Column = {
     val top = array_max(transform(array_distinct(bg),
       b => size(filter(bg, x => x === b))))
     when(size(bg) === 0, lit(0.0))
       .otherwise(top.cast("double") / size(bg).cast("double"))
   }
 
+  // ---- Intra-document repetition removal --------------------------------
+  //
+  // The within-doc analog of corpus dedup: re-emit a document with
+  // every repeated `width`-token chunk dropped, first occurrence kept
+  // in order (nav-bar/footer/keyword-spam boilerplate).  Two-step API
+  // by design: [[tokenChunks]] MATERIALIZES the chunk array as its
+  // own projected column, and [[dedupChunks]]/[[droppedChunkCount]]
+  // consume that bound attribute.  Fusing them into one text→text
+  // expression would re-evaluate the whole chunk construction inside
+  // every HOF lambda invocation — O(chunks² × tokens) per row in
+  // Catalyst's interpreted HOF path, measured 20+ min for 50k docs vs
+  // seconds with the projection split.
+
   /** Non-overlapping `width`-token chunks of the document, each
-    * joined back to a string (the final chunk may be shorter). */
-  private[ext] def tokenChunks(toks: Column, width: Int): Column = {
+    * joined back to a string (the final chunk may be shorter).
+    * Project this ONCE, then feed the resulting column to
+    * [[dedupChunks]] / [[droppedChunkCount]]. */
+  def tokenChunks(toks: Column, width: Int): Column = {
     val nChunks = ceil(size(toks).cast("double") / width).cast("int")
     when(nChunks < 1, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), nChunks),
         j => concat_ws(" ", slice(toks, (j - lit(1)) * width + 1, lit(width)))))
   }
 
-  /** Intra-document repetition REMOVAL (not just the signal): the
-    * document re-emitted with every repeated `width`-token chunk
-    * dropped, keeping each chunk's FIRST occurrence in order — the
-    * within-doc analog of corpus dedup, applied to boilerplate that
-    * repeats inside one page (nav bars, footers, spam keyword runs).
-    * A chunk is kept iff its first index in the chunk list is its own
-    * index — per-row HOFs only (O(chunks²) over a bounded doc), zero
-    * shuffle, streams at scan speed. */
-  def dedupChunksCol(text: Column, width: Int = 2): Column = {
-    val ch = tokenChunks(tokens(text), width)
+  /** Re-assembled document from a MATERIALIZED chunk column, repeated
+    * chunks dropped (first occurrence kept, order preserved).  A
+    * chunk is kept iff its first index in the array is its own index
+    * — O(chunks²) element compares per row over the bound attribute,
+    * zero shuffle. */
+  def dedupChunks(ch: Column): Column =
     when(size(ch) === 0, lit("")).otherwise(
       concat_ws(" ", transform(firstOccurrenceIdx(ch),
         i => element_at(ch, i))))
-  }
 
-  /** Number of chunks [[dedupChunksCol]] drops for the same (text,
-    * width) — the repetition-removal accounting column. */
-  def droppedChunkCount(text: Column, width: Int = 2): Column = {
-    val ch = tokenChunks(tokens(text), width)
+  /** Number of chunks [[dedupChunks]] drops for the same chunk
+    * column — the repetition-removal accounting column. */
+  def droppedChunkCount(ch: Column): Column =
     when(size(ch) === 0, lit(0L)).otherwise(
       (size(ch) - size(firstOccurrenceIdx(ch))).cast("long"))
-  }
 
   /** 1-based indices of first-occurrence elements of `ch`, in order.
     * Only evaluated under a size(ch) > 0 guard (sequence(1, 0) would

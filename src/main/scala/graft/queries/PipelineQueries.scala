@@ -1806,14 +1806,18 @@ object PipelineQueries {
   // The within-doc analog of corpus dedup: re-emit each document with
   // repeated 2-token chunks dropped, first occurrence kept IN ORDER
   // (nav-bar/footer/keyword-spam boilerplate).  Pure per-row HOFs on
-  // both sides — codegen'd, zero shuffle, streams at scan speed; the
-  // oracle rebuilds the same first-occurrence index filter with
-  // list_position.
+  // both sides — zero shuffle, streams at scan speed; the chunk array
+  // materializes as its own projection FIRST (the two-step TextOps
+  // contract) so the dedup lambdas bind an attribute instead of
+  // re-deriving the chunks per invocation.  The oracle rebuilds the
+  // same first-occurrence index filter with list_position.
   def q98(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        TextOps.dedupChunksCol(col("text"), width = 2).as("kept_text"),
-        TextOps.droppedChunkCount(col("text"), width = 2).as("n_dropped"))
+        TextOps.tokenChunks(tokens(col("text")), width = 2).as("ch"))
+      .select(col("doc_id"),
+        TextOps.dedupChunks(col("ch")).as("kept_text"),
+        TextOps.droppedChunkCount(col("ch")).as("n_dropped"))
       .orderBy("doc_id")
   val q98Sql: String = {
     val chunksOf = (t: String) =>
@@ -1828,6 +1832,48 @@ object PipelineQueries {
        |SELECT doc_id, array_to_string(kept, ' ') AS kept_text,
        |  CAST(len(ch) - len(kept) AS BIGINT) AS n_dropped
        |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Q99: mixture calibration under a token budget --------------------
+  // "Hit a uniform source mixture at 30 % of the corpus's tokens":
+  // per-source token mass (one bounded agg) → keep-rate
+  // min(1, target·budget / mass) per source → the deterministic
+  // hash-rate filter of q67.  Both engines derive the 1/10000-bucket
+  // thresholds from the same (mass, budget) longs with the same IEEE
+  // ops + half-up rounding, so membership hash-matches.  Corpus
+  // never shuffles: one ≤|sources|-row reduce + one codegen'd scan.
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val total = docs.agg(sum(col("n_tokens"))).first().getLong(0)
+    val targets = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+    Sampling.calibrateMixture(docs, "source", "doc_id", "n_tokens",
+        targets, budget = total * 3 / 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("source")
+  }
+  val q99Sql: String = {
+    val srcList = (0 until 20).map(i => s"'src$i'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+       |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 10 AS bud FROM t),
+       |m AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS w FROM t
+       |  WHERE source IN ($srcList) GROUP BY source),
+       |r AS (SELECT source, CAST(floor(
+       |    CASE WHEN w <= 0 THEN 0.0
+       |         ELSE least(1.0, 0.05 * CAST((SELECT bud FROM b) AS DOUBLE)
+       |                         / CAST(w AS DOUBLE)) END * 10000 + 0.5)
+       |    AS BIGINT) AS thr FROM m),
+       |k AS (SELECT t.source, t.doc_id, t.n_tokens FROM t
+       |  JOIN r ON r.source = t.source
+       |  WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod}
+       |    < r.thr)
+       |SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
@@ -1928,13 +1974,19 @@ object PipelineQueries {
 
   // ---- Q56: repetition quality signals (Gopher-style) -------------------
   // Per-row HOFs only (duplicate-token fraction, top-bigram fraction):
-  // embarrassingly parallel, codegen'd, no shuffle — the filter you
-  // run over every document before training.
+  // embarrassingly parallel, no shuffle — the filter you run over
+  // every document before training.  Tokens and bigrams materialize
+  // as their own projections first (TextOps' two-step contract) so
+  // the frequency lambdas scan bound attributes instead of
+  // rebuilding the arrays per invocation.
   def q56(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextOps.bigramsOf(col("toks")).as("bg"))
       .select(col("doc_id"),
-        round(TextOps.dupTokenFraction(col("text")), 6).as("dup_tok_frac"),
-        round(TextOps.topBigramFraction(col("text")), 6).as("top_bigram_frac"))
+        round(TextOps.dupTokenFraction(col("toks")), 6).as("dup_tok_frac"),
+        round(TextOps.topBigramFraction(col("bg")), 6).as("top_bigram_frac"))
       .orderBy("doc_id")
   val q56Sql: String =
     s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2780,6 +2832,7 @@ object PipelineQueries {
     "q96_source_cap" -> (q96 _),
     "q97_token_budget" -> (q97 _),
     "q98_chunk_dedup" -> (q98 _),
+    "q99_mixture_calibration" -> (q99 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2877,6 +2930,7 @@ object PipelineQueries {
     "q96_source_cap" -> q96Sql,
     "q97_token_budget" -> q97Sql,
     "q98_chunk_dedup" -> q98Sql,
+    "q99_mixture_calibration" -> q99Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

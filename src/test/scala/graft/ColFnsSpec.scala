@@ -124,9 +124,10 @@ class ColFnsSpec extends AnyFunSuite {
       // trailing short chunk duplicates nothing ("a" ≠ "a b")
       "a b a",
       "").toDF("text")
-    val got = df.select(
-        TextOps.dedupChunksCol(col("text"), 2),
-        TextOps.droppedChunkCount(col("text"), 2))
+    val got = df
+      .select(TextOps.tokenChunks(graft.functions.ColFns.tokens(col("text")), 2)
+        .as("ch"))
+      .select(TextOps.dedupChunks(col("ch")), TextOps.droppedChunkCount(col("ch")))
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(
       ("a b c d e", 1L),

@@ -170,6 +170,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == (0L until 9L)) // 9 rows × 10 = 90 ≤ 95 < 100
   }
 
+  // ---- calibrateMixture --------------------------------------------------
+
+  test("calibrateMixture applies min(1, target·budget/mass) per group") {
+    import graft.functions.ColFns
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}", 10L))
+    val df = rows.toDF("id", "g", "w")
+    // each group mass = 1000; budget 2000; targets: g0 50% → rate 1
+    // (capped), g1 25% → rate 0.5, g2 5% → rate 0.1, g3 absent → 0
+    val got = Sampling.calibrateMixture(df, "g", "id", "w",
+        Map("g0" -> 0.5, "g1" -> 0.25, "g2" -> 0.05, "gX" -> 0.9),
+        budget = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.count(_._2 == "g0") == 100) // rate 1: everything kept
+    assert(!got.exists(_._2 == "g3")) // not targeted → dropped
+    // g1/g2 match the hash-threshold rule exactly
+    val hv = rows.map(_._1).toDF("id")
+      .select(col("id"), ColFns.h60(col("id").cast("string")) % 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expectKept(g: String, rate: Double) = rows
+      .filter(t => t._2 == g && hv(t._1) < math.round(rate * 10000))
+      .map(_._1).toSet
+    assert(got.filter(_._2 == "g1").map(_._1).toSet ==
+      expectKept("g1", 0.25 * 2000 / 1000))
+    assert(got.filter(_._2 == "g2").map(_._1).toSet ==
+      expectKept("g2", 0.05 * 2000 / 1000))
+  }
+
   test("takeByBudget preserves the input schema") {
     val df = Seq((1L, 2L, 0.3, "x")).toDF("id", "w", "q", "payload")
     val out = Sampling.takeByBudget(df, "id", "w", col("q"), 100L)

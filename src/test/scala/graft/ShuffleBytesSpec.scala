@@ -95,4 +95,17 @@ class ShuffleBytesSpec extends AnyFunSuite {
     }
     assertCeiling("incremental delta", b, 64 << 10)
   }
+
+  test("q96 per-source cap: shuffle carries O(sources × k) pick structs, not rows") {
+    // 50 docs × ~200-char texts ≈ 12 KB of row payload; the cap's
+    // only exchanges are the k-bounded pick partials and the
+    // broadcast build — full text must never enter a shuffle
+    val b = shuffleBytes { PipelineQueries.q96(spark, sf).count() }
+    assertCeiling("q96", b, 24 << 10)
+  }
+
+  test("q95 priority sample: one O(partitions × k) top-k merge") {
+    val b = shuffleBytes { PipelineQueries.q95(spark, sf).count() }
+    assertCeiling("q95", b, 96 << 10) // (k+1)-bounded partials only
+  }
 }
