@@ -43,9 +43,23 @@ object TextOps {
     * length, punctuation ratio, stopword ratio, composite score).
     * Kept raw so aggregations can sum them exactly; round only at
     * presentation.  Expression shapes mirror the DuckDB oracle
-    * operation-for-operation so doubles are bit-identical. */
-  def qualityColsRaw(text: Column): Seq[Column] = {
-    val toks = tokens(text)
+    * operation-for-operation so doubles are bit-identical.
+    *
+    * Each returned column embeds its own `tokens(text)` tree — the
+    * HOFs involved are CodegenFallback, so no codegen CSE rescues
+    * the repetition and a corpus scan tokenizes every row ~5×.
+    * Corpus-wide callers should project `tokens(text)` once and use
+    * [[qualityColsRawOf]]; this convenience form is fine for
+    * bounded inputs. */
+  def qualityColsRaw(text: Column): Seq[Column] =
+    qualityColsRawOf(tokens(text), text)
+
+  /** [[qualityColsRaw]] over a MATERIALIZED token column: project
+    * `tokens(text).as("toks")` first, then pass the attribute — one
+    * tokenization per row instead of one per feature column.  Same
+    * expression shapes downstream of the tokens, so values (and
+    * oracle hashes) are identical to the convenience form. */
+  def qualityColsRawOf(toks: Column, text: Column): Seq[Column] = {
     val nTok = size(toks)
     val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
       greatest(nTok, lit(1)).cast("double")

@@ -28,6 +28,16 @@ object PipelineQueries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.adaptiveTable(s, dir, name)
 
+  /** `keep` columns + the five quality-feature columns with ONE
+    * tokenization per row: projects `tokens(text)` first, then scores
+    * over the bound attribute (TextOps' two-step contract — the
+    * convenience form re-tokenizes per feature column on a
+    * corpus-wide scan). */
+  private def withQuality(df: DataFrame, keep: Column*): DataFrame =
+    df.select(keep :+ tokens(col("text")).as("__toks") :+ col("text"): _*)
+      .select(keep ++
+        TextOps.qualityColsRawOf(col("__toks"), col("text")): _*)
+
   /** `events` with `ts2` = event time as a microsecond TimestampType,
     * whatever physical encoding the corpus shipped (nanos-as-long,
     * TIMESTAMP_NTZ micros, or adjusted timestamp) — dispatch lives in
@@ -325,11 +335,9 @@ object PipelineQueries {
 
   // ---- Q22: quality scoring, averaged per lang (exact decimal sums) -----
   def q22(s: SparkSession, dir: String): DataFrame = {
-    val feats = TextOps.qualityColsRaw(col("text"))
     def avg15(c: Column) =
       sum(c.cast("decimal(38,15)")).cast("double") / count(lit(1))
-    tbl(s, dir, "documents")
-      .select(Seq(col("lang")) ++ feats: _*)
+    withQuality(tbl(s, dir, "documents"), col("lang"))
       .groupBy("lang")
       .agg(sum(col("n_tokens")).as("sum_tokens"),
         round(avg15(col("mean_tok_len")), 6).as("avg_tok_len"),
@@ -915,8 +923,7 @@ object PipelineQueries {
   def q46(s: SparkSession, dir: String): DataFrame = {
     val deduped = Dedup.exact(tbl(s, dir, "documents"), Seq("text"), "doc_id",
       hashKey = true)
-    val scored = deduped
-      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(deduped, col("doc_id"))
       .where(col("quality_score") >= 0.5)
     Sampling.hashSplit(scored, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1439,8 +1446,7 @@ object PipelineQueries {
   // frame a corpus-filtering semi-join consumes.
   def q91(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val scored = docs.select(
-      Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(docs, col("doc_id"))
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
     q52(s, dir).join(scored, "doc_id")
       .groupBy("component")
@@ -1522,8 +1528,8 @@ object PipelineQueries {
       pairs, "id_a", "id_b", nodes, "doc_id")
     // quality is computed for pair-touched docs only — the pick never
     // scans, scores, or shuffles the rest of the corpus
-    val scored = docs.join(broadcast(nodes), Seq("doc_id"), "left_semi")
-      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(
+        docs.join(broadcast(nodes), Seq("doc_id"), "left_semi"), col("doc_id"))
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
     val surv = comp.join(scored, "doc_id")
       .groupBy("component")
@@ -1537,8 +1543,7 @@ object PipelineQueries {
   def q92(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val kept = docs.join(broadcast(loserIds(s, dir)), Seq("doc_id"), "left_anti")
-    val scored = kept
-      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(kept, col("doc_id"))
       .where(col("quality_score") >= 0.5)
     Sampling.hashSplit(scored, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1690,8 +1695,7 @@ object PipelineQueries {
   def q94(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val kept = docs.join(broadcast(loserIds(s, dir)), Seq("doc_id"), "left_anti")
-    val gated = kept
-      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val gated = withQuality(kept, col("doc_id"))
       .where(col("quality_score") >= 0.5)
       .select(col("doc_id"), col("n_tokens"))
     val out = scratchDir("q94_shards")
@@ -1751,9 +1755,8 @@ object PipelineQueries {
   // a semi-join (PlanShapeSpec pins it) — the full rows never move
   // for the ranking, and nothing ever window-sorts a whole source.
   def q96(s: SparkSession, dir: String): DataFrame = {
-    val scored = tbl(s, dir, "documents")
-      .select(Seq(col("doc_id"), col("source")) ++
-        TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(tbl(s, dir, "documents"),
+      col("doc_id"), col("source"))
     Sampling.capPerGroup(scored, Seq("source"), "doc_id",
         round(col("quality_score"), 6), k = 10)
       .groupBy("source")
@@ -1782,8 +1785,7 @@ object PipelineQueries {
   // greedy prefix.  Budget is 2/5 of total tokens in exact integer
   // arithmetic on both sides.
   def q97(s: SparkSession, dir: String): DataFrame = {
-    val scored = tbl(s, dir, "documents")
-      .select(Seq(col("doc_id")) ++ TextOps.qualityColsRaw(col("text")): _*)
+    val scored = withQuality(tbl(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"),
         col("n_tokens").cast("long").as("n_tokens"))
     val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
@@ -2114,8 +2116,8 @@ object PipelineQueries {
     import graft.core.{Assign, Folds, Reduce, Unpack}
     import graft.engine.DatasetEngine
     import s.implicits._
-    val scored = tbl(s, dir, "documents")
-      .select(col("source"), TextOps.qualityColsRaw(col("text")).last)
+    val scored = withQuality(tbl(s, dir, "documents"), col("source"))
+      .select(col("source"), col("quality_score"))
     val ds = scored.as[(String, Double)]
     val th = DatasetEngine.run(ds, Unpack.none[(String, Double)],
       Assign.of[(String, Double), String, Double](_._1)(_._2),
@@ -2268,8 +2270,9 @@ object PipelineQueries {
     import graft.core.{Assign, Folds, QSketch, Reduce, Unpack}
     import graft.engine.DatasetEngine
     import s.implicits._
-    val scored = tbl(s, dir, "documents")
-      .select(col("doc_id"), col("source"), TextOps.qualityColsRaw(col("text")).last)
+    val scored = withQuality(tbl(s, dir, "documents"),
+        col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
     val sk = DatasetEngine.run(
       scored.select(col("source"), col("quality_score")).as[(String, Double)],
       Unpack.none[(String, Double)],
