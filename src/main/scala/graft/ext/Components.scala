@@ -247,6 +247,67 @@ object Components {
       .select(col("n").as(nodeCol), col("c").as("component"))
   }
 
+  /** Incrementally maintain the per-cluster SURVIVOR table across a
+    * batch — the third leg of the incremental dedup lifecycle (pairs:
+    * [[graft.ext.Dedup.lshPairsAgainstIndex]]; closure:
+    * [[incrementalComponentsDelta]]; survivors: here).  Only
+    * components the batch touched are re-picked; everything else
+    * carries forward untouched, so per-batch cost is O(members of
+    * touched components), never O(clusters) or O(corpus).
+    *
+    *  - `priorSurvivors`: ("component", "survivor_id", "n_members") —
+    *    this method's own output (or a one-shot bootstrap pick).
+    *  - `assignments`: the RESOLVED full assignment AFTER applying
+    *    the batch's delta (`nodeCol`, "component").
+    *  - `delta`: [[incrementalComponentsDelta]]'s output for the
+    *    batch (`nodeCol`, "component").
+    *  - `scores`: (`nodeCol`, `scoreCol`) covering at least every
+    *    member of a touched component; a missing score fails loudly
+    *    (a silent drop would elect the wrong survivor).
+    *
+    * Update rule: components named in the delta are recomputed from
+    * their FULL member set (one broadcast-probe stream of the
+    * assignment table + one max_by hash agg — q91's pick shape);
+    * prior rows for those components, and for root labels the batch
+    * remapped AWAY (a root r moved ⟺ delta contains (r, c≠r), and r
+    * can only have labeled its own component), are dropped.
+    * Components never split (merging only adds members), and scores
+    * are deterministic, so untouched rows are exactly right carried
+    * forward — after every batch the table equals the one-shot pick
+    * over the current assignment (ComponentsSpec pins this per batch;
+    * gate q100 pins it end-to-end against the DuckDB closure
+    * oracle).  The (score desc, id asc) tie-break negates the id, so
+    * node ids must be numeric here (unlike the closure methods,
+    * which only need an ordering). */
+  def incrementalSurvivors(priorSurvivors: DataFrame, assignments: DataFrame,
+      delta: DataFrame, scores: DataFrame, nodeCol: String,
+      scoreCol: String): DataFrame = {
+    val d = delta.select(col(nodeCol).as("n"), col("component").as("c"))
+    val touched = d.select(col("c").as("component")).distinct()
+    val dead = d.where(col("n") =!= col("c"))
+      .select(col("n").as("component")).distinct()
+    val kept = priorSurvivors
+      .select(col("component"), col("survivor_id"), col("n_members"))
+      .join(broadcast(touched), Seq("component"), "left_anti")
+      .join(broadcast(dead), Seq("component"), "left_anti")
+    val members = assignments
+      .select(col(nodeCol), col("component"))
+      .join(broadcast(touched), Seq("component"), "inner")
+    val recomputed = members
+      .join(scores.select(col(nodeCol), col(scoreCol).as("__s")),
+        Seq(nodeCol), "left")
+      .select(col(nodeCol), col("component"),
+        when(col("__s").isNotNull, col("__s")).otherwise(raise_error(concat(
+          lit("incrementalSurvivors: no score for touched member "),
+          col(nodeCol).cast("string")))).as("__s"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col(nodeCol), struct(col("__s"), -col(nodeCol)))
+          .as("survivor_id"))
+      .select(col("component"), col("survivor_id"), col("n_members"))
+    kept.union(recomputed)
+  }
+
   /** Latest-per-node resolution over a log of assignment rows
     * (`nodeCol`, "component", `batchCol`): the read side of the
     * delta-log pattern ([[incrementalComponentsDelta]]).  One

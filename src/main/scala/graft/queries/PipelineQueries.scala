@@ -1878,6 +1878,75 @@ object PipelineQueries {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- Q100: incremental survivor maintenance ---------------------------
+  // The third leg of the incremental dedup lifecycle, composed on the
+  // real corpus: per batch, probe the LSH index for new pairs →
+  // O(|batch|) delta closure → re-pick survivors for TOUCHED
+  // components only (scores computed for touched members only, one
+  // broadcast-probe stream of the assignment table).  After all
+  // batches the maintained table must equal the one-shot q91 pick
+  // over the full corpus — q91's oracle IS this query's oracle.
+  // Untouched-by-any-pair docs surface as their own survivor at the
+  // end (the same coalesce view q93 uses for assignments).
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Components
+    val docs = tbl(s, dir, "documents")
+    def scoresFor(ids: DataFrame): DataFrame =
+      withQuality(docs.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+          "left_semi"), col("doc_id"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val initial = docs.where(col("doc_id") < 300).select("doc_id", "text")
+    Dedup.writeLshIndex(initial, "doc_id", "text", "q100_idx")
+    val basePairs = Dedup.lshPairs(initial, "doc_id", "text",
+      minJaccard = ClusterMinJaccard)
+    val baseNodes = basePairs.select(col("id_a").as("doc_id"))
+      .union(basePairs.select(col("id_b").as("doc_id"))).distinct()
+    var assign = Components.connectedComponents(basePairs, "id_a", "id_b",
+      baseNodes, "doc_id").localCheckpoint()
+    // bootstrap pick = the one-shot q91 shape over the initial corpus
+    var surv = assign.join(scoresFor(assign), "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+          .as("survivor_id"))
+      .select(col("component"), col("survivor_id"), col("n_members"))
+      .localCheckpoint()
+    for ((lo, hi, k) <- Seq((300L, 400L, 1L), (400L, Long.MaxValue, 2L))) {
+      val batch = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+      val pairs = Dedup.lshPairsAgainstIndex(batch, "doc_id", "text",
+        "q100_idx", minJaccard = ClusterMinJaccard)
+      val delta = Components.incrementalComponentsDelta(
+        assign, pairs, "id_a", "id_b", "doc_id").localCheckpoint()
+      Dedup.unpersistInputsOf(pairs)
+      Dedup.appendToLshIndex(batch, k, "doc_id", "text", "q100_idx")
+      // resolved after-batch assignment = prior ⊕ delta (latest wins)
+      assign = Components.resolveAssignments(
+        assign.withColumn("b", lit(0L))
+          .unionByName(delta.withColumn("b", lit(1L))),
+        "doc_id", "b").localCheckpoint()
+      // scores must cover every member of a touched component — not
+      // just the delta rows: the absorbing component's unmoved
+      // members compete in the re-pick too (the operator fails
+      // loudly on a gap)
+      val touchedMembers = assign.join(
+        broadcast(delta.select(col("component")).distinct()),
+        Seq("component"), "left_semi")
+      surv = Components.incrementalSurvivors(surv, assign, delta,
+        scoresFor(touchedMembers), "doc_id", "q").localCheckpoint()
+    }
+    graft.sources.Tables.dropWithLocation(s, "q100_idx_bands")
+    graft.sources.Tables.dropWithLocation(s, "q100_idx_shingles")
+    // full-corpus view: never-paired docs are their own survivor
+    val singletons = docs.select(col("doc_id"))
+      .join(assign.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("component"), col("doc_id").as("survivor_id"),
+        lit(1L).as("n_members"))
+    surv.union(singletons).orderBy("component")
+  }
+  // the maintained table must equal the one-shot pick — q91's oracle
+  def q100Sql: String = q91Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2836,6 +2905,7 @@ object PipelineQueries {
     "q97_token_budget" -> (q97 _),
     "q98_chunk_dedup" -> (q98 _),
     "q99_mixture_calibration" -> (q99 _),
+    "q100_incremental_survivors" -> (q100 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -2934,6 +3004,7 @@ object PipelineQueries {
     "q97_token_budget" -> q97Sql,
     "q98_chunk_dedup" -> q98Sql,
     "q99_mixture_calibration" -> q99Sql,
+    "q100_incremental_survivors" -> q100Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -131,6 +131,60 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalSurvivors == one-shot pick after every batch") {
+    val rnd = new scala.util.Random(41)
+    // deterministic "quality": collides across nodes so ties exercise
+    // the -id tie-break
+    def score(id: Long): Double = ((id * 13) % 7).toDouble
+    def oneShotPick(assign: Map[Long, Long]): Map[Long, (Long, Long)] =
+      assign.groupBy(_._2).map { case (c, members) =>
+        val ids = members.keys.toSeq
+        val best = ids.maxBy(id => (score(id), -id))
+        c -> (best, ids.size.toLong)
+      }
+    for (trial <- 1 to 3) {
+      val n = 90 + trial * 30
+      val all = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val batches = all.grouped(math.max(1, all.size / 3)).toSeq
+      var assign = Components.connectedComponents(
+        batches.head.toDF("a", "b"), "a", "b",
+        batches.head.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id"), "id")
+      val scores = (0L until n.toLong).map(i => (i, score(i))).toDF("id", "q")
+      var surv = assign.join(scores, "id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), struct(col("q"), -col("id"))).as("survivor_id"))
+        .select(col("component"), col("survivor_id"), col("n_members"))
+      for (b <- batches.tail) {
+        val delta = Components.incrementalComponentsDelta(
+          assign, b.toDF("a", "b"), "a", "b", "id")
+        assign = Components.incrementalComponents(
+          assign, b.toDF("a", "b"), "a", "b", "id")
+        surv = Components.incrementalSurvivors(surv, assign, delta,
+          scores, "id", "q")
+        val got = surv.collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        val assignMap = assign.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == oneShotPick(assignMap),
+          s"trial $trial: maintained survivors diverged from one-shot pick")
+      }
+    }
+  }
+
+  test("incrementalSurvivors fails loudly on a missing touched-member score") {
+    val prior = Seq((0L, 0L, 2L)).toDF("component", "survivor_id", "n_members")
+    val assign = Seq((0L, 0L), (1L, 0L), (5L, 0L)).toDF("id", "component")
+    val delta = Seq((5L, 0L)).toDF("id", "component")
+    val scores = Seq((0L, 1.0), (5L, 2.0)).toDF("id", "q") // node 1 missing
+    val ex = intercept[Exception] {
+      Components.incrementalSurvivors(prior, assign, delta, scores, "id", "q")
+        .collect()
+    }
+    assert(ex.getMessage.contains("no score for touched member"))
+  }
+
   test("resolveAssignments keeps the latest batch's row per node") {
     val history = Seq(
       (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), // base

@@ -96,6 +96,34 @@ class ShuffleBytesSpec extends AnyFunSuite {
     assertCeiling("incremental delta", b, 64 << 10)
   }
 
+  test("incremental survivors: shuffle is O(touched members), prior tables never move") {
+    // 200k-row assignment table / 50k prior survivors vs a 2-row
+    // delta: only the touched components' members may shuffle (the
+    // re-pick agg) — if either prior table's bytes appear, a join
+    // orientation regression is re-shuffling state per batch
+    val assign = spark.range(0, 200000)
+      .selectExpr("id", "id - id % 4 AS component")
+    val priorSurv = spark.range(0, 200000, 4)
+      .selectExpr("id AS component", "id + 1 AS survivor_id",
+        "CAST(4 AS BIGINT) AS n_members")
+    val delta = {
+      import spark.implicits._
+      Seq((17L, 16L), (999999L, 999999L)).toDF("id", "component")
+    }
+    val scores = assign
+      .join(org.apache.spark.sql.functions.broadcast(
+        delta.select(col("component")).distinct()), Seq("component"), "left_semi")
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS q")
+      .union(delta.selectExpr("id", "CAST(id % 7 AS DOUBLE) AS q"))
+      .localCheckpoint() // scope + materialize outside the measured body
+    val b = shuffleBytes {
+      graft.ext.Components.incrementalSurvivors(
+        priorSurv, assign.unionByName(delta.selectExpr("id", "component")),
+        delta, scores, "id", "q").count()
+    }
+    assertCeiling("incremental survivors", b, 64 << 10)
+  }
+
   test("q96 per-source cap: shuffle carries O(sources × k) pick structs, not rows") {
     // 50 docs × ~200-char texts ≈ 12 KB of row payload; the cap's
     // only exchanges are the k-bounded pick partials and the
