@@ -141,12 +141,27 @@ object Sampling {
     * deterministic in the row (e.g. a rounded quality score) for the
     * pick to be reproducible. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
-      rankCol: Column, k: Int, maxBroadcastPicks: Long = 4000000L): DataFrame =
+      rankCol: Column, k: Int, maxBroadcastPicks: Long = 4000000L): DataFrame = {
+    requireNumericId(df, idCol, "capPerGroup")
     // natural struct order, reverse=false keeps the k LARGEST
     // (rank, -id) pairs = highest rank, then smallest id
     topKPickJoin(df, groupCols, idCol,
       struct(rankCol.as("r"), (-col(idCol)).as("nid"), col(idCol).as("id")),
       k, reverse = false, maxBroadcastPicks, "capPerGroup")
+  }
+
+  /** The descending-then-ascending tie-break negates the id, which is
+    * only an order-inversion for NUMERIC ids — a string id would cast
+    * to a null double and silently break the documented tie rule
+    * (unlike [[samplePerGroup]], whose all-ascending struct works for
+    * any orderable id). */
+  private def requireNumericId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric id column for its (desc, id asc) " +
+        s"tie-break; '$idCol' is $dt")
+  }
 
   /** Shared machinery: bounded top-k pick per group (struct item whose
     * LAST field is the id), picks broadcast back as a semi-join. */
@@ -202,6 +217,7 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireNumericId(df, idCol, "prioritySample")
     val u = (h60(col(idCol).cast("string")) + lit(1L)).cast("double")
     val pri = col(weightCol).cast("double") * lit(TwoPow60) / u
     val item = struct(pri.as("pri"), (-col(idCol)).as("nid"),
@@ -243,10 +259,23 @@ object Sampling {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     require(targets.values.forall(t => t >= 0.0 && t <= 1.0),
       "target shares must be in [0, 1]")
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"calibrateMixture groups by a string column; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType}")
     val mass = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map { r =>
+        // loud, named failures over a bare NPE: a null group value or
+        // an all-null weight group is corrupt input, not a rate of 0
+        require(!r.isNullAt(0),
+          s"calibrateMixture: null value in group column '$groupCol'")
+        require(!r.isNullAt(1),
+          s"calibrateMixture: group '${r.getString(0)}' has no non-null " +
+            s"'$weightCol' values — cannot derive a keep rate")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val rates = targets.flatMap { case (g, t) =>
       mass.get(g).map { w =>
         g -> (if (w <= 0L) 0.0 else math.min(1.0, t * budget / w))
@@ -286,7 +315,18 @@ object Sampling {
     val hist = withB.groupBy(col("__bb"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { r =>
+        // a null bucket means a null score; a null sum means the
+        // bucket's weights were all null — both are corrupt input
+        // that would otherwise surface as a bare NPE here (or as rows
+        // silently matching neither branch below)
+        require(!r.isNullAt(0),
+          s"takeByBudget: null score value (bucket) in the input")
+        require(!r.isNullAt(1),
+          s"takeByBudget: bucket ${r.getLong(0)} has no non-null " +
+            s"'$weightCol' values")
+        (r.getLong(0), r.getLong(1))
+      }
       .sortBy(-_._1)
     var pre = 0L
     var threshold = Long.MinValue // keep-everything sentinel

@@ -1456,9 +1456,9 @@ object PipelineQueries {
       .select(col("component"), col("survivor_id"), col("n_members"))
       .orderBy("component")
   }
-  val q91Sql: String = {
-    val allStops = TextOps.StopWords.flatMap(_._2).distinct
-      .map(w => s"'$w'").mkString(", ")
+  // built on the SAME qualityCtes text as q92/q94/q96/q97's oracles —
+  // one definition of "quality" across every gate that pins it
+  val q91Sql: String =
     s"""WITH RECURSIVE $lshPairsCtes,
        |dup AS (SELECT id_a, id_b FROM pairs
        |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
@@ -1472,25 +1472,14 @@ object PipelineQueries {
        |cmp AS (SELECT d.doc_id,
        |    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
        |  FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
-       |feat AS (SELECT doc_id,
-       |    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
-       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_tok_len,
-       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE)
-       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
-       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
-       |qsc AS (SELECT doc_id, round(stopword_ratio * 0.4
-       |    + (1.0 - punct_ratio) * 0.3
-       |    + least(mean_tok_len / 8.0, 1.0) * 0.3, 6) AS q FROM feat),
-       |r AS (SELECT cmp.component, cmp.doc_id, qsc.q,
+       |$qualityCtes,
+       |r AS (SELECT cmp.component, cmp.doc_id,
        |    row_number() OVER (PARTITION BY cmp.component
-       |      ORDER BY qsc.q DESC, cmp.doc_id ASC) AS rn,
+       |      ORDER BY round(qs.quality, 6) DESC, cmp.doc_id ASC) AS rn,
        |    count(*) OVER (PARTITION BY cmp.component) AS nm
-       |  FROM cmp JOIN qsc ON qsc.doc_id = cmp.doc_id)
+       |  FROM cmp JOIN qs ON qs.doc_id = cmp.doc_id)
        |SELECT component, doc_id AS survivor_id, CAST(nm AS BIGINT) AS n_members
        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
-  }
 
   // ---- Q92: survivor-filtered corpus — the dedup last mile COMPOSED ----
   // q46 upgraded from exact-text dedup to NEAR-dup-aware: LSH pairs →
@@ -1785,9 +1774,14 @@ object PipelineQueries {
   // greedy prefix.  Budget is 2/5 of total tokens in exact integer
   // arithmetic on both sides.
   def q97(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the total agg, takeByBudget's histogram, and its two
+    // output branches otherwise each re-run the quality tokenization
+    // (4 passes).  At corpus scale the narrow (id, q, n_tokens) frame
+    // is what you'd materialize as a table column anyway.
     val scored = withQuality(tbl(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"),
         col("n_tokens").cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
     Sampling.takeByBudget(scored, "doc_id", "n_tokens", col("q"),
         budget = total * 2 / 5)
@@ -1845,9 +1839,13 @@ object PipelineQueries {
   // ops + half-up rounding, so membership hash-matches.  Corpus
   // never shuffles: one ≤|sources|-row reduce + one codegen'd scan.
   def q99(s: SparkSession, dir: String): DataFrame = {
+    // persisted: total agg + calibrateMixture's mass agg + the final
+    // scan would otherwise tokenize the corpus three times (at scale
+    // n_tokens would be a stored table column)
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = docs.agg(sum(col("n_tokens"))).first().getLong(0)
     val targets = (0 until 20).map(i => s"src$i" -> 0.05).toMap
     Sampling.calibrateMixture(docs, "source", "doc_id", "n_tokens",

@@ -177,12 +177,15 @@ object TxLog {
   }
 
   private def leaseHolder(f: FileSystem, root: Path): Option[String] =
-    if (!f.exists(leasePath(root))) None
-    else {
+    // no exists() pre-check: the holder can release between a check
+    // and the open (seen in the lease-race loser's describe path,
+    // where the leaked FileNotFoundException replaced the contract's
+    // IllegalStateException) — open and treat absence as "no holder"
+    try {
       val in = f.open(leasePath(root))
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
-    }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Holder identity plus how long the lease file has existed — the
     * age lets an operator distinguish a live maintainer (seconds old)
@@ -398,8 +401,12 @@ object TxLog {
   def readBatch(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
     val (f, root) = fs(spark, dir)
     val marker = new Path(commitsPath(root), batchId.toString)
-    val exists = try f.getFileStatus(marker).isFile
-                 catch { case _: java.io.FileNotFoundException => false }
+    // same predicate as isCommitted/liveMarkers: a zero-length marker
+    // is half-published debris, NOT a commit — treating it as one
+    // here would resolve an empty body to the bare _staged/ root
+    val exists = try {
+      val st = f.getFileStatus(marker); st.isFile && st.getLen > 0
+    } catch { case _: java.io.FileNotFoundException => false }
     if (!exists) {
       if (lastCompactedId(spark, dir).exists(batchId <= _))
         throw new IllegalStateException(
