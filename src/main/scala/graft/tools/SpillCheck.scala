@@ -22,7 +22,12 @@ object SpillCheck {
     // the closure queries iterate hash-agg + join rounds whose
     // sort-based fallback / external-merge paths only exercise under
     // pressure; q89 additionally covers the incremental contraction
-    "q52_components", "q89_incremental_components")
+    "q52_components", "q89_incremental_components",
+    // round-10 compositions: the survivor-filtered corpus (pairs →
+    // closure → pick → anti-join → split), the histogram+boundary
+    // budget selection, and incremental survivor maintenance
+    "q92_survivor_filtered_corpus", "q97_token_budget",
+    "q100_incremental_survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
