@@ -53,14 +53,15 @@ object Bench {
     * simply flagged `contended` in the JSON.  Sized for the 1-minute
     * average's own decay: after the LSH blocks drive load to ~13,
     * getting back under threshold takes ~2 min of idle — the budget
-    * must absorb two such decays or the tail blocks get flagged for
-    * the bench's OWN wake (measured: 180 s budget → b8-b10 flagged
-    * on a quiet box).  `SPARK_GRAFT_QUIESCE_MS=0` disables waiting
-    * entirely (flags still stamp). */
+    * must absorb the heavy blocks' decays or the tail blocks get
+    * flagged for the bench's OWN wake (measured: 180 s budget →
+    * b8-b10 flagged on a quiet box; sized for three decays now that
+    * b11 follows the two LSH blocks).  `SPARK_GRAFT_QUIESCE_MS=0`
+    * disables waiting entirely (flags still stamp). */
   private var quiesceBudgetMs = {
     val key = "SPARK_GRAFT_QUIESCE_MS"
     sys.env.get(key) match {
-      case None => 420000L
+      case None => 600000L
       case Some(raw) =>
         // validate here, with the variable named — a bare .toLong
         // would surface as an uncontextualized NumberFormatException
@@ -267,12 +268,22 @@ object Bench {
     val b7 = best5Loaded {
       PipelineQueries.q19(spark, sfDir).count(); spark.catalog.clearCache()
     }
+    // B11: the composed corpus-curation flagship (q92) — LSH pairs →
+    // connected-component closure → per-cluster survivor pick →
+    // broadcast anti-join filter of the corpus → quality gate → hash
+    // split.  This is THE end-to-end operation a training-data
+    // pipeline runs; tracking it per round catches a regression in
+    // any stage of the composition, not just the stages benched in
+    // isolation (b6 covers the pair stage alone).
+    val b11 = best5Loaded {
+      PipelineQueries.q92(spark, sfDir).count(); spark.catalog.clearCache()
+    }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
       "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9,
-      "b10_dedup_ttl_tws" -> b10)
+      "b10_dedup_ttl_tws" -> b10, "b11_q92_survivor_corpus" -> b11)
     val qjson = qs.map { case (k, (v, _, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention
