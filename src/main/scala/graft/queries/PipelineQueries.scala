@@ -1945,6 +1945,87 @@ object PipelineQueries {
   // the maintained table must equal the one-shot pick — q91's oracle
   def q100Sql: String = q91Sql
 
+  // ---- Q101: cluster-aware (leakage-free) train/val/test split ----------
+  // The classic eval-contamination hazard: a near-duplicate of a test
+  // document sitting in train.  A doc-level hash split (q44) cannot
+  // prevent it — two near-dups hash independently.  Splitting on the
+  // near-dup CLUSTER root instead makes the split a pure function of
+  // the cluster, so a whole cluster lands in exactly one split by
+  // construction; the query also MEASURES that property from the data
+  // (`leaked_clusters`, count of clusters observed in >1 split) so
+  // the guarantee is certified in the output, not just asserted.
+  //
+  // 100 TB shape: the component table covers PAIR-TOUCHED docs only
+  // (≪ corpus at any real dup rate) and broadcasts for the root
+  // attach — the corpus never shuffles to learn its root; split
+  // assignment is then a map-side hash.  Exact per-split cluster
+  // counts avoid an O(corpus) distinct shuffle by decomposition:
+  // n_clusters = (isolated docs in the split — a plain count, ids are
+  // unique) + (distinct components landing in the split — an
+  // O(pair-touched) aggregate).  The leak check likewise touches only
+  // clustered rows: isolated docs cannot straddle.
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      minJaccard = ClusterMinJaccard)
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val comp = graft.ext.Components.connectedComponents(
+      pairs, "id_a", "id_b", nodes, "doc_id")
+    val rooted = docs.join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("component"), col("doc_id")))
+    val split = Sampling.hashSplit(rooted, "root", fractions)
+    val docStats = split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(when(col("component").isNull, 1L).otherwise(0L)).as("n_isolated"))
+    val nComp = Sampling.hashSplit(
+        comp.select(col("component")).distinct(), "component", fractions)
+      .groupBy("split").agg(count(lit(1)).as("n_comp"))
+    val leaked = split.where(col("component").isNotNull)
+      .select(col("component"), col("split")).distinct()
+      .groupBy("component").agg(count(lit(1)).as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("leaked_clusters"))
+    docStats.join(nComp, Seq("split"), "left")
+      .withColumn("n_clusters",
+        col("n_isolated") + coalesce(col("n_comp"), lit(0L)))
+      .select("split", "n_docs", "n_clusters", "sum_id")
+      .crossJoin(leaked) // 3×1 scalar attach, same shape as q99
+      .orderBy("split")
+  }
+  val q101Sql: String = {
+    val thr = Seq(0.8, 0.9).map(c => math.round(c * Sampling.SplitMod))
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |dup AS (SELECT id_a, id_b FROM pairs
+       |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+       |  UNION SELECT id_b, id_a FROM dup),
+       |reach(n, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.n),
+       |lbl AS (SELECT n, min(c) AS comp FROM reach GROUP BY n),
+       |rooted AS (SELECT d.doc_id,
+       |    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS root
+       |  FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id),
+       |sp AS (SELECT doc_id, root,
+       |    CASE WHEN hb < ${thr(0)} THEN 'train'
+       |         WHEN hb < ${thr(1)} THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, root,
+       |      ${h60Sql("CAST(root AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |    FROM rooted)),
+       |per AS (SELECT split, count(*) AS n_docs,
+       |    count(DISTINCT root) AS n_clusters,
+       |    CAST(sum(doc_id) AS BIGINT) AS sum_id FROM sp GROUP BY split),
+       |leak AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS leaked_clusters
+       |  FROM (SELECT root, count(DISTINCT split) AS ns FROM sp GROUP BY root) g)
+       |SELECT p.split, p.n_docs, p.n_clusters, p.sum_id, l.leaked_clusters
+       |FROM per p CROSS JOIN leak l ORDER BY p.split""".stripMargin
+  }
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2904,6 +2985,7 @@ object PipelineQueries {
     "q98_chunk_dedup" -> (q98 _),
     "q99_mixture_calibration" -> (q99 _),
     "q100_incremental_survivors" -> (q100 _),
+    "q101_cluster_split" -> (q101 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3003,6 +3085,7 @@ object PipelineQueries {
     "q98_chunk_dedup" -> q98Sql,
     "q99_mixture_calibration" -> q99Sql,
     "q100_incremental_survivors" -> q100Sql,
+    "q101_cluster_split" -> q101Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -119,6 +119,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must not shuffle for the survivor filter:\n$p")
   }
 
+  test("q101: cluster root attaches via broadcast — the corpus never shuffles to learn its split") {
+    // leakage-free split's scale contract: the component table covers
+    // pair-touched docs only and broadcasts for the root attach; split
+    // assignment is then a map-side hash of the root.  A sort-merge
+    // left join here means the full corpus shuffles to be labelled.
+    val p = plan(PipelineQueries.q101(spark, sf))
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined,
+      s"root attach must be a broadcast left-outer join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle to learn its root:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q15: ANN top-k is a bounded aggregation, not a window sort") {
     val p = plan(PipelineQueries.q15(spark, sf))
     assert(p.contains("partial_collect_top_k"),
