@@ -290,10 +290,20 @@ object Components {
       .select(col("component"), col("survivor_id"), col("n_members"))
       .join(broadcast(touched), Seq("component"), "left_anti")
       .join(broadcast(dead), Seq("component"), "left_anti")
-    val members = assignments
+    kept.union(repickTouched(assignments, touched, scores, nodeCol, scoreCol))
+  }
+
+  /** Re-pick survivors for the `touched` component set from their
+    * FULL member lists: one broadcast-probe stream of the assignment
+    * table + one max_by hash agg (q91's pick shape).  Shared core of
+    * [[incrementalSurvivors]] (in-memory table form) and
+    * [[survivorDelta]] (append-only log form) so the pick rule can
+    * never drift between them. */
+  private def repickTouched(assignments: DataFrame, touched: DataFrame,
+      scores: DataFrame, nodeCol: String, scoreCol: String): DataFrame =
+    assignments
       .select(col(nodeCol), col("component"))
       .join(broadcast(touched), Seq("component"), "inner")
-    val recomputed = members
       .join(scores.select(col(nodeCol), col(scoreCol).as("__s")),
         Seq(nodeCol), "left")
       .select(col(nodeCol), col("component"),
@@ -305,8 +315,47 @@ object Components {
         max_by(col(nodeCol), struct(col("__s"), -col(nodeCol)))
           .as("survivor_id"))
       .select(col("component"), col("survivor_id"), col("n_members"))
-    kept.union(recomputed)
+
+  /** The DELTA form of [[incrementalSurvivors]], the write shape for
+    * an append-only survivor log: per batch, emit ONLY the re-picked
+    * rows for touched components plus TOMBSTONES (survivor_id null,
+    * n_members 0) for components the batch absorbed away — O(touched)
+    * rows appended, never a rewrite of the survivor table.  Readers
+    * resolve latest-per-component and drop tombstones
+    * ([[resolveSurvivors]]); compaction = write the resolved frame as
+    * a new base batch, [[resolveAssignments]]'s pattern.
+    *
+    * Inputs match [[incrementalSurvivors]] minus the prior table
+    * (the log IS the prior): `assignments` resolved AFTER the batch's
+    * delta, `delta` the batch's changed rows, `scores` covering every
+    * member of a touched component (missing scores fail loudly). */
+  def survivorDelta(assignments: DataFrame, delta: DataFrame,
+      scores: DataFrame, nodeCol: String, scoreCol: String): DataFrame = {
+    val d = delta.select(col(nodeCol).as("n"), col("component").as("c"))
+    val touched = d.select(col("c").as("component")).distinct()
+    // an absorbed root r shows up as delta row (r, c≠r); r can only
+    // ever have labeled its own component, so that component is dead.
+    // (Touched wins if an id is somehow both — a live component is
+    // re-picked, not tombstoned.)
+    val dead = d.where(col("n") =!= col("c"))
+      .select(col("n").as("component")).distinct()
+      .join(touched, Seq("component"), "left_anti")
+    val idType = assignments.schema(assignments.schema.fieldIndex(nodeCol)).dataType
+    repickTouched(assignments, touched, scores, nodeCol, scoreCol)
+      .unionByName(dead.select(col("component"),
+        lit(null).cast(idType).as("survivor_id"), lit(0L).as("n_members")))
   }
+
+  /** Latest-per-component resolution over a survivor log written by
+    * [[survivorDelta]] (+ an optional bootstrap batch): max_by batch,
+    * tombstones dropped.  One hash shuffle on the component id. */
+  def resolveSurvivors(history: DataFrame, batchCol: String): DataFrame =
+    history.groupBy(col("component"))
+      .agg(max_by(struct(col("survivor_id"), col("n_members")),
+        col(batchCol)).as("__r"))
+      .select(col("component"), col("__r.survivor_id").as("survivor_id"),
+        col("__r.n_members").as("n_members"))
+      .where(col("survivor_id").isNotNull)
 
   /** Latest-per-node resolution over a log of assignment rows
     * (`nodeCol`, "component", `batchCol`): the read side of the

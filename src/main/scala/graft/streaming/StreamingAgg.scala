@@ -375,6 +375,88 @@ object StreamingAgg {
     }.start()
   }
 
+  /** The FULL continuous-curation maintenance loop as one streaming
+    * query — the production composition gate q93/q100 run batch-wise,
+    * wired into `foreachBatch`.  Per micro-batch:
+    *
+    *   1. exactly-once pair emission: Tx-ingest the batch into the
+    *      named LSH index ([[graft.ext.Dedup.ingestBatchIntoIndexTx]]
+    *      — a replayed batch is a no-op at its marker);
+    *   2. fold the batch's committed pairs into the assignment delta
+    *      log: O(|batch|) contraction closure, O(|changed|) append,
+    *      guarded by the log's own batch marker;
+    *   3. append the survivor delta — re-picked rows for touched
+    *      components + tombstones for absorbed ones — to the survivor
+    *      log, O(members of touched components), its own marker.
+    *
+    * ALL state lives in TxLog-manifested parquet dirs (pair log,
+    * assignment log, survivor log) + the index tables: a restart
+    * resumes from the markers with nothing in memory to lose, and a
+    * batch replayed by the streaming engine re-commits nothing.
+    * Read sides: [[graft.ext.Components.resolveAssignments]] over the
+    * assignment log, [[graft.ext.Components.resolveSurvivors]] over
+    * the survivor log.
+    *
+    * `scoresFor` maps a frame of member ids (column `idCol`) to
+    * (`idCol`, `scoreCol`) — called only on members of touched
+    * components, so scoring cost is per-batch O(touched), not
+    * O(corpus).  The index must exist before the stream starts
+    * ([[graft.ext.Dedup.writeLshIndex]] on the seed corpus, or on an
+    * empty frame for a from-scratch stream).  Batch ids are the
+    * engine's epoch ids offset by `batchIdBase` — set it above any
+    * bootstrap batch already committed to the logs. */
+  def curationSink(docs: DataFrame, idCol: String, textCol: String,
+      scoresFor: DataFrame => DataFrame, scoreCol: String, name: String,
+      pairsDir: String, assignDir: String, survivorDir: String,
+      checkpointDir: Option[String] = None, batchIdBase: Long = 1L,
+      n: Int = 3, bands: Int = 8, buckets: Int = 16,
+      minJaccard: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.{Components, Dedup}
+    import graft.sources.TxLog
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      val s = batch.sparkSession
+      val batchId = batchIdBase + epochId
+      Dedup.ingestBatchIntoIndexTx(batch.toDF(), batchId, idCol, textCol,
+        name, pairsDir, n, bands, buckets, minJaccard)
+      if (!TxLog.isCommitted(s, assignDir, batchId)) {
+        val pairs = TxLog.readBatch(s, pairsDir, batchId)
+        // bootstrap: an empty log means this is the first batch —
+        // every endpoint enters the closure as its own root
+        val prior =
+          if (TxLog.committedDirs(s, assignDir).nonEmpty)
+            Components.resolveAssignments(
+              TxLog.readCommitted(s, assignDir), idCol, "batch")
+          else {
+            val idT = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(idCol, idT),
+                org.apache.spark.sql.types.StructField("component", idT))))
+          }
+        val delta = Components.incrementalComponentsDelta(
+          prior, pairs, "id_a", "id_b", idCol)
+        TxLog.commitBatch(delta.withColumn("batch", lit(batchId)),
+          assignDir, batchId)
+      }
+      if (!TxLog.isCommitted(s, survivorDir, batchId)) {
+        val delta = TxLog.readBatch(s, assignDir, batchId).drop("batch")
+        val assignments = Components.resolveAssignments(
+          TxLog.readCommitted(s, assignDir), idCol, "batch")
+        val touchedMembers = assignments.join(
+          broadcast(delta.select(col("component")).distinct()),
+          Seq("component"), "left_semi")
+        val sdelta = Components.survivorDelta(assignments, delta,
+          scoresFor(touchedMembers), idCol, scoreCol)
+        TxLog.commitBatch(sdelta.withColumn("batch", lit(batchId)),
+          survivorDir, batchId)
+      }
+      ()
+    }.start()
+  }
+
   /** Durable parquet sink with exactly-once file commits: the
     * checkpoint tracks progress, so restarts resume without
     * duplicating output — the production sink for an ingest-dedup /

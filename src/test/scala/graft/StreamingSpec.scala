@@ -340,4 +340,76 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("k").as[(String, Double)].collect().toSeq
     assert(got == Seq(("a", 2.0), ("b", 10.0)))
   }
+
+  test("curationSink: the full maintenance loop as one stream equals the one-shot closure + pick") {
+    import graft.ext.{Components, Dedup}
+    import graft.sources.TxLog
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    def feedOf(lo: Long, hi: Long) = docs
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .as[(Long, String)].collect().toSeq
+    val scoreOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id")).withColumn("q", (col("doc_id") % 7).cast("double"))
+    val base = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val name = "curation_spec_idx"
+    // from-scratch stream: the index exists but is empty
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingAgg.curationSink(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", scoreOf, "q", name,
+      s"$base/pairs", s"$base/assign", s"$base/surv",
+      checkpointDir = Some(s"$base/ckpt"), minJaccard = 0.5)
+    try {
+      for ((lo, hi) <- Seq((Long.MinValue, c1), (c1, c2), (c2, Long.MaxValue))) {
+        in.addData(feedOf(lo, hi)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    try {
+      // one-shot truth over the whole corpus with the same scores
+      val pairs = Dedup.lshPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      val nodes = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b", nodes, "doc_id")
+      val oneShot = comp.join(scoreOf(comp.select("doc_id")), "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("survivor_id"))
+        .select("component", "survivor_id", "n_members")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(oneShot.nonEmpty, "corpus must contain near-dup clusters for this spec to bite")
+      val resolved = Components.resolveSurvivors(
+          TxLog.readCommitted(spark, s"$base/surv"), "batch")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(resolved == oneShot,
+        s"streamed survivor log must resolve to the one-shot pick\n got: $resolved\n want: $oneShot")
+      // assignment log resolves to the one-shot closure, too
+      val assigns = Components.resolveAssignments(
+          TxLog.readCommitted(spark, s"$base/assign"), "doc_id", "batch")
+        .as[(Long, Long)].collect().toSet
+      val compSet = comp.as[(Long, Long)].collect().toSet
+      assert(assigns == compSet)
+      // the survivor log stayed a DELTA log: its total rows are the
+      // per-batch touched+tombstone appends, not 3 rewrites of the
+      // cluster table (strictly fewer than 3x the final cluster count
+      // would already prove no rewrite; touched-only is tighter still)
+      val logRows = TxLog.readCommitted(spark, s"$base/surv").count()
+      assert(logRows < 3L * oneShot.size,
+        s"survivor log has $logRows rows for ${oneShot.size} clusters over 3 batches - looks like per-batch rewrites")
+      // a replayed batch is a no-op at every layer: ingest refuses at
+      // the index marker, and both logs refuse at their own markers
+      val last = feedOf(c2, Long.MaxValue).toDF("doc_id", "text")
+      assert(!Dedup.ingestBatchIntoIndexTx(last, 3L, "doc_id", "text",
+        name, s"$base/pairs", minJaccard = 0.5))
+      assert(TxLog.isCommitted(spark, s"$base/assign", 3L))
+      assert(TxLog.isCommitted(spark, s"$base/surv", 3L))
+    } finally {
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_bands")
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_shingles")
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
+    }
+  }
 }
