@@ -2026,6 +2026,63 @@ object PipelineQueries {
        |FROM per p CROSS JOIN leak l ORDER BY p.split""".stripMargin
   }
 
+  // ---- Q102: the STREAMED curation loop in the gate ---------------------
+  // q93 gates the maintenance loop's logic batch-wise; q102 runs it
+  // as an actual Structured Streaming query
+  // ([[graft.streaming.StreamingAgg.curationSink]]): the corpus
+  // arrives in three micro-batches over MemoryStream, each batch
+  // Tx-ingested into the LSH index, folded into the assignment delta
+  // log, and survivor-delta'd (touched re-picks + tombstones) — then
+  // the resolved survivor log, plus never-paired docs as their own
+  // survivor, must hash-match q91's ONE-SHOT closure + pick oracle.
+  // The driver-side collect feeds MemoryStream only (gate-harness
+  // convention, q73).  Scores are the shared quality definition, so
+  // the pick agrees with every other gate that pins it.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Components
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q102_lsh_idx"
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    graft.sources.Tables.dropWithLocation(s, s"${name}_batches")
+    val pairsDir = scratchDir("q102_pairs")
+    val assignDir = scratchDir("q102_assign")
+    val survDir = scratchDir("q102_surv")
+    def scoresFor(ids: DataFrame): DataFrame =
+      withQuality(docs.join(broadcast(ids.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi"), col("doc_id"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingAgg.curationSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      scoresFor _, "q", name, pairsDir, assignDir, survDir,
+      minJaccard = ClusterMinJaccard)
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val per = (rows.length + 2) / 3
+      rows.grouped(per).foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val surv = Components.resolveSurvivors(
+      TxLog.readCommitted(s, survDir), "batch")
+    val assigned = Components.resolveAssignments(
+      TxLog.readCommitted(s, assignDir), "doc_id", "batch")
+    val singles = docs.select(col("doc_id"))
+      .join(assigned.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("component"),
+        col("doc_id").as("survivor_id"), lit(1L).as("n_members"))
+    surv.unionByName(singles).orderBy("component")
+  }
+  // the streamed loop's final state must equal the one-shot pick
+  def q102Sql: String = q91Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -2986,6 +3043,7 @@ object PipelineQueries {
     "q99_mixture_calibration" -> (q99 _),
     "q100_incremental_survivors" -> (q100 _),
     "q101_cluster_split" -> (q101 _),
+    "q102_streamed_curation" -> (q102 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3086,6 +3144,7 @@ object PipelineQueries {
     "q99_mixture_calibration" -> q99Sql,
     "q100_incremental_survivors" -> q100Sql,
     "q101_cluster_split" -> q101Sql,
+    "q102_streamed_curation" -> q102Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,
