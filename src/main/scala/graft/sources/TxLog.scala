@@ -131,6 +131,39 @@ object TxLog {
 
   private def commitsPath(root: Path) = new Path(root, "_commits")
 
+  /** Read a small metadata file (marker / lease body) as UTF-8.
+    *
+    * On a ChecksumFileSystem (`file://`), a lost marker-publish race
+    * can TEAR the `.crc` SIDECAR: the local checksum layer renames
+    * the sidecar before the data rename, so the loser's crc lands
+    * (plain overwrite — sidecar renames don't honor no-overwrite)
+    * and then its data rename fails on the existing marker — leaving
+    * the winner's body paired with the loser's crc.  The body itself
+    * is intact and authoritative (markers publish by atomic
+    * single-file rename), so a ChecksumException here retries against
+    * the raw filesystem and best-effort deletes the torn sidecar
+    * (absence of a crc just means "unverified" locally; the marker is
+    * immutable after publish).  On real stores (HDFS/S3A) there is no
+    * client-side sidecar — a ChecksumException there is genuine
+    * corruption and propagates. */
+  private def readSmall(f: FileSystem, p: Path): String = {
+    def readVia(fsys: FileSystem): String = {
+      val in = fsys.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    try readVia(f) catch {
+      case e: org.apache.hadoop.fs.ChecksumException => f match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+          val body = readVia(c.getRawFileSystem)
+          try c.getRawFileSystem.delete(c.getChecksumFile(p), false)
+          catch { case _: java.io.IOException => () }
+          body
+        case _ => throw e
+      }
+    }
+  }
+
   /** The maintenance lease file.  Root-level (NOT inside `_commits`)
     * so [[vacuum]]'s stale-marker sweep can never reclaim it. */
   private def leasePath(root: Path) = new Path(root, "_writer.lock")
@@ -181,11 +214,8 @@ object TxLog {
     // and the open (seen in the lease-race loser's describe path,
     // where the leaked FileNotFoundException replaced the contract's
     // IllegalStateException) — open and treat absence as "no holder"
-    try {
-      val in = f.open(leasePath(root))
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    try Some(readSmall(f, leasePath(root)))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Holder identity plus how long the lease file has existed — the
     * age lets an operator distinguish a live maintainer (seconds old)
@@ -417,9 +447,7 @@ object TxLog {
       throw new IllegalStateException(
         s"TxLog at $dir: batch $batchId is not committed")
     }
-    val in = f.open(marker)
-    val staged = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                 finally in.close()
+    val staged = readSmall(f, marker)
     spark.read.parquet(new Path(root, s"_staged/$staged").toString)
   }
 
@@ -438,11 +466,8 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
     val names = compactId.map(n => s"c$n").toSeq ++ ids.map(_.toString)
-    def readBody(n: String): String = {
-      val in = f.open(new Path(commitsPath(root), n))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
+    def readBody(n: String): String =
+      readSmall(f, new Path(commitsPath(root), n))
     val bodies =
       if (names.size <= bulkReadThreshold) names.map(readBody)
       else {
@@ -500,10 +525,7 @@ object TxLog {
     if (foldNames.size < 2) return None
     val ceiling = foldIds.lastOption.getOrElse(compactId.get)
     val dirs = foldNames.map { n =>
-      val in = f.open(new Path(commitsPath(root), n))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                 finally in.close()
-      new Path(root, s"_staged/$body").toString
+      new Path(root, s"_staged/${readSmall(f, new Path(commitsPath(root), n))}").toString
     }
     val staged = s"c$ceiling-${java.util.UUID.randomUUID()}"
     spark.read.parquet(dirs: _*).write.mode("overwrite")
