@@ -328,17 +328,34 @@ object Components {
     * Inputs match [[incrementalSurvivors]] minus the prior table
     * (the log IS the prior): `assignments` resolved AFTER the batch's
     * delta, `delta` the batch's changed rows, `scores` covering every
-    * member of a touched component (missing scores fail loudly). */
+    * member of a touched component (missing scores fail loudly).
+    * `priorComponents` is the survivor log's "component" column (any
+    * frame containing every label the log has ever picked; duplicates
+    * fine) — it gates tombstones to labels that actually EXIST in the
+    * log.  Without the gate every moved non-root member would also
+    * emit a tombstone for a component that never existed (a node can
+    * only have labeled its own component, and only if it was a root):
+    * correctness would survive (readers drop null-survivor rows and a
+    * non-min id never labels anything), but a large merge would
+    * append ~|members| junk rows for one real re-pick, breaking the
+    * documented O(touched) append bound. */
   def survivorDelta(assignments: DataFrame, delta: DataFrame,
-      scores: DataFrame, nodeCol: String, scoreCol: String): DataFrame = {
+      scores: DataFrame, nodeCol: String, scoreCol: String,
+      priorComponents: DataFrame): DataFrame = {
     val d = delta.select(col(nodeCol).as("n"), col("component").as("c"))
     val touched = d.select(col("c").as("component")).distinct()
     // an absorbed root r shows up as delta row (r, c≠r); r can only
-    // ever have labeled its own component, so that component is dead.
-    // (Touched wins if an id is somehow both — a live component is
-    // re-picked, not tombstoned.)
-    val dead = d.where(col("n") =!= col("c"))
+    // ever have labeled its own component, so that component is dead
+    // — IF the log ever picked it (the priorComponents semi-join
+    // streams the log column past the broadcast moved set; the result
+    // is ≤ |moved| rows, so the closing distinct is tiny).  (Touched
+    // wins if an id is somehow both — a live component is re-picked,
+    // not tombstoned.)
+    val moved = d.where(col("n") =!= col("c"))
       .select(col("n").as("component")).distinct()
+    val dead = priorComponents.select(col("component"))
+      .join(broadcast(moved), Seq("component"), "left_semi")
+      .distinct()
       .join(touched, Seq("component"), "left_anti")
     val idType = assignments.schema(assignments.schema.fieldIndex(nodeCol)).dataType
     repickTouched(assignments, touched, scores, nodeCol, scoreCol)

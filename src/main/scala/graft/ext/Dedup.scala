@@ -21,7 +21,7 @@ object Dedup {
   private val persistedInputs = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
-  private[ext] def registerCleanup(result: DataFrame, handles: DataFrame*): DataFrame = {
+  private[graft] def registerCleanup(result: DataFrame, handles: DataFrame*): DataFrame = {
     persistedInputs.put(result, handles.toSeq)
     result
   }

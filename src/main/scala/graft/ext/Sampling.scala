@@ -290,66 +290,124 @@ object Sampling {
     * `floor(score × buckets)` (scores in [0, 1]); a ≤ buckets+1-row
     * histogram (driver-reduced, like a k-means centroid collect)
     * finds the threshold bucket; whole buckets above it are kept with
-    * a codegen'd filter, and only the ONE boundary bucket —
-    * ~1/buckets of the corpus — is sorted (score desc, id asc) for
-    * the exact greedy prefix under the remaining budget.  Equivalent
-    * to the full greedy scan in (score desc, id asc) order keeping
-    * the longest PREFIX whose running weight total stays ≤ `budget`
-    * — the scan stops at the first row that no longer fits (rows are
+    * a codegen'd filter.  The ONE boundary bucket is then REFINED
+    * recursively: re-histogram it at `buckets`× finer score
+    * resolution (bucket × buckets², then × buckets³, …), each level
+    * keeping its whole above-threshold sub-buckets, until the
+    * residual sub-bucket holds ≤ `maxSortRows` rows — only THAT
+    * residual is sorted (score desc, id asc) for the exact greedy
+    * prefix under the remaining budget.  Refinement self-tunes the
+    * sorted fraction: the knob no longer decides how much data one
+    * task sorts (with the old single-level shape, 100 TB / 1000
+    * buckets put ~100 GB through one external sort).  Equivalent to
+    * the full greedy scan in (score desc, id asc) order keeping the
+    * longest PREFIX whose running weight total stays ≤ `budget` —
+    * the scan stops at the first row that no longer fits (rows are
     * atomic; no backfilling from lower-score rows).
     *
-    * Scale shape: two scans + one bounded histogram; the only sort
-    * touches the boundary bucket, so `buckets` sets the sorted
-    * fraction (1000 → ~0.1 % of a 100 TB corpus, one task's worth per
-    * ~Spark-partition-sized slice; raise `buckets` to shrink it).
-    * Returns the selected rows with a `__budget_rank`-free schema
-    * (input columns unchanged). */
+    * Refinement stops early on two honest limits: when a level fails
+    * to SHRINK the residual (score ties at this resolution — finer
+    * histograms can't split equal scores; the window's id tie-break
+    * is then the only order left) and when the next scale would pass
+    * double's 2^53 integer ceiling (`floor(score × scale)` beyond
+    * that can't be exact).  In both cases the window falls back to
+    * the current residual, which is the pre-refinement behavior.
+    *
+    * Scale shape: one scan per refinement level (levels are
+    * log_buckets(n / maxSortRows) + 1 — two levels at 10^12 rows with
+    * the defaults; persist the narrow (id, weight, score) projection
+    * when scans are expensive, as q97 does) + one bounded histogram
+    * per level; the only sort touches ≤ `maxSortRows` rows
+    * (ties/precision caveat above).  Returns the selected rows with
+    * the input schema unchanged. */
   def takeByBudget(df: DataFrame, idCol: String, weightCol: String,
-      scoreCol: Column, budget: Long, buckets: Int = 1000): DataFrame = {
+      scoreCol: Column, budget: Long, buckets: Int = 1000,
+      maxSortRows: Long = 4000000L): DataFrame =
+    takeByBudgetStats(df, idCol, weightCol, scoreCol, budget, buckets,
+      maxSortRows)._1
+
+  /** Test seam for [[takeByBudget]]: also returns (residualRows = the
+    * exact row count the final window sorts, taken from the finest
+    * histogram's count column — 0 when everything fits; finestScale =
+    * the bucket scale the refinement reached). */
+  private[graft] def takeByBudgetStats(df: DataFrame, idCol: String,
+      weightCol: String, scoreCol: Column, budget: Long, buckets: Int,
+      maxSortRows: Long): (DataFrame, Long, Long) = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val b = floor(scoreCol * buckets).cast("long")
-    val withB = df.withColumn("__bb", b)
-    // ≤ buckets+1 rows: a bounded reduce, same driver-side contract
-    // as the k-means centroid collect (Similarity.scala)
-    val hist = withB.groupBy(col("__bb"))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
-      .collect()
-      .map { r =>
-        // a null bucket means a null score; a null sum means the
-        // bucket's weights were all null — both are corrupt input
-        // that would otherwise surface as a bare NPE here (or as rows
-        // silently matching neither branch below)
-        require(!r.isNullAt(0),
-          s"takeByBudget: null score value (bucket) in the input")
-        require(!r.isNullAt(1),
-          s"takeByBudget: bucket ${r.getLong(0)} has no non-null " +
-            s"'$weightCol' values")
-        (r.getLong(0), r.getLong(1))
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    require(maxSortRows > 0, s"maxSortRows must be positive, got $maxSortRows")
+    var scale = buckets.toLong
+    var undecided = df
+    var keptParts = List.empty[DataFrame]
+    var remaining = budget
+    var prevCnt = Long.MaxValue
+    var residual: Option[(DataFrame, Long)] = None
+    var done = false
+    while (!done) {
+      val b = floor(scoreCol * scale).cast("long")
+      // ≤ buckets+1 rows per level: a bounded reduce, same
+      // driver-side contract as the k-means centroid collect
+      // (Similarity.scala); count(1) rides along so the residual size
+      // is known WITHOUT an extra job
+      val hist = undecided.groupBy(b.as("__bb"))
+        .agg(sum(col(weightCol).cast("long")).as("w"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map { r =>
+          // a null bucket means a null score; a null sum means the
+          // bucket's weights were all null — both are corrupt input
+          // that would otherwise surface as a bare NPE here (or as
+          // rows silently matching neither branch below)
+          require(!r.isNullAt(0),
+            s"takeByBudget: null score value (bucket) in the input")
+          require(!r.isNullAt(1),
+            s"takeByBudget: bucket ${r.getLong(0)} has no non-null " +
+              s"'$weightCol' values")
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        .sortBy(-_._1)
+      var pre = 0L
+      var threshold = 0L
+      var cnt = 0L
+      var i = 0
+      var open = true
+      while (open && i < hist.length) {
+        val (bucket, w, c) = hist(i)
+        if (pre + w <= remaining) { pre += w; i += 1 }
+        else { threshold = bucket; cnt = c; open = false }
       }
-      .sortBy(-_._1)
-    var pre = 0L
-    var threshold = Long.MinValue // keep-everything sentinel
-    var remaining = 0L
-    var i = 0
-    var open = true
-    while (open && i < hist.length) {
-      val (bucket, w) = hist(i)
-      if (pre + w <= budget) { pre += w; i += 1 }
-      else { threshold = bucket; remaining = budget - pre; open = false }
+      if (open) { // everything still undecided fits the budget
+        keptParts ::= undecided
+        done = true
+      } else {
+        keptParts ::= undecided.where(b > threshold)
+        val boundary = undecided.where(b === threshold)
+        remaining -= pre
+        if (cnt <= maxSortRows || cnt >= prevCnt ||
+            scale > (1L << 53) / buckets) {
+          residual = Some((boundary, cnt))
+          done = true
+        } else {
+          undecided = boundary
+          prevCnt = cnt
+          scale *= buckets
+        }
+      }
     }
-    if (open) withB.drop("__bb") // whole corpus fits the budget
-    else {
-      val above = withB.where(col("__bb") > threshold).drop("__bb")
-      // only the boundary bucket sorts — ~1/buckets of the input
-      val wBound = Window.orderBy(scoreCol.desc, col(idCol).asc)
-      val boundary = withB.where(col("__bb") === threshold).drop("__bb")
-        .withColumn("__cum",
-          sum(col(weightCol).cast("long")).over(
-            wBound.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .where(col("__cum") <= remaining)
-        .drop("__cum")
-      above.unionByName(boundary)
+    val above = keptParts.reduce(_ unionByName _)
+    residual match {
+      case None => (above, 0L, scale)
+      case Some((boundary, cnt)) =>
+        // only the finest residual sorts — ≤ maxSortRows rows unless
+        // ties/precision stopped the refinement first
+        val wBound = Window.orderBy(scoreCol.desc, col(idCol).asc)
+        val prefix = boundary
+          .withColumn("__cum",
+            sum(col(weightCol).cast("long")).over(
+              wBound.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where(col("__cum") <= remaining)
+          .drop("__cum")
+        (above.unionByName(prefix), cnt, scale)
     }
   }
 }

@@ -1783,10 +1783,15 @@ object PipelineQueries {
         col("n_tokens").cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
-    Sampling.takeByBudget(scored, "doc_id", "n_tokens", col("q"),
-        budget = total * 2 / 5)
-      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
-        sum(col("n_tokens")).as("sum_tokens"))
+    // registered (not unpersisted inline — the result is lazy): the
+    // caller releases via Dedup.unpersistInputsOf once materialized,
+    // the module convention, so a long-lived session isn't pinned
+    Dedup.registerCleanup(
+      Sampling.takeByBudget(scored, "doc_id", "n_tokens", col("q"),
+          budget = total * 2 / 5)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_tokens")).as("sum_tokens")),
+      scored)
   }
   val q97Sql: String =
     s"""WITH $qualityCtes,
@@ -1848,12 +1853,17 @@ object PipelineQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = docs.agg(sum(col("n_tokens"))).first().getLong(0)
     val targets = (0 until 20).map(i => s"src$i" -> 0.05).toMap
-    Sampling.calibrateMixture(docs, "source", "doc_id", "n_tokens",
-        targets, budget = total * 3 / 10)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
-        sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("source")
+    // registered for caller release (Dedup.unpersistInputsOf) — q97's
+    // convention; the cache must outlive this lazy result, not the
+    // session
+    Dedup.registerCleanup(
+      Sampling.calibrateMixture(docs, "source", "doc_id", "n_tokens",
+          targets, budget = total * 3 / 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source"),
+      docs)
   }
   val q99Sql: String = {
     val srcList = (0 until 20).map(i => s"'src$i'").mkString(", ")

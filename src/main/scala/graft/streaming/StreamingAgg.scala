@@ -404,7 +404,18 @@ object StreamingAgg {
     * ([[graft.ext.Dedup.writeLshIndex]] on the seed corpus, or on an
     * empty frame for a from-scratch stream).  Batch ids are the
     * engine's epoch ids offset by `batchIdBase` — set it above any
-    * bootstrap batch already committed to the logs. */
+    * bootstrap batch already committed to the logs.
+    *
+    * RESTART SAFETY: any restartable deployment MUST set
+    * `checkpointDir` — with a checkpoint the engine resumes epoch
+    * ids where it left off and the Tx markers only no-op GENUINE
+    * replays.  Without one, a restarted stream's epochs begin at 0
+    * again, `batchIdBase + 0` collides with already-committed batch
+    * ids, and all three layers would silently treat brand-new data
+    * as replays (silent loss, not a loud conflict).  Guard: when
+    * `checkpointDir` is None this method requires `batchIdBase` to
+    * exceed every batch id already committed to (or compacted into)
+    * the three logs, failing fast at start instead. */
   def curationSink(docs: DataFrame, idCol: String, textCol: String,
       scoresFor: DataFrame => DataFrame, scoreCol: String, name: String,
       pairsDir: String, assignDir: String, survivorDir: String,
@@ -414,6 +425,24 @@ object StreamingAgg {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.{Components, Dedup}
     import graft.sources.TxLog
+    if (checkpointDir.isEmpty) {
+      // no checkpoint ⇒ a restart replays epoch 0: fail FAST if
+      // batchIdBase+0 would alias a batch any log already holds
+      // (compaction folds markers away, so count the compaction
+      // watermark too), instead of silently no-op'ing new data
+      val sess = docs.sparkSession
+      val committedMax = Seq(pairsDir, assignDir, survivorDir).flatMap { d =>
+        TxLog.committedBatchIds(sess, d) ++ TxLog.lastCompactedId(sess, d)
+      }
+      committedMax.reduceOption(_ max _).foreach { m =>
+        require(batchIdBase > m,
+          s"curationSink without a checkpointDir: batchIdBase=$batchIdBase " +
+            s"must exceed the max batch id already committed/compacted " +
+            s"($m) — otherwise a restart's epoch 0 aliases a committed " +
+            "batch and all three layers silently drop its documents. " +
+            "Set checkpointDir for restartable deployments.")
+      }
+    }
     val w = docs.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
@@ -448,8 +477,14 @@ object StreamingAgg {
         val touchedMembers = assignments.join(
           broadcast(delta.select(col("component")).distinct()),
           Seq("component"), "left_semi")
+        // tombstones gate on labels the survivor log actually holds
+        // (an empty log on batch 1 means none)
+        val priorComponents =
+          if (TxLog.committedDirs(s, survivorDir).nonEmpty)
+            TxLog.readCommitted(s, survivorDir).select("component")
+          else assignments.select("component").limit(0)
         val sdelta = Components.survivorDelta(assignments, delta,
-          scoresFor(touchedMembers), idCol, scoreCol)
+          scoresFor(touchedMembers), idCol, scoreCol, priorComponents)
         TxLog.commitBatch(sdelta.withColumn("batch", lit(batchId)),
           survivorDir, batchId)
       }

@@ -173,6 +173,30 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("survivorDelta tombstones only labels the log holds — no junk rows on a merge") {
+    // prior state: component 0 = {0,1,2}, component 5 = {5,6}; the
+    // survivor log has picked labels {0, 5}.  A batch edge (2,5)
+    // merges 5's cluster into 0: the delta remaps BOTH members 5 and
+    // 6, but only 5 ever labeled a component — an ungated delta would
+    // also tombstone the never-existed component 6 (O(|members|) junk
+    // per merge instead of the documented O(touched) append).
+    val assignAfter = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 0L), (6L, 0L))
+      .toDF("id", "component")
+    val delta = Seq((5L, 0L), (6L, 0L)).toDF("id", "component")
+    val scores = Seq(0L, 1L, 2L, 5L, 6L).map(i => (i, (i % 3).toDouble))
+      .toDF("id", "q")
+    val logComponents = Seq(0L, 5L).toDF("component")
+    val rows = Components.survivorDelta(assignAfter, delta, scores, "id", "q",
+        logComponents)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    val (tombs, picks) = rows.partition(_._2.isEmpty)
+    assert(picks.toSeq == Seq((0L, Some(2L), 5L)),
+      s"re-pick: max q=2.0 is ids {2,5} → min id 2 wins; got ${picks.toSeq}")
+    assert(tombs.toSeq == Seq((5L, None, 0L)),
+      s"exactly one tombstone, for label 5 only; got ${tombs.toSeq}")
+  }
+
   test("incrementalSurvivors fails loudly on a missing touched-member score") {
     val prior = Seq((0L, 0L, 2L)).toDF("component", "survivor_id", "n_members")
     val assign = Seq((0L, 0L), (1L, 0L), (5L, 0L)).toDF("id", "component")

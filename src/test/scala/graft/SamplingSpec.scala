@@ -162,6 +162,42 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("takeByBudget: recursive refinement matches greedy and bounds the sorted residual") {
+    // scores distinct (i/512 is dyadic-exact); buckets=4 so level 1's
+    // boundary holds ~n/4 rows ≫ maxSortRows=8 — refinement must
+    // recurse (scale 4 → 16 → 64 …) until the residual fits, and the
+    // result must still equal the full greedy prefix
+    val rows = (0L until 512L).map(i => (i, 3L + i % 11, i.toDouble / 512.0))
+    val df = rows.toDF("id", "w", "q")
+    val total = rows.map(_._2).sum
+    for (budget <- Seq(total / 7, total / 3, total / 2)) {
+      val (res, residualRows, finestScale) = Sampling.takeByBudgetStats(
+        df, "id", "w", col("q"), budget, buckets = 4, maxSortRows = 8L)
+      val got = res.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == greedyTake(rows, budget).sorted, s"budget=$budget")
+      assert(residualRows <= 8L,
+        s"budget=$budget: final window sorts $residualRows rows — the " +
+          "refinement must bound the single-task sort, not the knob")
+      assert(finestScale > 4L,
+        s"budget=$budget: refinement never recursed (scale $finestScale)")
+    }
+  }
+
+  test("takeByBudget: tie-saturated scores stop refinement honestly, stay exact") {
+    // every row shares one score: no histogram resolution can split
+    // the bucket, so refinement must detect no-progress after one
+    // extra level and fall back to the id-tie-break window over the
+    // WHOLE bucket — exactness over a vacuous residual bound
+    val rows = (0L until 60L).map(i => (i, 10L, 0.5))
+    val (res, residualRows, finestScale) = Sampling.takeByBudgetStats(
+      rows.toDF("id", "w", "q"), "id", "w", col("q"), budget = 155L,
+      buckets = 4, maxSortRows = 8L)
+    val got = res.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 15L)) // 15 × 10 = 150 ≤ 155 < 160
+    assert(residualRows == 60L, "ties: the whole bucket is the residual")
+    assert(finestScale == 16L, "exactly one wasted refinement level detects ties")
+  }
+
   test("takeByBudget: bucket-boundary ties break by id inside the sorted bucket") {
     // every row has the SAME score → one bucket, pure id-ordered greedy
     val rows = (0L until 50L).map(i => (i, 10L, 0.5))
