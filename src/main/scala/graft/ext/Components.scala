@@ -374,6 +374,68 @@ object Components {
         col("__r.n_members").as("n_members"))
       .where(col("survivor_id").isNotNull)
 
+  /** Per-batch corpus-gate EMISSION — the delta a training job
+    * actually consumes: which docs the batch ADMITS into the gated
+    * corpus and which previously-admitted docs it EVICTS (they just
+    * lost their cluster to a better arrival).  One row per decided
+    * doc: (`nodeCol`, kept: boolean), to be batch-stamped and
+    * appended to an emission log; [[resolveEvicted]] is the read
+    * side.
+    *
+    * The decision set is exactly (members of batch-touched
+    * components) ∪ (batch docs) — the only docs whose kept-status
+    * can change: untouched components keep their survivor, and an
+    * unpaired arrival is always admitted.  A batch doc that paired
+    * got an assignment row this batch, so it IS a touched member;
+    * the anti-join therefore only has to subtract the (bounded)
+    * touched-member id set from the (bounded) batch id set.  kept ⟺
+    * the doc is its component's re-picked survivor (from the batch's
+    * survivor-delta rows — tombstoned components have no members, so
+    * dropping them loses nothing) or was never paired at all.
+    *
+    * Scale shape: the assignment table streams past a broadcast of
+    * the touched set (never shuffles); every other frame is
+    * O(touched members + |batch|).  Emission rows per batch are
+    * O(touched docs), never O(corpus) — ShuffleBytesSpec pins the
+    * ceiling.
+    *
+    *  - `assignments`: resolved full assignment AFTER the batch.
+    *  - `delta`: the batch's changed assignment rows.
+    *  - `survivorBatch`: the batch's [[survivorDelta]] rows
+    *    (re-picks + tombstones; "component", "survivor_id").
+    *  - `batchIds`: the batch's arriving doc ids (`nodeCol`). */
+  def emissionDelta(assignments: DataFrame, delta: DataFrame,
+      survivorBatch: DataFrame, batchIds: DataFrame,
+      nodeCol: String): DataFrame = {
+    val touched = delta.select(col("component")).distinct()
+    val members = assignments.select(col(nodeCol), col("component"))
+      .join(broadcast(touched), Seq("component"), "left_semi")
+    val repicks = survivorBatch.where(col("survivor_id").isNotNull)
+      .select(col("component"), col("survivor_id"))
+    val touchedKept = members
+      .join(broadcast(repicks), Seq("component"), "inner")
+      .select(col(nodeCol), (col(nodeCol) === col("survivor_id")).as("kept"))
+    val unpaired = batchIds.select(col(nodeCol))
+      .join(broadcast(members.select(col(nodeCol))), Seq(nodeCol), "left_anti")
+      .select(col(nodeCol), lit(true).as("kept"))
+    touchedKept.unionByName(unpaired)
+  }
+
+  /** Read side of the emission log: docs whose LATEST emission row
+    * says kept=false — the loser set, bounded by removed duplicates
+    * (≪ corpus at any real dedup rate), which is what makes it the
+    * BROADCASTABLE side of the corpus filter (q92's anti-join shape:
+    * `corpus LEFT ANTI evicted`; a doc with no emission row — or a
+    * kept=true latest — passes).  One hash shuffle keyed on the doc
+    * id over the emission log, whose size is the accumulated churn,
+    * never the corpus. */
+  def resolveEvicted(history: DataFrame, nodeCol: String,
+      batchCol: String): DataFrame =
+    history.groupBy(col(nodeCol))
+      .agg(max_by(col("kept"), col(batchCol)).as("kept"))
+      .where(!col("kept"))
+      .select(col(nodeCol))
+
   /** Latest-per-node resolution over a log of assignment rows
     * (`nodeCol`, "component", `batchCol`): the read side of the
     * delta-log pattern ([[incrementalComponentsDelta]]).  One

@@ -2093,6 +2093,101 @@ object PipelineQueries {
   // the streamed loop's final state must equal the one-shot pick
   def q102Sql: String = q91Sql
 
+  // ---- Q103: incremental corpus EMISSION + mid-loop compaction ----------
+  // Closes the streamed loop's TAIL: q102 proves survivor STATE
+  // streams, but a training job consumes the gated CORPUS — so the
+  // sink's 4th layer emits the corpus-gate delta per micro-batch
+  // ((doc_id, kept) for arriving docs + members of touched
+  // components, O(touched) rows — Components.emissionDelta), and the
+  // resolved emission log ⊕ quality gate ⊕ split must hash-equal the
+  // one-shot batch composition (q92's oracle).  Mid-loop, after
+  // batch 2, every log is COMPACTED — pairs fold raw
+  // (TxLog.compact), assignment/survivor/emission fold SEMANTICALLY
+  // (TxLog.compactWith + the log's own resolution as the fold, so
+  // the base shrinks to live rows — the LSM step that bounds log
+  // growth at a real batch cadence) — and batch 1 is then REPLAYED
+  // through the full protocol: the compaction floor must answer
+  // isCommitted at every layer (a pre-compaction batch id stays a
+  // no-op across the boundary), and batch 3 must continue on the
+  // folded base.  Hash-equality with q92 after all of that is the
+  // proof that emission, compaction, and replay compose without
+  // loss or double-count.  Read shape: the resolved eviction set —
+  // bounded by removed duplicates — broadcasts into q92's LEFT ANTI
+  // corpus filter; the corpus never shuffles.
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Components
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q103_lsh_idx"
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    graft.sources.Tables.dropWithLocation(s, s"${name}_batches")
+    val pairsDir = scratchDir("q103_pairs")
+    val assignDir = scratchDir("q103_assign")
+    val survDir = scratchDir("q103_surv")
+    val emitDir = scratchDir("q103_emit")
+    def scoresFor(ids: DataFrame): DataFrame =
+      withQuality(docs.join(broadcast(ids.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi"), col("doc_id"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = rows.grouped((rows.length + 2) / 3).toIndexedSeq
+    def runStream(feed: Seq[IndexedSeq[(Long, String)]], base: Long): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAgg.curationSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        scoresFor _, "q", name, pairsDir, assignDir, survDir,
+        batchIdBase = base, minJaccard = ClusterMinJaccard,
+        emitDir = Some(emitDir))
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(batches.take(2).map(_.toIndexedSeq), 1L) // batches 1, 2
+    // mid-loop LSM maintenance: fold every log's committed batches
+    // into one resolved base (markers 1-2 → c2)
+    TxLog.compact(s, pairsDir)
+    TxLog.compactWith(s, assignDir, (df, c) =>
+      Components.resolveAssignments(df, "doc_id", "batch")
+        .withColumn("batch", lit(c)))
+    TxLog.compactWith(s, survDir, (df, c) =>
+      Components.resolveSurvivors(df, "batch").withColumn("batch", lit(c)))
+    TxLog.compactWith(s, emitDir, (df, c) =>
+      df.groupBy(col("doc_id"))
+        .agg(max_by(col("kept"), col("batch")).as("kept"))
+        .withColumn("batch", lit(c)))
+    // replay batch 1 ACROSS the compaction boundary: its id is below
+    // the fold ceiling, so every layer must no-op via the floor —
+    // the final hash-equality is the no-double-count proof
+    graft.streaming.StreamingAgg.curationStep(
+      batches(0).toSeq.toDF("doc_id", "text"), 1L, "doc_id", "text",
+      scoresFor _, "q", name, pairsDir, assignDir, survDir,
+      emitDir = Some(emitDir), minJaccard = ClusterMinJaccard)
+    // batch 3 continues on the folded base (fresh stream, ids resume
+    // above the ceiling — the uncheckpointed-restart shape the sink's
+    // batchIdBase guard validates)
+    runStream(Seq(batches(2).toIndexedSeq), 3L)
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val evicted = Components.resolveEvicted(
+      TxLog.readCommitted(s, emitDir), "doc_id", "batch")
+    val kept = docs.join(broadcast(evicted), Seq("doc_id"), "left_anti")
+    val scored = withQuality(kept, col("doc_id"))
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(scored, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  // the streamed emission, compacted mid-loop and replay-probed, must
+  // equal the one-shot survivor-filtered corpus gate
+  def q103Sql: String = q92Sql
+
   // ---- Q53: per-lang heavy hitters via the Misra–Gries fold -------------
   // Capacity 64 ≥ the corpus vocabulary → the EXACT regime (like
   // q43's sketch): reported counts equal true counts and the oracle
@@ -3054,6 +3149,7 @@ object PipelineQueries {
     "q100_incremental_survivors" -> (q100 _),
     "q101_cluster_split" -> (q101 _),
     "q102_streamed_curation" -> (q102 _),
+    "q103_emission_compaction" -> (q103 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3155,6 +3251,7 @@ object PipelineQueries {
     "q100_incremental_survivors" -> q100Sql,
     "q101_cluster_split" -> q101Sql,
     "q102_streamed_curation" -> q102Sql,
+    "q103_emission_compaction" -> q103Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -508,15 +508,41 @@ object TxLog {
     * Returns the folded marker's ceiling id, or None when fewer than
     * two live markers would fold. */
   def compact(spark: SparkSession, dir: String, keepRecent: Int = 0,
+      graceMs: Long = defaultVacuumGraceMs): Option[Long] =
+    compactWith(spark, dir, (df, _) => df, keepRecent, graceMs)
+
+  /** [[compact]] with a SEMANTIC fold: `fold(unionOfFoldedBatches,
+    * ceilingId)` is what lands as the new base — the LSM compaction
+    * that bounds the log's ROW count, not just its marker count.  A
+    * delta log's resolution cost grows with accumulated rows until
+    * superseded rows are dropped; pass the log's own resolution as
+    * the fold (e.g. [[graft.ext.Components.resolveAssignments]]
+    * re-stamped with `batch = ceilingId` for an assignment log,
+    * [[graft.ext.Components.resolveSurvivors]] likewise for a
+    * survivor log — a dead component's tombstone may drop at the
+    * fold because a min-id label can never be reborn) and the base
+    * shrinks to live rows only.  The fold sees ONLY the folded
+    * batches (never the `keepRecent` tail), so resolution semantics
+    * compose: resolve(fold(folded) ∪ tail) == resolve(folded ∪ tail)
+    * exactly when the fold is the log's own resolution restricted to
+    * a batch prefix — which max_by-latest resolution is.  The fold
+    * output MUST keep the log's schema (including the batch-stamp
+    * column readers resolve on).  Replay safety is unchanged: the
+    * folded marker's ceiling still answers [[isCommitted]] for every
+    * folded batch id, so a replayed pre-compaction writer stays a
+    * no-op. */
+  def compactWith(spark: SparkSession, dir: String,
+      fold: (DataFrame, Long) => DataFrame, keepRecent: Int = 0,
       graceMs: Long = defaultVacuumGraceMs): Option[Long] = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val token = acquireLease(spark, dir, s"compact(keepRecent=$keepRecent)")
-    try compactLocked(spark, dir, keepRecent, graceMs)
+    try compactLocked(spark, dir, fold, keepRecent, graceMs)
     finally releaseLease(spark, dir, token)
   }
 
-  private def compactLocked(spark: SparkSession, dir: String, keepRecent: Int,
+  private def compactLocked(spark: SparkSession, dir: String,
+      fold: (DataFrame, Long) => DataFrame, keepRecent: Int,
       graceMs: Long): Option[Long] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
@@ -528,7 +554,7 @@ object TxLog {
       new Path(root, s"_staged/${readSmall(f, new Path(commitsPath(root), n))}").toString
     }
     val staged = s"c$ceiling-${java.util.UUID.randomUUID()}"
-    spark.read.parquet(dirs: _*).write.mode("overwrite")
+    fold(spark.read.parquet(dirs: _*), ceiling).write.mode("overwrite")
       .parquet(new Path(root, s"_staged/$staged").toString)
     require(publishMarker(spark, f, root, s"c$ceiling", staged),
       s"TxLog.compact: marker c$ceiling already exists in $dir — " +

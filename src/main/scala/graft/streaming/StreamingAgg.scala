@@ -387,10 +387,17 @@ object StreamingAgg {
     *      guarded by the log's own batch marker;
     *   3. append the survivor delta — re-picked rows for touched
     *      components + tombstones for absorbed ones — to the survivor
-    *      log, O(members of touched components), its own marker.
+    *      log, O(members of touched components), its own marker;
+    *   4. when `emitDir` is set: append the CORPUS-GATE delta —
+    *      (id, kept) for every arriving doc and every member of a
+    *      touched component — so downstream consumes the gated
+    *      corpus incrementally ([[graft.ext.Components.emissionDelta]]
+    *      / [[graft.ext.Components.resolveEvicted]]) instead of
+    *      re-filtering the whole corpus per batch.
     *
     * ALL state lives in TxLog-manifested parquet dirs (pair log,
-    * assignment log, survivor log) + the index tables: a restart
+    * assignment log, survivor log, optional emission log) + the
+    * index tables: a restart
     * resumes from the markers with nothing in memory to lose, and a
     * batch replayed by the streaming engine re-commits nothing.
     * Read sides: [[graft.ext.Components.resolveAssignments]] over the
@@ -421,9 +428,8 @@ object StreamingAgg {
       pairsDir: String, assignDir: String, survivorDir: String,
       checkpointDir: Option[String] = None, batchIdBase: Long = 1L,
       n: Int = 3, bands: Int = 8, buckets: Int = 16,
-      minJaccard: Double = 0.0)
+      minJaccard: Double = 0.0, emitDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.{Components, Dedup}
     import graft.sources.TxLog
     if (checkpointDir.isEmpty) {
       // no checkpoint ⇒ a restart replays epoch 0: fail FAST if
@@ -431,9 +437,10 @@ object StreamingAgg {
       // (compaction folds markers away, so count the compaction
       // watermark too), instead of silently no-op'ing new data
       val sess = docs.sparkSession
-      val committedMax = Seq(pairsDir, assignDir, survivorDir).flatMap { d =>
-        TxLog.committedBatchIds(sess, d) ++ TxLog.lastCompactedId(sess, d)
-      }
+      val committedMax = (Seq(pairsDir, assignDir, survivorDir) ++ emitDir)
+        .flatMap { d =>
+          TxLog.committedBatchIds(sess, d) ++ TxLog.lastCompactedId(sess, d)
+        }
       committedMax.reduceOption(_ max _).foreach { m =>
         require(batchIdBase > m,
           s"curationSink without a checkpointDir: batchIdBase=$batchIdBase " +
@@ -446,50 +453,108 @@ object StreamingAgg {
     val w = docs.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-      val s = batch.sparkSession
-      val batchId = batchIdBase + epochId
-      Dedup.ingestBatchIntoIndexTx(batch.toDF(), batchId, idCol, textCol,
-        name, pairsDir, n, bands, buckets, minJaccard)
-      if (!TxLog.isCommitted(s, assignDir, batchId)) {
-        val pairs = TxLog.readBatch(s, pairsDir, batchId)
-        // bootstrap: an empty log means this is the first batch —
-        // every endpoint enters the closure as its own root
-        val prior =
-          if (TxLog.committedDirs(s, assignDir).nonEmpty)
-            Components.resolveAssignments(
-              TxLog.readCommitted(s, assignDir), idCol, "batch")
-          else {
-            val idT = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
-            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField(idCol, idT),
-                org.apache.spark.sql.types.StructField("component", idT))))
-          }
-        val delta = Components.incrementalComponentsDelta(
-          prior, pairs, "id_a", "id_b", idCol)
-        TxLog.commitBatch(delta.withColumn("batch", lit(batchId)),
-          assignDir, batchId)
-      }
-      if (!TxLog.isCommitted(s, survivorDir, batchId)) {
+      curationStep(batch.toDF(), batchIdBase + epochId, idCol, textCol,
+        scoresFor, scoreCol, name, pairsDir, assignDir, survivorDir,
+        emitDir, n, bands, buckets, minJaccard)
+    }.start()
+  }
+
+  /** ONE batch of the curation-maintenance protocol — the
+    * [[curationSink]] foreachBatch body, extracted so the
+    * inter-layer crash points are testable deterministically
+    * (StreamingSpec kills the step between layer commits via
+    * `layerHook` and re-runs it) and so batch drivers (q93's loop
+    * shape) can share the exact streamed protocol.  Layers, in
+    * commit order, each marker-gated so a replayed or crash-resumed
+    * batch re-commits nothing:
+    *
+    *   1. `pairs`: Tx-ingest into the LSH index, pair emission;
+    *   2. `assign`: contract the batch's pairs onto prior roots,
+    *      append the O(|changed|) assignment delta;
+    *   3. `survivors`: re-pick touched components, tombstone
+    *      absorbed labels, append O(touched);
+    *   4. `emit` (only when `emitDir` is set): append the
+    *      corpus-gate delta — (id, kept) for every batch doc and
+    *      every member of a touched component
+    *      ([[graft.ext.Components.emissionDelta]]) — the O(touched)
+    *      stream a training job consumes via
+    *      [[graft.ext.Components.resolveEvicted]].
+    *
+    * `layerHook(layer, batchId)` fires AFTER each layer's commit
+    * returns — a crash there leaves earlier layers committed and
+    * later ones absent, exactly the partial-batch state a restart
+    * must converge from.
+    *
+    * Layers 2-4 read the PREVIOUS layer's batch increment back via
+    * `TxLog.readBatch`, so mid-protocol compaction must keep the
+    * in-flight batch separable (compact with `keepRecent` ≥ 1, or
+    * only between fully-completed batches — the q103 cadence). */
+  private[graft] def curationStep(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, scoresFor: DataFrame => DataFrame,
+      scoreCol: String, name: String, pairsDir: String, assignDir: String,
+      survivorDir: String, emitDir: Option[String] = None,
+      n: Int = 3, bands: Int = 8, buckets: Int = 16,
+      minJaccard: Double = 0.0,
+      layerHook: (String, Long) => Unit = (_, _) => ()): Unit = {
+    import graft.ext.{Components, Dedup}
+    import graft.sources.TxLog
+    val s = batch.sparkSession
+    Dedup.ingestBatchIntoIndexTx(batch, batchId, idCol, textCol,
+      name, pairsDir, n, bands, buckets, minJaccard)
+    layerHook("pairs", batchId)
+    if (!TxLog.isCommitted(s, assignDir, batchId)) {
+      val pairs = TxLog.readBatch(s, pairsDir, batchId)
+      // bootstrap: an empty log means this is the first batch —
+      // every endpoint enters the closure as its own root
+      val prior =
+        if (TxLog.committedDirs(s, assignDir).nonEmpty)
+          Components.resolveAssignments(
+            TxLog.readCommitted(s, assignDir), idCol, "batch")
+        else {
+          val idT = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(idCol, idT),
+              org.apache.spark.sql.types.StructField("component", idT))))
+        }
+      val delta = Components.incrementalComponentsDelta(
+        prior, pairs, "id_a", "id_b", idCol)
+      TxLog.commitBatch(delta.withColumn("batch", lit(batchId)),
+        assignDir, batchId)
+    }
+    layerHook("assign", batchId)
+    if (!TxLog.isCommitted(s, survivorDir, batchId)) {
+      val delta = TxLog.readBatch(s, assignDir, batchId).drop("batch")
+      val assignments = Components.resolveAssignments(
+        TxLog.readCommitted(s, assignDir), idCol, "batch")
+      val touchedMembers = assignments.join(
+        broadcast(delta.select(col("component")).distinct()),
+        Seq("component"), "left_semi")
+      // tombstones gate on labels the survivor log actually holds
+      // (an empty log on batch 1 means none)
+      val priorComponents =
+        if (TxLog.committedDirs(s, survivorDir).nonEmpty)
+          TxLog.readCommitted(s, survivorDir).select("component")
+        else assignments.select("component").limit(0)
+      val sdelta = Components.survivorDelta(assignments, delta,
+        scoresFor(touchedMembers), idCol, scoreCol, priorComponents)
+      TxLog.commitBatch(sdelta.withColumn("batch", lit(batchId)),
+        survivorDir, batchId)
+    }
+    layerHook("survivors", batchId)
+    emitDir.foreach { eDir =>
+      if (!TxLog.isCommitted(s, eDir, batchId)) {
         val delta = TxLog.readBatch(s, assignDir, batchId).drop("batch")
         val assignments = Components.resolveAssignments(
           TxLog.readCommitted(s, assignDir), idCol, "batch")
-        val touchedMembers = assignments.join(
-          broadcast(delta.select(col("component")).distinct()),
-          Seq("component"), "left_semi")
-        // tombstones gate on labels the survivor log actually holds
-        // (an empty log on batch 1 means none)
-        val priorComponents =
-          if (TxLog.committedDirs(s, survivorDir).nonEmpty)
-            TxLog.readCommitted(s, survivorDir).select("component")
-          else assignments.select("component").limit(0)
-        val sdelta = Components.survivorDelta(assignments, delta,
-          scoresFor(touchedMembers), idCol, scoreCol, priorComponents)
-        TxLog.commitBatch(sdelta.withColumn("batch", lit(batchId)),
-          survivorDir, batchId)
+        val survivorBatch = TxLog.readBatch(s, survivorDir, batchId)
+        val emission = Components.emissionDelta(assignments, delta,
+          survivorBatch, batch.select(col(idCol)), idCol)
+        TxLog.commitBatch(emission.withColumn("batch", lit(batchId)),
+          eDir, batchId)
       }
-      ()
-    }.start()
+      layerHook("emit", batchId)
+    }
   }
 
   /** Durable parquet sink with exactly-once file commits: the
