@@ -124,6 +124,32 @@ class ShuffleBytesSpec extends AnyFunSuite {
     assertCeiling("incremental survivors", b, 64 << 10)
   }
 
+  test("corpus-gate emission: per-batch shuffle is O(touched + batch), corpus never moves") {
+    // 200k-row assignment table vs a 2-row delta and a 100-row
+    // arriving batch: the emission may shuffle only the touched
+    // members' ids and the batch's unpaired ids — the assignment
+    // table streams past broadcasts, and no O(corpus) frame may
+    // enter an exchange
+    val assign = spark.range(0, 200000)
+      .selectExpr("id", "id - id % 4 AS component")
+    val delta = {
+      import spark.implicits._
+      Seq((17L, 16L), (999999L, 999999L)).toDF("id", "component")
+    }
+    val survBatch = {
+      import spark.implicits._
+      Seq((16L, java.lang.Long.valueOf(18L), 5L),
+        (999999L, java.lang.Long.valueOf(999999L), 1L))
+        .toDF("component", "survivor_id", "n_members")
+    }
+    val batchIds = spark.range(999900, 1000000).selectExpr("id")
+    val b = shuffleBytes {
+      graft.ext.Components.emissionDelta(
+        assign.unionByName(delta), delta, survBatch, batchIds, "id").count()
+    }
+    assertCeiling("emission delta", b, 64 << 10)
+  }
+
   test("q96 per-source cap: shuffle carries O(sources × k) pick structs, not rows") {
     // 50 docs × ~200-char texts ≈ 12 KB of row payload; the cap's
     // only exchanges are the k-bounded pick partials and the

@@ -412,4 +412,62 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
     }
   }
+
+  test("curationStep: a crash between ANY two layer commits converges on restart") {
+    // the partial-batch crash production actually hits: the step
+    // commits four TxLog layers in order (pairs → assign → survivors
+    // → emit), and a crash between two of them leaves earlier layers
+    // committed, later ones absent.  Inject the crash at each
+    // inter-layer point via the layerHook seam (deterministic, no
+    // timing), re-run the step (the restart), and require the final
+    // state of EVERY log to equal a never-crashed control run's —
+    // row-for-row, so a double-append (not just a wrong resolution)
+    // fails the spec.
+    import graft.ext.Dedup
+    import graft.sources.TxLog
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .where(col("doc_id") < 250)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    val b1 = docs.where(col("doc_id") < mid)
+    val b2 = docs.where(col("doc_id") >= mid)
+    val scoreOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id")).withColumn("q", (col("doc_id") % 7).cast("double"))
+    case class Crash(layer: String) extends RuntimeException(s"injected@$layer")
+    def run(tag: String, crashAt: Option[String]): Map[String, Seq[String]] = {
+      val base = java.nio.file.Files.createTempDirectory(s"curcrash_$tag").toString
+      val name = s"curcrash_${tag}_idx"
+      Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+      try {
+        def step(b: org.apache.spark.sql.DataFrame, k: Long,
+            hook: (String, Long) => Unit): Unit =
+          StreamingAgg.curationStep(b, k, "doc_id", "text", scoreOf, "q",
+            name, s"$base/pairs", s"$base/assign", s"$base/surv",
+            emitDir = Some(s"$base/emit"), minJaccard = 0.5,
+            layerHook = hook)
+        step(b1, 1L, (_, _) => ())
+        crashAt.foreach { layer =>
+          val ex = intercept[Crash](step(b2, 2L,
+            (l, k) => if (l == layer && k == 2L) throw Crash(l)))
+          assert(ex.layer == layer)
+        }
+        step(b2, 2L, (_, _) => ()) // the restart (or the only run)
+        Seq("pairs", "assign", "surv", "emit").map(l =>
+          l -> TxLog.readCommitted(spark, s"$base/$l")
+            .collect().map(_.toString).sorted.toSeq).toMap
+      } finally Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches")
+        .foreach(graft.sources.Tables.dropWithLocation(spark, _))
+    }
+    val control = run("ctl", None)
+    assert(control("pairs").nonEmpty && control("emit").nonEmpty,
+      "the corpus slice must produce pairs for this spec to bite")
+    for (layer <- Seq("pairs", "assign", "survivors", "emit")) {
+      val crashed = run(layer, Some(layer))
+      for (log <- Seq("pairs", "assign", "surv", "emit"))
+        assert(crashed(log) == control(log),
+          s"crash after '$layer': $log log diverged from the clean run " +
+            s"(${crashed(log).size} vs ${control(log).size} rows)")
+    }
+  }
 }

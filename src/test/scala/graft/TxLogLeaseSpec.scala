@@ -67,6 +67,90 @@ class TxLogLeaseSpec extends AnyFunSuite {
     assert(!TxLog.maintenanceInProgress(spark, dir), "lease must be released")
   }
 
+  test("a replayed pre-compaction batch stays a no-op across the boundary") {
+    val dir = freshLog(4)
+    val before = TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq
+    assert(TxLog.compact(spark, dir) == Some(3L))
+    // the folded marker answers for every folded id: a writer
+    // replaying batch 1 (crash-recovery, uncheckpointed restart)
+    // must be refused EVEN WITH different payload — the commit
+    // point was already observed
+    assert(TxLog.isCommitted(spark, dir, 1L))
+    assert(!TxLog.commitBatch(Seq((99L, "poison")).toDF("id", "v"), dir, 1L),
+      "a folded batch id must read as committed, not re-commit")
+    assert(TxLog.readCommitted(spark, dir).orderBy("id").collect().toSeq == before,
+      "the replay must not have changed a row")
+    // the folded id is no longer SEPARABLE — readBatch says so loudly
+    val ex = intercept[IllegalStateException](TxLog.readBatch(spark, dir, 1L))
+    assert(ex.getMessage.contains("folded by compaction"))
+    // and the log keeps accepting genuinely-new batches above the floor
+    assert(TxLog.commitBatch(Seq((4L, "b4")).toDF("id", "v"), dir, 4L))
+    assert(TxLog.readCommitted(spark, dir).count() == 5)
+  }
+
+  test("compactWith folds the base semantically; resolution and replay survive") {
+    import org.apache.spark.sql.functions.{col, lit, max_by}
+    val dir = java.nio.file.Files.createTempDirectory("txlease").toString
+    // an assignment-style delta log: batch 1 remaps node 2, batch 2
+    // remaps it again and adds node 4
+    assert(TxLog.commitBatch(Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("id", "component").withColumn("batch", lit(0L)), dir, 0L))
+    assert(TxLog.commitBatch(Seq((2L, 1L))
+      .toDF("id", "component").withColumn("batch", lit(1L)), dir, 1L))
+    assert(TxLog.commitBatch(Seq((2L, 0L), (4L, 0L))
+      .toDF("id", "component").withColumn("batch", lit(2L)), dir, 2L))
+    val resolve = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("id"))
+        .agg(max_by(col("component"), col("batch")).as("component"))
+    val want = resolve(TxLog.readCommitted(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(TxLog.compactWith(spark, dir, (df, c) =>
+      resolve(df).withColumn("batch", lit(c))) == Some(2L))
+    // the base now holds LIVE rows only (4, not 6): superseded
+    // deltas are gone, which is the point of the semantic fold
+    val base = TxLog.readCommitted(spark, dir)
+    assert(base.count() == 4L, "superseded rows must not survive the fold")
+    assert(resolve(base).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      == want, "resolution over the folded base must be unchanged")
+    // replay guard holds for semantically-folded ids too
+    assert(!TxLog.commitBatch(Seq((2L, 9L))
+      .toDF("id", "component").withColumn("batch", lit(1L)), dir, 1L))
+    // and a post-fold delta resolves on top of the base as before
+    assert(TxLog.commitBatch(Seq((4L, 1L))
+      .toDF("id", "component").withColumn("batch", lit(3L)), dir, 3L))
+    assert(resolve(TxLog.readCommitted(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      == want + (4L -> 1L))
+  }
+
+  test("two writers racing one batch id: exactly-once, loser's payload discarded") {
+    // deterministic injection of the multi-writer race (the scenario
+    // the round-10 torn-crc fix met by accident): writer B commits
+    // the SAME batch id while writer A is between its stage write
+    // and its marker publish — via the hooked seam, not timing
+    val dir = java.nio.file.Files.createTempDirectory("txlease").toString
+    val dfA = Seq((1L, "loser")).toDF("id", "v")
+    val dfB = Seq((2L, "winner")).toDF("id", "v")
+    var bWon = false
+    val aResult = TxLog.commitBatchHooked(dfA, dir, 7L, () => {
+      bWon = TxLog.commitBatch(dfB, dir, 7L)
+    })
+    assert(bWon, "writer B (inside A's stage-to-publish window) must commit")
+    assert(!aResult, "writer A must observe the lost race, not double-commit")
+    // the marker is readable and names exactly the winner's payload
+    assert(TxLog.isCommitted(spark, dir, 7L))
+    assert(TxLog.committedBatchIds(spark, dir) == Seq(7L))
+    val rows = TxLog.readBatch(spark, dir, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "winner")))
+    assert(TxLog.readCommitted(spark, dir).count() == 1L)
+    // A's orphaned staged dir is vacuum fodder, nothing more
+    assert(TxLog.vacuum(spark, dir, graceMs = 0L) == 1,
+      "exactly the loser's staged dir should be reclaimed")
+    assert(TxLog.readBatch(spark, dir, 7L).count() == 1L,
+      "the winner's data must survive the vacuum")
+  }
+
   test("breakLease recovers from a crashed holder") {
     val dir = freshLog(3)
     TxLog.acquireLease(spark, dir, "crashed-maintainer") // never released
