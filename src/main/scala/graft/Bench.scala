@@ -76,8 +76,17 @@ object Bench {
     }
   }
 
-  private def awaitQuiet(): Unit =
-    while (loadAvg() > contendedThreshold && quiesceBudgetMs > 0) {
+  private def awaitQuiet(): Unit = awaitQuietBelow(contendedThreshold)
+
+  /** Bounded wait for the 1-minute average to decay below an
+    * arbitrary threshold, drawing on the shared budget.  The
+    * contention FLAG keys off [[contendedThreshold]] everywhere; a
+    * TIGHTER pre-wait exists because a stamp that passes the flag at
+    * 1.9 can still carry a prior block's decaying wake into the
+    * measurement (r10: b10 read 7.26 s driver vs 6.24 quiet with a
+    * passing pre-stamp of 1.88 — b9's wake hadn't fully decayed). */
+  private def awaitQuietBelow(threshold: Double): Unit =
+    while (loadAvg() > threshold && quiesceBudgetMs > 0) {
       Thread.sleep(3000); quiesceBudgetMs -= 3000
     }
 
@@ -209,6 +218,12 @@ object Bench {
         }
       } finally { q.stop(); deleteRec(ckpt) }
     }
+    // b9's own 7-iteration wake is still in the 1-minute average
+    // here; a plain threshold pass (2.0) lets up to ~2 points of
+    // residual decay inflate b10's first iterations.  Wait for a
+    // near-ambient floor between the two streaming blocks — ~80 s of
+    // decay on a quiet box, bounded by the shared budget.
+    awaitQuietBelow(1.0)
     val b10 = best5Loaded { b10run() }
 
     // batch blocks want the full shuffle width back

@@ -499,6 +499,22 @@ object StreamingAgg {
     import graft.ext.{Components, Dedup}
     import graft.sources.TxLog
     val s = batch.sparkSession
+    // The resolved assignment AFTER this batch's delta, shared by the
+    // survivor and emission layers and MATERIALIZED once
+    // (localCheckpoint): each layer scans the resolved state several
+    // times, and without the cut every scan would re-run the full
+    // log-resolution shuffle — per-batch cost would carry 3-4 log
+    // resolves instead of one (measured: ~35 % of the per-batch wall
+    // at steady state, CurationBench).  Lazy so a fully-replayed
+    // batch (every layer marker-gated) never pays it.  The driver
+    // reference dies with the step; the ContextCleaner releases the
+    // blocks on GC.
+    var afterCache: Option[DataFrame] = None
+    def resolvedAfter(): DataFrame = afterCache.getOrElse {
+      val r = Components.resolveAssignments(
+        TxLog.readCommitted(s, assignDir), idCol, "batch").localCheckpoint()
+      afterCache = Some(r); r
+    }
     Dedup.ingestBatchIntoIndexTx(batch, batchId, idCol, textCol,
       name, pairsDir, n, bands, buckets, minJaccard)
     layerHook("pairs", batchId)
@@ -508,8 +524,12 @@ object StreamingAgg {
       // every endpoint enters the closure as its own root
       val prior =
         if (TxLog.committedDirs(s, assignDir).nonEmpty)
+          // materialized once for the same reason as resolvedAfter:
+          // the contraction scans the prior state twice (endpoint
+          // lookup, remap) and each scan would otherwise re-resolve
           Components.resolveAssignments(
             TxLog.readCommitted(s, assignDir), idCol, "batch")
+            .localCheckpoint()
         else {
           val idT = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -525,8 +545,7 @@ object StreamingAgg {
     layerHook("assign", batchId)
     if (!TxLog.isCommitted(s, survivorDir, batchId)) {
       val delta = TxLog.readBatch(s, assignDir, batchId).drop("batch")
-      val assignments = Components.resolveAssignments(
-        TxLog.readCommitted(s, assignDir), idCol, "batch")
+      val assignments = resolvedAfter()
       val touchedMembers = assignments.join(
         broadcast(delta.select(col("component")).distinct()),
         Seq("component"), "left_semi")
@@ -545,10 +564,8 @@ object StreamingAgg {
     emitDir.foreach { eDir =>
       if (!TxLog.isCommitted(s, eDir, batchId)) {
         val delta = TxLog.readBatch(s, assignDir, batchId).drop("batch")
-        val assignments = Components.resolveAssignments(
-          TxLog.readCommitted(s, assignDir), idCol, "batch")
         val survivorBatch = TxLog.readBatch(s, survivorDir, batchId)
-        val emission = Components.emissionDelta(assignments, delta,
+        val emission = Components.emissionDelta(resolvedAfter(), delta,
           survivorBatch, batch.select(col(idCol)), idCol)
         TxLog.commitBatch(emission.withColumn("batch", lit(batchId)),
           eDir, batchId)
