@@ -197,6 +197,35 @@ class ComponentsSpec extends AnyFunSuite {
       s"exactly one tombstone, for label 5 only; got ${tombs.toSeq}")
   }
 
+  test("emissionDelta + resolveEvicted: admits, evictions, and merges compose") {
+    // batch 1: docs {1,2} pair (root 1, survivor 2 by score), doc 3
+    // arrives unpaired → emission admits 2 and 3, evicts 1
+    val e1 = Components.emissionDelta(
+      assignments = Seq((1L, 1L), (2L, 1L)).toDF("id", "component"),
+      delta = Seq((1L, 1L), (2L, 1L)).toDF("id", "component"),
+      survivorBatch = Seq((1L, 2L, 2L)).toDF("component", "survivor_id", "n_members"),
+      batchIds = Seq(1L, 2L, 3L).toDF("id"), "id")
+    assert(e1.collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      == Map(1L -> false, 2L -> true, 3L -> true))
+    // batch 2: doc 4 joins the cluster and wins the pick → the whole
+    // cluster re-emits; 2 (the prior survivor) is EVICTED now
+    val e2 = Components.emissionDelta(
+      assignments = Seq((1L, 1L), (2L, 1L), (4L, 1L)).toDF("id", "component"),
+      delta = Seq((4L, 1L)).toDF("id", "component"),
+      survivorBatch = Seq((1L, 4L, 3L)).toDF("component", "survivor_id", "n_members"),
+      batchIds = Seq(4L).toDF("id"), "id")
+    assert(e2.collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      == Map(1L -> false, 2L -> false, 4L -> true))
+    // the resolved log: latest row per doc decides; only evictions
+    // surface (the read side is the anti-join's broadcast build)
+    val log = e1.withColumn("batch", lit(1L))
+      .unionByName(e2.withColumn("batch", lit(2L)))
+    val evicted = Components.resolveEvicted(log, "id", "batch")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(evicted == Seq(1L, 2L),
+      "docs whose LATEST emission is kept=false, and only those")
+  }
+
   test("incrementalSurvivors fails loudly on a missing touched-member score") {
     val prior = Seq((0L, 0L, 2L)).toDF("component", "survivor_id", "n_members")
     val assign = Seq((0L, 0L), (1L, 0L), (5L, 0L)).toDF("id", "component")

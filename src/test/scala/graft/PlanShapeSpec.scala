@@ -119,6 +119,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must not shuffle for the survivor filter:\n$p")
   }
 
+  test("q103 read: the evicted set broadcasts into the corpus anti-join") {
+    // the streamed tail's scale contract, same as q92's: the corpus
+    // is filtered by a broadcast of the resolved EVICTED ids (bounded
+    // by removed duplicates), never shuffled against the emission
+    // log.  Pinned on the read composition directly — the full q103
+    // loop is gate-priced, and the loop's output flows through
+    // exactly this plan.
+    import org.apache.spark.sql.functions.broadcast
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val log = spark.range(0, 100)
+      .selectExpr("id AS doc_id", "id % 3 = 0 AS kept", "CAST(1 AS BIGINT) AS batch")
+    val evicted = graft.ext.Components.resolveEvicted(log, "doc_id", "batch")
+    val p = plan(docs.join(broadcast(evicted), Seq("doc_id"), "left_anti")
+      .groupBy("lang").count())
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"evicted filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the emission filter:\n$p")
+  }
+
   test("q101: cluster root attaches via broadcast — the corpus never shuffles to learn its split") {
     // leakage-free split's scale contract: the component table covers
     // pair-touched docs only and broadcasts for the root attach; split
