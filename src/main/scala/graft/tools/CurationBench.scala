@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.CurationBench [nBatches] [compactEvery]
   *          [docsPerBatch] [armFilter]
-  * `armFilter` (substring of "nocompact"/"compactN") lets two JVMs
-  * run one arm each concurrently — the arms are independent.
+  * `armFilter` (EXACT arm tag, "nocompact" or "compactN") lets two
+  * JVMs run one arm each concurrently — the arms are independent.
+  * Exact equality, not substring: "compact" would also match
+  * "nocompact" and silently double-run that arm.
   */
 object CurationBench {
 
@@ -117,7 +119,7 @@ object CurationBench {
     }
     val armFilter = args.lift(3)
     for ((tag, compact) <- Seq("nocompact" -> false, s"compact$compactEvery" -> true)
-        if armFilter.forall(tag.contains)) {
+        if armFilter.forall(_ == tag)) {
       val t0 = System.nanoTime()
       val (times, cps, logRows) = runArm(tag, compact)
       val total = (System.nanoTime() - t0) / 1e9
