@@ -131,6 +131,33 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded driver closure == distributed closure on the root graph") {
+    // the driver union-find shortcut (root graph ≤ maxDriverCloseEdges)
+    // and the large-star/small-star path must emit IDENTICAL deltas —
+    // same components, same min labels — on the same batches.
+    // maxDriverCloseEdges = 0 forces the distributed path; the
+    // default takes the driver path at this size.
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 100 + trial * 50
+      val all = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val Seq(seed, batch) = all.grouped((all.size + 1) / 2).toSeq
+      val prior = Components.connectedComponents(
+        seed.toDF("a", "b"), "a", "b",
+        seed.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id"), "id")
+      val viaDriver = Components.incrementalComponentsDelta(
+        prior, batch.toDF("a", "b"), "a", "b", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaCluster = Components.incrementalComponentsDelta(
+        prior, batch.toDF("a", "b"), "a", "b", "id",
+        maxDriverCloseEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDriver == viaCluster,
+        s"trial $trial: the two closure paths diverged")
+    }
+  }
+
   test("incrementalSurvivors == one-shot pick after every batch") {
     val rnd = new scala.util.Random(41)
     // deterministic "quality": collides across nodes so ties exercise
