@@ -27,7 +27,11 @@ object SpillCheck {
     // closure → pick → anti-join → split), the histogram+boundary
     // budget selection, and incremental survivor maintenance
     "q92_survivor_filtered_corpus", "q97_token_budget",
-    "q100_incremental_survivors")
+    "q100_incremental_survivors",
+    // round-11: the streamed emission + mid-loop compaction loop —
+    // its resolves, semantic folds, and union-find contraction all
+    // cross the spill-sensitive agg/sort machinery per batch
+    "q103_emission_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
