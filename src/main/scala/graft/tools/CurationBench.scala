@@ -59,6 +59,10 @@ object CurationBench {
     import spark.implicits._
 
     def runArm(tag: String, compact: Boolean): (Array[Double], Array[Double], Long) = {
+      // stream the series to disk per batch: a killed run still
+      // yields its measured prefix
+      val csv = java.nio.file.Paths.get(s"/tmp/curbench_$tag.csv")
+      java.nio.file.Files.deleteIfExists(csv)
       val base = java.nio.file.Files.createTempDirectory(s"curbench_$tag").toString
       val name = s"curbench_${tag}_idx"
       val dirs = Seq("pairs", "assign", "surv", "emit").map(l => s"$base/$l")
@@ -87,6 +91,9 @@ object CurationBench {
               layerTotals(l) += (now - lastMark) / 1e9; lastMark = now
             })
           times(k - 1) = (System.nanoTime() - t0) / 1e9
+          java.nio.file.Files.writeString(csv, f"$k,${times(k - 1)}%.3f\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
           if (compact && k % compactEvery == 0 && k < nBatches) {
             val c0 = System.nanoTime()
             TxLog.compact(spark, pairsDir)
@@ -123,10 +130,6 @@ object CurationBench {
       val t0 = System.nanoTime()
       val (times, cps, logRows) = runArm(tag, compact)
       val total = (System.nanoTime() - t0) / 1e9
-      // full series for offline windowing (BASELINE.md curve)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"/tmp/curbench_$tag.csv"),
-        times.zipWithIndex.map { case (t, i) => s"${i + 1},$t" }.mkString("\n"))
       val marks = Seq(10, 100, nBatches).filter(_ <= nBatches).distinct
       val curve = marks.map(m => f"b$m=${meanAround(times, m)}%5.2f s").mkString("  ")
       val cp = if (cps.isEmpty) "" else
