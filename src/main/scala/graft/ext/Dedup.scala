@@ -616,4 +616,124 @@ object Dedup {
       } finally b.unpersist()
     }
   }
+
+  /** Reserved batch_id the compacted index base lands under — below
+    * [[bootstrapBatchId]] and every real (≥ 0) ingest batch id, so a
+    * fold can never collide with a batch partition. */
+  val compactedBatchId: Long = -2L
+
+  /** Fold the LSH index's per-batch partitions into one consolidated
+    * base — the file-count analog of [[graft.sources.TxLog.compact]],
+    * and the step that actually bounds per-batch probe cost at a real
+    * ingest cadence: every batch append lands ~tasks×buckets new
+    * parquet files across `_bands`/`_shingles` (plus one `_batches`
+    * marker file), and the probe reads the WHOLE table, so per-batch
+    * wall time grows linearly with batches-since-compaction no matter
+    * how aggressively the downstream TxLogs are folded
+    * (`tools/CurationBench` measures exactly that: TxLog-only
+    * compaction leaves the growth curve unchanged).
+    *
+    * Replay safety — the part that makes this more than a file
+    * rewrite: only partitions whose batch id is MARKED in
+    * `<name>_batches` (plus the bootstrap and any prior consolidated
+    * partition) are folded into the reserved [[compactedBatchId]]
+    * partition.  Marked ids no-op at the `seen` gate before any
+    * partition guard is consulted, so folding their partitions away
+    * is invisible to replays.  An UNMARKED in-flight batch (a crash
+    * between the index append and its marker) passes through with its
+    * own partitions intact, so the split [[indexHasShingles]]/
+    * [[indexHasBatch]] crash-window guards keep working across a
+    * compaction boundary — pinned by DedupSpec "half-append replay
+    * works across an index compaction".
+    *
+    * Each table swaps via a staged twin (`<tbl>__cstage`, same bucket
+    * spec read from the catalog so the co-location contract cannot
+    * drift) and the consolidated partition is repartitioned to the
+    * bucket count first, so the folded base is exactly one file per
+    * bucket.  Crash matrix: before the stage completes → live table
+    * untouched, a re-run restarts the fold; between the live drop and
+    * the stage rename → the index is MISSING (loud, never wrong) and
+    * [[recoverLshCompaction]] — run first by every compaction —
+    * finishes the swap, so "re-run compaction" is the whole recovery
+    * runbook.  Requires a quiesced index (no concurrent ingest): call
+    * it from the single maintenance owner, between batches — the same
+    * cadence as the TxLog folds. */
+  def compactLshIndex(spark: SparkSession, name: String): Unit = {
+    recoverLshCompaction(spark, name)
+    val tbls = Seq(s"${name}_shingles", s"${name}_bands")
+    if (!tbls.forall(spark.catalog.tableExists)) return
+    val committed: Set[Long] =
+      if (spark.catalog.tableExists(s"${name}_batches"))
+        spark.table(s"${name}_batches").select("batch_id")
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    val foldable = (committed + bootstrapBatchId + compactedBatchId).toSeq
+    for (tbl <- tbls) {
+      val spec = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+        .getOrElse(sys.error(s"$tbl has no bucket spec — not an LSH index table"))
+      val bucketCol = spec.bucketColumnNames.head
+      val live = spark.table(tbl)
+      // repartition on the bucket column with the bucket count: bucket
+      // ids are the same murmur3-pmod hash, so each task holds exactly
+      // one bucket and the consolidated partition lands as one file
+      // per bucket instead of one per (task × bucket)
+      val folded = live.where(col("batch_id").isin(foldable: _*))
+        .withColumn("batch_id", lit(compactedBatchId))
+      val rest = live.where(!col("batch_id").isin(foldable: _*))
+      val stage = s"${tbl}__cstage"
+      graft.sources.Tables.dropWithLocation(spark, stage)
+      folded.unionByName(rest)
+        .repartition(spec.numBuckets, col(bucketCol))
+        .write.partitionBy("batch_id")
+        .bucketBy(spec.numBuckets, bucketCol)
+        .format("parquet").saveAsTable(stage)
+      graft.sources.Tables.dropWithLocation(spark, tbl)
+      renameWithPartitions(spark, stage, tbl)
+    }
+    // fold the marker table to one file, preserving EVERY committed id
+    // (the `seen` gate is what makes folded partitions replay-safe)
+    if (spark.catalog.tableExists(s"${name}_batches")) {
+      val stage = s"${name}_batches__cstage"
+      graft.sources.Tables.dropWithLocation(spark, stage)
+      spark.table(s"${name}_batches").distinct().coalesce(1)
+        .write.format("parquet").saveAsTable(stage)
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `${name}_batches`")
+    }
+  }
+
+  /** RENAME for a partitioned managed table that is correct on BOTH
+    * catalog implementations: the in-memory catalog's renameTable
+    * moves the table directory but leaves each partition entry's
+    * location pointing at the OLD path (Hive updates them), so a
+    * post-rename scan would list vanished directories and read the
+    * table as empty.  SYNC PARTITIONS re-derives the partition list
+    * from the moved directory — dropping the stale entries and
+    * registering the real ones — and is a no-op-shaped relisting on
+    * catalogs that already did the right thing. */
+  private def renameWithPartitions(spark: SparkSession, from: String, to: String): Unit = {
+    spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+    spark.sql(s"MSCK REPAIR TABLE `$to` SYNC PARTITIONS")
+  }
+
+  /** Finish a [[compactLshIndex]] swap a crash interrupted between
+    * the live-table drop and the stage rename — the only window where
+    * an index table is missing (and every read in that window fails
+    * loudly rather than answering from a partial index).  Idempotent;
+    * returns true if any swap was completed.  [[compactLshIndex]]
+    * runs it first, so re-running compaction is the recovery. */
+  def recoverLshCompaction(spark: SparkSession, name: String): Boolean = {
+    val partitioned = Set(s"${name}_shingles", s"${name}_bands")
+    val finished = for {
+      tbl <- Seq(s"${name}_shingles", s"${name}_bands", s"${name}_batches")
+      stage = s"${tbl}__cstage"
+      if spark.catalog.tableExists(stage) && !spark.catalog.tableExists(tbl)
+    } yield {
+      if (partitioned(tbl)) renameWithPartitions(spark, stage, tbl)
+      else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
+      tbl
+    }
+    finished.nonEmpty
+  }
 }

@@ -2158,6 +2158,12 @@ object PipelineQueries {
       df.groupBy(col("doc_id"))
         .agg(max_by(col("kept"), col("batch")).as("kept"))
         .withColumn("batch", lit(c)))
+    // ... and the LSH index itself (the fifth log): per-batch appends
+    // grow its file count without bound and the probe reads the whole
+    // table, so the index fold is what actually bounds probe cost —
+    // batch 1's replay below must ALSO no-op at the index's folded
+    // seen gate, and batch 3 must probe correctly off the folded base
+    Dedup.compactLshIndex(s, name)
     // replay batch 1 ACROSS the compaction boundary: its id is below
     // the fold ceiling, so every layer must no-op via the floor —
     // the final hash-equality is the no-double-count proof

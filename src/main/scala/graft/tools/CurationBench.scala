@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * accumulated log length until mid-loop compaction folds it, and
   * the operational guidance for the compaction cadence.
   *
-  * One run per arm ({no-compact, compact-every-C}) of N batches of
+  * One run per arm ({no-compact, compact-TxLogs-every-C,
+  * compact-TxLogs+index-every-C}) of N batches of
   * synthetic docs (deterministic near-dup rate, so pairs/clusters
   * exist) through [[graft.streaming.StreamingAgg.curationStep]] with
   * the emission layer on.  The per-batch wall-time SERIES is the
@@ -23,7 +24,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.CurationBench [nBatches] [compactEvery]
   *          [docsPerBatch] [armFilter]
-  * `armFilter` (EXACT arm tag, "nocompact" or "compactN") lets two
+  * `armFilter` (EXACT arm tag: "nocompact", "compactN", or
+  * "compactidxN") lets two
   * JVMs run one arm each concurrently — the arms are independent.
   * Exact equality, not substring: "compact" would also match
   * "nocompact" and silently double-run that arm.
@@ -58,7 +60,8 @@ object CurationBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def runArm(tag: String, compact: Boolean): (Array[Double], Array[Double], Long) = {
+    def runArm(tag: String, compact: Boolean,
+        compactIndex: Boolean): (Array[Double], Array[Double], Long) = {
       // stream the series to disk per batch: a killed run still
       // yields its measured prefix
       val csv = java.nio.file.Paths.get(s"/tmp/curbench_$tag.csv")
@@ -106,6 +109,10 @@ object CurationBench {
               df.groupBy(col("doc_id"))
                 .agg(max_by(col("kept"), col("batch")).as("kept"))
                 .withColumn("batch", lit(c)))
+            // the fifth log: the LSH index's per-batch partitions are
+            // what the probe actually reads every batch — folding the
+            // TxLogs alone leaves the growth curve unchanged
+            if (compactIndex) graft.ext.Dedup.compactLshIndex(spark, name)
             compactions += (System.nanoTime() - c0) / 1e9
           }
           k += 1
@@ -125,10 +132,13 @@ object CurationBench {
       slice.sum / slice.length
     }
     val armFilter = args.lift(3)
-    for ((tag, compact) <- Seq("nocompact" -> false, s"compact$compactEvery" -> true)
+    for ((tag, compact, compactIndex) <- Seq(
+          ("nocompact", false, false),
+          (s"compact$compactEvery", true, false), // TxLogs only
+          (s"compactidx$compactEvery", true, true)) // TxLogs + LSH index
         if armFilter.forall(_ == tag)) {
       val t0 = System.nanoTime()
-      val (times, cps, logRows) = runArm(tag, compact)
+      val (times, cps, logRows) = runArm(tag, compact, compactIndex)
       val total = (System.nanoTime() - t0) / 1e9
       val marks = Seq(10, 100, nBatches).filter(_ <= nBatches).distinct
       val curve = marks.map(m => f"b$m=${meanAround(times, m)}%5.2f s").mkString("  ")

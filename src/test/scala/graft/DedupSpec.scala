@@ -189,6 +189,118 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.count() == sh.dropDuplicates("id").count())
   }
 
+  test("compactLshIndex folds marked partitions; probes and replays unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val name = "dedupspec_cidx"
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
+      name, buckets = 4)
+    Seq(s"${name}_pairs", s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    def ingest(lo: Long, hi: Long, id: Long) = Dedup.ingestBatchIntoIndex(
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi), id,
+      "doc_id", "text", name, s"${name}_pairs", buckets = 4)
+    assert(ingest(300, 380, 0L) && ingest(380, 450, 1L))
+    val probeBatch = docs.where(col("doc_id") >= 450)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name))
+    val shCount = spark.table(s"${name}_shingles").count()
+    def parquetFiles(tbl: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val filesBefore = parquetFiles(s"${name}_bands")
+    Dedup.compactLshIndex(spark, name)
+    // every marked + bootstrap partition folded into the reserved one;
+    // the consolidated base is one file per bucket
+    assert(spark.table(s"${name}_bands").select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(Dedup.compactedBatchId))
+    assert(parquetFiles(s"${name}_bands") <= 4, "one file per bucket after the fold")
+    assert(parquetFiles(s"${name}_bands") < filesBefore)
+    assert(spark.table(s"${name}_shingles").count() == shCount,
+      "compaction must preserve every signature row")
+    // probe result identical off the folded base
+    assert(norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name)) == before)
+    // replays of folded batch ids still no-op at the seen gate
+    assert(!ingest(300, 380, 0L) && !ingest(380, 450, 1L))
+    assert(spark.table(s"${name}_shingles").count() == shCount)
+    // a second compaction re-folds the consolidated partition cleanly
+    Dedup.compactLshIndex(spark, name)
+    assert(spark.table(s"${name}_shingles").count() == shCount)
+    // and ingest continues on the folded base
+    assert(ingest(450, 10000, 2L))
+    assert(spark.table(s"${name}_shingles").count() == docs.count())
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches",
+      s"${name}_pairs").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
+  test("half-append replay works across an index compaction") {
+    // the crash window the split guards exist for (shingles landed,
+    // bands did not, no marker) — with a compaction in between: the
+    // UNMARKED batch's partitions must pass through the fold intact,
+    // so the replay still skips the probe and re-lands only the bands
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val name = "dedupspec_chalf"
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 450), "doc_id", "text",
+      name, buckets = 4)
+    Seq(s"${name}_pairs", s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    val batch = docs.where(col("doc_id") >= 450)
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      name, s"${name}_pairs", buckets = 4))
+    val pairsOnce = spark.table(s"${name}_pairs")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(pairsOnce.nonEmpty, "test needs a batch that finds pairs")
+    // simulate the crash state, then compact: batch 0 is unmarked, so
+    // its surviving shingles partition must NOT fold
+    graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
+    spark.sql(s"ALTER TABLE ${name}_bands DROP PARTITION (batch_id=0)")
+    Dedup.compactLshIndex(spark, name)
+    assert(spark.table(s"${name}_shingles")
+      .where(col("batch_id") === 0L).count() > 0,
+      "unmarked in-flight partition must survive the fold under its own id")
+    // replay across the boundary: probe skipped (no duplicated pairs),
+    // bands re-landed
+    assert(Dedup.ingestBatchIntoIndex(batch, 0L, "doc_id", "text",
+      name, s"${name}_pairs", buckets = 4))
+    assert(spark.table(s"${name}_pairs")
+      .orderBy("id_a", "id_b").collect().toSeq == pairsOnce,
+      "replay across compaction must leave the pairs row-identical")
+    assert(spark.table(s"${name}_bands")
+      .where(col("batch_id") === 0L).count() > 0)
+    val sh = spark.table(s"${name}_shingles")
+    assert(sh.count() == sh.dropDuplicates("id").count())
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches",
+      s"${name}_pairs").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
+  test("recoverLshCompaction finishes a swap crashed between drop and rename") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val name = "dedupspec_crec"
+    Dedup.writeLshIndex(docs, "doc_id", "text", name, buckets = 4)
+    val count = spark.table(s"${name}_shingles").count()
+    // manufacture the exact crash state: stage complete, live missing
+    spark.sql(s"ALTER TABLE ${name}_shingles RENAME TO ${name}_shingles__cstage")
+    assert(!spark.catalog.tableExists(s"${name}_shingles"))
+    assert(Dedup.recoverLshCompaction(spark, name))
+    assert(spark.table(s"${name}_shingles").count() == count)
+    // idempotent when nothing is owed
+    assert(!Dedup.recoverLshCompaction(spark, name))
+    Seq(s"${name}_bands", s"${name}_shingles").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
   test("TxLog: atomic manifest commits are exactly-once under replay") {
     import graft.sources.TxLog
     import spark.implicits._
