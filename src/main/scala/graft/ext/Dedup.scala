@@ -662,13 +662,15 @@ object Dedup {
     recoverLshCompaction(spark, name)
     val tbls = Seq(s"${name}_shingles", s"${name}_bands")
     if (!tbls.forall(spark.catalog.tableExists)) return
-    val committed: Set[Long] =
-      if (spark.catalog.tableExists(s"${name}_batches"))
-        spark.table(s"${name}_batches").select("batch_id")
-          .collect().map(_.getLong(0)).toSet
-      else Set.empty[Long]
-    val foldable = (committed + bootstrapBatchId + compactedBatchId).toSeq
+    val committed: Set[Long] = committedBatchIds(spark, name)
     for (tbl <- tbls) {
+      // every negative id is a SYSTEM partition (bootstrap, a prior
+      // major base, or a minor-fold generation) — real ingest ids are
+      // ≥ 0 — so the major fold collapses all of them plus the marked
+      // real batches; an unmarked in-flight batch still passes through
+      val system = spark.table(tbl).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).filter(_ < 0L)
+      val foldable = (committed ++ system + compactedBatchId).toSeq
       val spec = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
         .getOrElse(sys.error(s"$tbl has no bucket spec — not an LSH index table"))
@@ -691,8 +693,21 @@ object Dedup {
       graft.sources.Tables.dropWithLocation(spark, tbl)
       renameWithPartitions(spark, stage, tbl)
     }
-    // fold the marker table to one file, preserving EVERY committed id
-    // (the `seen` gate is what makes folded partitions replay-safe)
+    foldBatchesTable(spark, name)
+  }
+
+  /** The ids `<name>_batches` marks committed (empty when the table
+    * does not exist yet). */
+  private def committedBatchIds(spark: SparkSession, name: String): Set[Long] =
+    if (spark.catalog.tableExists(s"${name}_batches"))
+      spark.table(s"${name}_batches").select("batch_id")
+        .collect().map(_.getLong(0)).toSet
+    else Set.empty[Long]
+
+  /** Fold the `_batches` marker table to one file, preserving EVERY
+    * committed id — the `seen` gate is what makes folded index
+    * partitions replay-safe, so the fold must never lose an id. */
+  private def foldBatchesTable(spark: SparkSession, name: String): Unit =
     if (spark.catalog.tableExists(s"${name}_batches")) {
       val stage = s"${name}_batches__cstage"
       graft.sources.Tables.dropWithLocation(spark, stage)
@@ -701,7 +716,6 @@ object Dedup {
       graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `${name}_batches`")
     }
-  }
 
   /** RENAME for a partitioned managed table that is correct on BOTH
     * catalog implementations: the in-memory catalog's renameTable
@@ -720,12 +734,13 @@ object Dedup {
   /** Finish a [[compactLshIndex]] swap a crash interrupted between
     * the live-table drop and the stage rename — the only window where
     * an index table is missing (and every read in that window fails
-    * loudly rather than answering from a partial index).  Idempotent;
-    * returns true if any swap was completed.  [[compactLshIndex]]
-    * runs it first, so re-running compaction is the recovery. */
+    * loudly rather than answering from a partial index) — and roll a
+    * crashed MINOR fold forward or back from its two markers.
+    * Idempotent; returns true if any repair ran.  Both fold entry
+    * points run it first, so re-running compaction is the recovery. */
   def recoverLshCompaction(spark: SparkSession, name: String): Boolean = {
     val partitioned = Set(s"${name}_shingles", s"${name}_bands")
-    val finished = for {
+    val swaps = for {
       tbl <- Seq(s"${name}_shingles", s"${name}_bands", s"${name}_batches")
       stage = s"${tbl}__cstage"
       if spark.catalog.tableExists(stage) && !spark.catalog.tableExists(tbl)
@@ -734,6 +749,198 @@ object Dedup {
       else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
       tbl
     }
-    finished.nonEmpty
+    val folds = partitioned.toSeq.filter(spark.catalog.tableExists)
+      .filter(recoverMinorFold(spark, _))
+    swaps.nonEmpty || folds.nonEmpty
+  }
+
+  /** Minor (leveled) fold: collapse only the MARKED real batches
+    * (ids ≥ 0) into one fresh generation partition, leaving the
+    * bootstrap, the major base, and earlier generations untouched —
+    * O(batches-since-last-fold) I/O instead of the major fold's
+    * O(index) rewrite.  This is the LSM shape the index needs at a
+    * real cadence: minor folds keep the per-probe file count at
+    * buckets × (generations + unfolded batches) for the price of the
+    * recent slice, and an occasional [[compactLshIndex]] major fold
+    * collapses the accumulated generations back to one base.  Without
+    * leveling, every fold rewrites the whole index — write
+    * amplification that grows linearly with corpus age.
+    *
+    * Same replay contract as the major fold: folded ids stay marked
+    * in `<name>_batches` (also folded to one file here), so replays
+    * no-op at the `seen` gate; unmarked in-flight partitions are
+    * never touched, so the half-append guards survive.
+    *
+    * Crash safety is a two-marker protocol in each table's directory
+    * (the staged-swap trick would re-rewrite the whole table, which
+    * is the cost this fold exists to avoid):
+    *  1. publish `_minor_fold_pending` (gen id + folded ids, atomic
+    *     rename);
+    *  2. write the generation partition (dynamic overwrite — replays
+    *     replace it);
+    *  3. publish `_minor_fold_done`;
+    *  4. drop the folded partitions (catalog + directory);
+    *  5. delete pending, then done.
+    * Recovery ([[recoverMinorFold]]): pending without done → the
+    * generation may be partial and every source partition is still
+    * present, so roll BACK (drop the generation, clear the marker);
+    * done present → the generation is complete, so roll FORWARD
+    * (finish the drops, clear markers).  The done marker is deleted
+    * last: a crash after deleting pending leaves {done only}, which
+    * recovery clears without touching data — the states can never
+    * confuse roll-back with roll-forward. */
+  def compactLshIndexMinor(spark: SparkSession, name: String): Unit =
+    minorFold(spark, name, crashAt = None)
+
+  /** Seam-instrumented body of [[compactLshIndexMinor]]: `crashAt`
+    * aborts deterministically at a named protocol point so specs can
+    * pin every crash window without timing games. */
+  private[graft] def minorFold(spark: SparkSession, name: String,
+      crashAt: Option[String]): Unit = {
+    recoverLshCompaction(spark, name)
+    val tbls = Seq(s"${name}_shingles", s"${name}_bands")
+    if (!tbls.forall(spark.catalog.tableExists)) return
+    val committed = committedBatchIds(spark, name)
+    def crash(point: String): Unit = if (crashAt.contains(point))
+      throw new IllegalStateException(s"injected crash at $point")
+    for (tbl <- tbls) {
+      val present = spark.table(tbl).select("batch_id").distinct()
+        .collect().map(_.getLong(0))
+      val folded = present.filter(id => id >= 0L && committed(id)).sorted
+      if (folded.nonEmpty) { // even one batch folds ~tasks×buckets files → buckets
+        val gen = present.min.min(bootstrapBatchId) - 1L
+        publishFoldMarker(spark, tbl, "_minor_fold_pending", gen, folded)
+        crash(s"$tbl:after-pending")
+        // localCheckpoint breaks lineage so the insert does not read
+        // the table it overwrites; cost is one materialization of the
+        // folded slice — exactly the I/O budget of a minor fold
+        val rows = spark.table(tbl)
+          .where(col("batch_id").isin(folded: _*))
+          .withColumn("batch_id", lit(gen))
+          .repartition(bucketCountOf(spark, tbl), col(bucketColOf(spark, tbl)))
+          .localCheckpoint()
+        writeBatchPartitionInto(rows, tbl)
+        crash(s"$tbl:after-gen")
+        publishFoldMarker(spark, tbl, "_minor_fold_done", gen, folded)
+        crash(s"$tbl:after-done")
+        dropIndexPartitions(spark, tbl, folded, stopAfter =
+          if (crashAt.contains(s"$tbl:mid-drop")) folded.length / 2 else -1)
+        crash(s"$tbl:mid-drop")
+        deleteFoldMarker(spark, tbl, "_minor_fold_pending")
+        crash(s"$tbl:after-pending-delete")
+        deleteFoldMarker(spark, tbl, "_minor_fold_done")
+      }
+    }
+    foldBatchesTable(spark, name)
+  }
+
+  /** Roll a crashed minor fold of `tbl` forward (done marker present:
+    * finish the drops) or back (pending only: drop the possibly-
+    * partial generation).  Idempotent; true if a repair ran. */
+  private[graft] def recoverMinorFold(spark: SparkSession, tbl: String): Boolean = {
+    val pending = readFoldMarker(spark, tbl, "_minor_fold_pending")
+    val done = readFoldMarker(spark, tbl, "_minor_fold_done")
+    (pending, done) match {
+      case (_, Some((gen, folded))) => // roll forward: gen is complete
+        dropIndexPartitions(spark, tbl, folded, stopAfter = -1)
+        deleteFoldMarker(spark, tbl, "_minor_fold_pending")
+        deleteFoldMarker(spark, tbl, "_minor_fold_done")
+        true
+      case (Some((gen, _)), None) => // roll back: gen may be partial
+        dropIndexPartitions(spark, tbl, Seq(gen), stopAfter = -1)
+        deleteFoldMarker(spark, tbl, "_minor_fold_pending")
+        true
+      case _ => false
+    }
+  }
+
+  private def tableLocation(spark: SparkSession, tbl: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+
+  private def bucketSpecOf(spark: SparkSession, tbl: String) =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+      .getOrElse(sys.error(s"$tbl has no bucket spec — not an LSH index table"))
+
+  private def bucketCountOf(spark: SparkSession, tbl: String): Int =
+    bucketSpecOf(spark, tbl).numBuckets
+
+  private def bucketColOf(spark: SparkSession, tbl: String): String =
+    bucketSpecOf(spark, tbl).bucketColumnNames.head
+
+  /** Dynamic-overwrite `rows` (one batch_id partition) into `tbl` —
+    * the same idempotent replace [[writeIndexTable]] uses for appends. */
+  private def writeBatchPartitionInto(rows: DataFrame, tbl: String): Unit = {
+    val spark = rows.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(tbl)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Unregister + physically delete the given batch_id partitions.
+    * Directory deletion matters: a lingering directory would be
+    * resurrected by the major fold's SYNC PARTITIONS relisting.
+    * `stopAfter` ≥ 0 stops after that many drops (crash injection). */
+  private def dropIndexPartitions(spark: SparkSession, tbl: String,
+      ids: Seq[Long], stopAfter: Int): Unit = {
+    val loc = tableLocation(spark, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((id, i) <- ids.zipWithIndex if stopAfter < 0 || i < stopAfter) {
+      spark.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch_id=$id)")
+      val dir = new org.apache.hadoop.fs.Path(loc, s"batch_id=$id")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** Atomically publish a fold marker (`tmp write → no-overwrite
+    * rename`, TxLog's primitive) in `tbl`'s directory.  Single
+    * maintenance owner assumed — the marker guards crashes, not
+    * races.  Underscore-prefixed, so scans never read it as data. */
+  private def publishFoldMarker(spark: SparkSession, tbl: String,
+      markerName: String, gen: Long, folded: Seq[Long]): Unit = {
+    val loc = tableLocation(spark, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(loc, s".tmp_$markerName")
+    val out = fs.create(tmp, /*overwrite=*/ true)
+    try out.write(s"""{"gen":$gen,"folded":[${folded.mkString(",")}]}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(loc.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp),
+      fc.makeQualified(new org.apache.hadoop.fs.Path(loc, markerName)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readFoldMarker(spark: SparkSession, tbl: String,
+      markerName: String): Option[(Long, Seq[Long])] = {
+    val loc = tableLocation(spark, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(loc, markerName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val gen = """"gen":(-?\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong).getOrElse(sys.error(s"bad fold marker: $body"))
+      val folded = """"folded":\[([-\d,]*)\]""".r.findFirstMatchIn(body)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
+      Some((gen, folded))
+    }
+  }
+
+  private def deleteFoldMarker(spark: SparkSession, tbl: String,
+      markerName: String): Unit = {
+    val loc = tableLocation(spark, tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc, markerName), false)
   }
 }

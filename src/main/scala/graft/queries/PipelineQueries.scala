@@ -2162,7 +2162,12 @@ object PipelineQueries {
     // grow its file count without bound and the probe reads the whole
     // table, so the index fold is what actually bounds probe cost —
     // batch 1's replay below must ALSO no-op at the index's folded
-    // seen gate, and batch 3 must probe correctly off the folded base
+    // seen gate, and batch 3 must probe correctly off the folded base.
+    // Both fold levels run: the minor (leveled) fold collapses the
+    // marked batches into a generation, the major fold collapses
+    // generations + bootstrap into one base — the composition a real
+    // cadence runs (minors often, majors rarely)
+    Dedup.compactLshIndexMinor(s, name)
     Dedup.compactLshIndex(s, name)
     // replay batch 1 ACROSS the compaction boundary: its id is below
     // the fold ceiling, so every layer must no-op via the floor —

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * the operational guidance for the compaction cadence.
   *
   * One run per arm ({no-compact, compact-TxLogs-every-C,
-  * compact-TxLogs+index-every-C}) of N batches of
+  * compact-TxLogs+index-major-every-C,
+  * compact-TxLogs+index-minor-every-C}) of N batches of
   * synthetic docs (deterministic near-dup rate, so pairs/clusters
   * exist) through [[graft.streaming.StreamingAgg.curationStep]] with
   * the emission layer on.  The per-batch wall-time SERIES is the
@@ -24,8 +25,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.CurationBench [nBatches] [compactEvery]
   *          [docsPerBatch] [armFilter]
-  * `armFilter` (EXACT arm tag: "nocompact", "compactN", or
-  * "compactidxN") lets two
+  * `armFilter` (EXACT arm tag: "nocompact", "compactN",
+  * "compactidxN", or "compactminorN") lets two
   * JVMs run one arm each concurrently — the arms are independent.
   * Exact equality, not substring: "compact" would also match
   * "nocompact" and silently double-run that arm.
@@ -61,7 +62,7 @@ object CurationBench {
     import spark.implicits._
 
     def runArm(tag: String, compact: Boolean,
-        compactIndex: Boolean): (Array[Double], Array[Double], Long) = {
+        compactIndex: String): (Array[Double], Array[Double], Long) = {
       // stream the series to disk per batch: a killed run still
       // yields its measured prefix
       val csv = java.nio.file.Paths.get(s"/tmp/curbench_$tag.csv")
@@ -112,7 +113,11 @@ object CurationBench {
             // the fifth log: the LSH index's per-batch partitions are
             // what the probe actually reads every batch — folding the
             // TxLogs alone leaves the growth curve unchanged
-            if (compactIndex) graft.ext.Dedup.compactLshIndex(spark, name)
+            compactIndex match {
+              case "major" => graft.ext.Dedup.compactLshIndex(spark, name)
+              case "minor" => graft.ext.Dedup.compactLshIndexMinor(spark, name)
+              case _       => ()
+            }
             compactions += (System.nanoTime() - c0) / 1e9
           }
           k += 1
@@ -133,9 +138,10 @@ object CurationBench {
     }
     val armFilter = args.lift(3)
     for ((tag, compact, compactIndex) <- Seq(
-          ("nocompact", false, false),
-          (s"compact$compactEvery", true, false), // TxLogs only
-          (s"compactidx$compactEvery", true, true)) // TxLogs + LSH index
+          ("nocompact", false, "none"),
+          (s"compact$compactEvery", true, "none"), // TxLogs only
+          (s"compactidx$compactEvery", true, "major"), // TxLogs + full index rewrite
+          (s"compactminor$compactEvery", true, "minor")) // TxLogs + leveled index fold
         if armFilter.forall(_ == tag)) {
       val t0 = System.nanoTime()
       val (times, cps, logRows) = runArm(tag, compact, compactIndex)

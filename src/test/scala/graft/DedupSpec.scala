@@ -285,6 +285,110 @@ class DedupSpec extends AnyFunSuite {
       graft.sources.Tables.dropWithLocation(spark, t))
   }
 
+  test("minor folds level the index; major collapses generations; probes unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val name = "dedupspec_mf"
+    Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
+      name, buckets = 4)
+    Seq(s"${name}_pairs", s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    def ingest(lo: Long, hi: Long, id: Long) = Dedup.ingestBatchIntoIndex(
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi), id,
+      "doc_id", "text", name, s"${name}_pairs", buckets = 4)
+    def parts(tbl: String): Set[Long] = spark.table(tbl)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    val probeBatch = docs.where(col("doc_id") >= 460)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ingest(300, 380, 0L) && ingest(380, 430, 1L))
+    val before = norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name))
+    val total = spark.table(s"${name}_shingles").count()
+    Dedup.compactLshIndexMinor(spark, name)
+    // real batches folded into ONE new generation; bootstrap untouched
+    val afterFirst = parts(s"${name}_shingles")
+    assert(afterFirst.forall(_ < 0L) && afterFirst.contains(-1L)
+      && afterFirst.size == 2, s"got $afterFirst")
+    assert(spark.table(s"${name}_shingles").count() == total)
+    assert(norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name)) == before)
+    // replays of folded ids still no-op via the seen gate
+    assert(!ingest(300, 380, 0L) && !ingest(380, 430, 1L))
+    // next batch + second minor fold adds a DEEPER generation — the
+    // earlier one is not rewritten (leveling, not re-compaction)
+    assert(ingest(430, 460, 2L))
+    Dedup.compactLshIndexMinor(spark, name)
+    val afterSecond = parts(s"${name}_shingles")
+    assert(afterSecond.size == 3 && (afterSecond -- afterFirst).forall(_ < -1L),
+      s"got $afterSecond after $afterFirst")
+    assert(norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name)) == before)
+    // the major fold collapses bootstrap + all generations to one base
+    Dedup.compactLshIndex(spark, name)
+    assert(parts(s"${name}_shingles") == Set(Dedup.compactedBatchId))
+    assert(norm(Dedup.lshPairsAgainstIndex(
+      probeBatch, "doc_id", "text", name)) == before)
+    val sh = spark.table(s"${name}_shingles")
+    assert(sh.count() == sh.dropDuplicates("id").count())
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches",
+      s"${name}_pairs").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
+  test("minor-fold crash windows all recover to an identical index") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val probeBatch = docs.where(col("doc_id") >= 460)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (point <- Seq("after-pending", "after-gen", "after-done",
+        "mid-drop", "after-pending-delete")) {
+      val name = s"dedupspec_mfc_${point.replace("-", "")}"
+      Dedup.writeLshIndex(docs.where(col("doc_id") < 300), "doc_id", "text",
+        name, buckets = 4)
+      Seq(s"${name}_pairs", s"${name}_batches").foreach(t =>
+        graft.sources.Tables.dropWithLocation(spark, t))
+      assert(Dedup.ingestBatchIntoIndex(
+        docs.where(col("doc_id") >= 300 && col("doc_id") < 380), 0L,
+        "doc_id", "text", name, s"${name}_pairs", buckets = 4))
+      assert(Dedup.ingestBatchIntoIndex(
+        docs.where(col("doc_id") >= 380 && col("doc_id") < 460), 1L,
+        "doc_id", "text", name, s"${name}_pairs", buckets = 4))
+      val before = norm(Dedup.lshPairsAgainstIndex(
+        probeBatch, "doc_id", "text", name))
+      val total = spark.table(s"${name}_shingles").count()
+      // crash at the injected point (on the bands table, so the
+      // shingles fold has already completed — mixed-progress state)
+      intercept[IllegalStateException] {
+        Dedup.minorFold(spark, name, crashAt = Some(s"${name}_bands:$point"))
+      }
+      // recovery must restore a consistent index: same probe result,
+      // same signature count, no duplicates — whether it rolled the
+      // fold back (pending only) or forward (done published)
+      Dedup.recoverLshCompaction(spark, name)
+      assert(spark.table(s"${name}_shingles").count() == total,
+        s"$point: row count drifted")
+      val sh = spark.table(s"${name}_shingles")
+      assert(sh.count() == sh.dropDuplicates("id").count(),
+        s"$point: duplicate signatures after recovery")
+      val bd = spark.table(s"${name}_bands")
+      assert(bd.count() == bd.dropDuplicates("id", "band_id").count(),
+        s"$point: duplicate band rows after recovery")
+      assert(norm(Dedup.lshPairsAgainstIndex(
+        probeBatch, "doc_id", "text", name)) == before,
+        s"$point: probe result drifted after recovery")
+      // and the fold itself can then complete cleanly
+      Dedup.compactLshIndexMinor(spark, name)
+      assert(norm(Dedup.lshPairsAgainstIndex(
+        probeBatch, "doc_id", "text", name)) == before,
+        s"$point: probe result drifted after the re-run fold")
+      Seq(s"${name}_bands", s"${name}_shingles", s"${name}_batches",
+        s"${name}_pairs").foreach(t =>
+        graft.sources.Tables.dropWithLocation(spark, t))
+    }
+  }
+
   test("recoverLshCompaction finishes a swap crashed between drop and rename") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val name = "dedupspec_crec"
