@@ -813,12 +813,18 @@ object Dedup {
         crash(s"$tbl:after-pending")
         // localCheckpoint breaks lineage so the insert does not read
         // the table it overwrites; cost is one materialization of the
-        // folded slice — exactly the I/O budget of a minor fold
+        // folded slice — exactly the I/O budget of a minor fold.  The
+        // bucket-aligning repartition must come AFTER the checkpoint:
+        // checkpointing materializes the plan without honoring a
+        // trailing user repartition (measured: a 4-way repartition
+        // checkpointed into 13 partitions), and a generation written
+        // with the scan's partitioning lands ~tasks×buckets files —
+        // the exact growth this fold exists to remove
         val rows = spark.table(tbl)
           .where(col("batch_id").isin(folded: _*))
           .withColumn("batch_id", lit(gen))
-          .repartition(bucketCountOf(spark, tbl), col(bucketColOf(spark, tbl)))
           .localCheckpoint()
+          .repartition(bucketCountOf(spark, tbl), col(bucketColOf(spark, tbl)))
         writeBatchPartitionInto(rows, tbl)
         crash(s"$tbl:after-gen")
         publishFoldMarker(spark, tbl, "_minor_fold_done", gen, folded)

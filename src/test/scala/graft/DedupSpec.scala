@@ -305,11 +305,25 @@ class DedupSpec extends AnyFunSuite {
     val before = norm(Dedup.lshPairsAgainstIndex(
       probeBatch, "doc_id", "text", name))
     val total = spark.table(s"${name}_shingles").count()
+    def genFiles(tbl: String, gen: Long): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc, s"batch_id=$gen"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
     Dedup.compactLshIndexMinor(spark, name)
     // real batches folded into ONE new generation; bootstrap untouched
     val afterFirst = parts(s"${name}_shingles")
     assert(afterFirst.forall(_ < 0L) && afterFirst.contains(-1L)
       && afterFirst.size == 2, s"got $afterFirst")
+    // the generation must be bucket-aligned: one file per bucket, not
+    // one per (scan task × bucket) — the whole point of the fold
+    val gen1 = (afterFirst - (-1L)).head
+    assert(genFiles(s"${name}_shingles", gen1) <= 4,
+      s"generation $gen1 must land at one file per bucket")
+    assert(genFiles(s"${name}_bands", gen1) <= 4)
     assert(spark.table(s"${name}_shingles").count() == total)
     assert(norm(Dedup.lshPairsAgainstIndex(
       probeBatch, "doc_id", "text", name)) == before)
