@@ -892,15 +892,26 @@ object Dedup {
   /** Unregister + physically delete the given batch_id partitions.
     * Directory deletion matters: a lingering directory would be
     * resurrected by the major fold's SYNC PARTITIONS relisting.
-    * `stopAfter` ≥ 0 stops after that many drops (crash injection). */
+    * All ids drop in ONE ALTER TABLE statement — per-partition
+    * commands made the catalog round-trips, not the data, the
+    * dominant cost of a minor fold (measured 100 drops ≈ half the
+    * fold).  `stopAfter` ≥ 0 stops after that many drops (crash
+    * injection; per-id commands there, granularity over speed). */
   private def dropIndexPartitions(spark: SparkSession, tbl: String,
       ids: Seq[Long], stopAfter: Int): Unit = {
     val loc = tableLocation(spark, tbl)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((id, i) <- ids.zipWithIndex if stopAfter < 0 || i < stopAfter) {
-      spark.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch_id=$id)")
-      val dir = new org.apache.hadoop.fs.Path(loc, s"batch_id=$id")
-      if (fs.exists(dir)) fs.delete(dir, true)
+    val keep = if (stopAfter < 0) ids else ids.take(stopAfter)
+    if (keep.nonEmpty) {
+      if (stopAfter < 0)
+        spark.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS " +
+          keep.map(id => s"PARTITION (batch_id=$id)").mkString(", "))
+      else keep.foreach(id =>
+        spark.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch_id=$id)"))
+      for (id <- keep) {
+        val dir = new org.apache.hadoop.fs.Path(loc, s"batch_id=$id")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
     }
   }
 
