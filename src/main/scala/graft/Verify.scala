@@ -29,10 +29,12 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // release any MEMORY_AND_DISK intermediates the query
-        // registered (no-op for queries that registered nothing)
-        graft.ext.Dedup.unpersistInputsOf(df)
+        // registered (no-op for queries that registered nothing) —
+        // in a finally so a failed write can't pin them for the
+        // rest of the session
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally graft.ext.Dedup.unpersistInputsOf(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

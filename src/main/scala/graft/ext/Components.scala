@@ -244,9 +244,19 @@ object Components {
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("c", idType),
       org.apache.spark.sql.types.StructField("c2", idType)))
+    // cut lineage BEFORE the size probe: the probe's collect executes
+    // the contraction joins, and without this a past-ceiling graph —
+    // exactly the backfill case the fallback exists for — would pay
+    // those joins again when the distributed closure recomputes
+    // rootEdges from scratch.  One materialization either way; the
+    // blocks are dropped with the reference (ContextCleaner), the
+    // same lifecycle as the per-round cuts above.
+    val edges =
+      if (maxDriverCloseEdges > 0) rootEdges.localCheckpoint()
+      else rootEdges
     val probe =
       if (maxDriverCloseEdges > 0)
-        rootEdges.limit(maxDriverCloseEdges + 1).collect()
+        edges.limit(maxDriverCloseEdges + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     if (maxDriverCloseEdges > 0 && probe.length <= maxDriverCloseEdges) {
       val parent = new java.util.HashMap[Any, Any]()
@@ -275,7 +285,7 @@ object Components {
       s.createDataFrame(moved, outSchema)
     } else {
       val rootNodes = endpointRoot.select(col("r").as("n")).distinct()
-      connectedComponents(rootEdges, "ru", "rv", rootNodes, "n",
+      connectedComponents(edges, "ru", "rv", rootNodes, "n",
         maxIter, checkpointDir)
         .where(col("n") =!= col("component"))
         .select(col("n").as("c"), col("component").as("c2"))

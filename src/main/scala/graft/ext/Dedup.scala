@@ -808,7 +808,10 @@ object Dedup {
         .collect().map(_.getLong(0))
       val folded = present.filter(id => id >= 0L && committed(id)).sorted
       if (folded.nonEmpty) { // even one batch folds ~tasks×buckets files → buckets
-        val gen = present.min.min(bootstrapBatchId) - 1L
+        // min over compactedBatchId too: on an index with no major base
+        // the old floor (min(present, bootstrap) - 1) was -2, colliding
+        // with the id reserved for the major fold — keep -2 exclusive
+        val gen = present.min.min(bootstrapBatchId).min(compactedBatchId) - 1L
         publishFoldMarker(spark, tbl, "_minor_fold_pending", gen, folded)
         crash(s"$tbl:after-pending")
         // localCheckpoint breaks lineage so the insert does not read

@@ -318,6 +318,10 @@ class DedupSpec extends AnyFunSuite {
     val afterFirst = parts(s"${name}_shingles")
     assert(afterFirst.forall(_ < 0L) && afterFirst.contains(-1L)
       && afterFirst.size == 2, s"got $afterFirst")
+    // the major-base id is RESERVED: a minor generation on an index
+    // with no major base must not land on compactedBatchId (-2)
+    assert(!afterFirst.contains(Dedup.compactedBatchId),
+      s"minor generation collided with the reserved major-base id: $afterFirst")
     // the generation must be bucket-aligned: one file per bucket, not
     // one per (scan task × bucket) — the whole point of the fold
     val gen1 = (afterFirst - (-1L)).head
