@@ -218,24 +218,67 @@ object Sampling {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     requireNumericId(df, idCol, "prioritySample")
-    val u = (h60(col(idCol).cast("string")) + lit(1L)).cast("double")
-    val pri = col(weightCol).cast("double") * lit(TwoPow60) / u
-    val item = struct(pri.as("pri"), (-col(idCol)).as("nid"),
-      col(idCol).as("id"), col(weightCol).as("w"))
-    df.select(item.as("it"))
-      .agg(org.apache.spark.sql.graftshim.Bridge
-        .collectTopK(col("it"), k + 1, reverse = false).as("arr"))
-      // collectTopK's buffer order is a heap's — sort the ≤ k+1
-      // survivors explicitly: natural struct order, descending
-      .select(sort_array(col("arr"), asc = false).as("arr"))
+    finishPriorityTopK(
+      df.select(priorityItem(col(idCol), col(weightCol)).as("it"))
+        .agg(org.apache.spark.sql.graftshim.Bridge
+          .collectTopK(col("it"), k + 1, reverse = false).as("arr")),
+      "arr", idCol, weightCol, k)
+  }
+
+  /** The per-row item [[prioritySample]] aggregates: `struct(pri,
+    * -id, id, w)` whose NATURAL descending order is (priority desc,
+    * id asc).  Exposed so a streamed maintenance of the same sample
+    * (see [[priorityTopKFold]]) runs the bit-identical priority
+    * arithmetic — the two single-rounded IEEE ops documented on
+    * [[prioritySample]]. */
+  def priorityItem(idCol: Column, weightCol: Column): Column = {
+    val u = (h60(idCol.cast("string")) + lit(1L)).cast("double")
+    val pri = weightCol.cast("double") * lit(TwoPow60) / u
+    struct(pri.as("pri"), (-idCol).as("nid"), idCol.as("id"),
+      weightCol.as("w"))
+  }
+
+  /** Shared tail of the batch and streamed priority-sample paths:
+    * `df` holds ONE row whose `arrCol` is the ≤ k+1 best
+    * [[priorityItem]]s in any order (a heap's, a fold buffer's);
+    * emits the k selected rows with `tau` = the (k+1)-th priority
+    * (0 when the input fit entirely) folded into the unbiased
+    * `w_hat = max(w, tau)` estimator.  Factored out so the two
+    * engines cannot drift in the estimator arithmetic. */
+  def finishPriorityTopK(df: DataFrame, arrCol: String, idName: String,
+      weightName: String, k: Int): DataFrame =
+    df.select(sort_array(col(arrCol), asc = false).as("arr"))
       .select(col("arr"),
         when(size(col("arr")) === k + 1,
           element_at(col("arr"), k + 1).getField("pri"))
           .otherwise(lit(0.0)).as("tau"))
       .select(explode(slice(col("arr"), 1, k)).as("p"), col("tau"))
-      .select(col("p.id").as(idCol), col("p.w").as(weightCol),
+      .select(col("p.id").as(idName), col("p.w").as(weightName),
         col("p.pri").as("pri"),
         greatest(col("p.w").cast("double"), col("tau")).as("w_hat"))
+
+  /** Bounded per-partition state for a STREAMED priority sample: the
+    * [[graft.core.Folds.topK]](k+1) fold over [[priorityItem]] tuples
+    * (pri, -id, id, w — Long-typed ids/weights), buffer under a
+    * Catalyst product encoder so the streaming state store holds a
+    * typed row, not a Kryo blob.  Drop it into a GLOBAL streaming
+    * aggregation via [[graft.streaming.StreamingAgg.foldUdaf]]
+    * (Complete/Update mode) and finish the final array with
+    * [[finishPriorityTopK]]: after any prefix of micro-batches the
+    * state is the exact batch sample of the rows seen so far —
+    * selection commutes with streaming because top-k states are
+    * mergeable.  Per-trigger cost: map-side partials ≤ k+1 items,
+    * ONE O(partitions × k) merge — the same scale shape as the batch
+    * aggregation, maintained incrementally. */
+  def priorityTopKFold(k: Int): graft.core.Fold.Aux[
+      (Double, Long, Long, Long),
+      List[(Double, Long, Long, Long)],
+      List[(Double, Long, Long, Long)]] = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.core.Fold.withEncoder(
+      graft.core.Folds.topK[(Double, Long, Long, Long)](k + 1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        List[(Double, Long, Long, Long)]]())
   }
 
   /** Calibrate per-group sampling rates to hit a target MIXTURE under

@@ -1736,6 +1736,45 @@ object PipelineQueries {
        |FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Q104: the SAME priority sample, STREAM-MAINTAINED ----------------
+  // q95's weighted-without-replacement sample as CONTINUOUS state: the
+  // topK(k+1) fold over the same priority items runs as a global
+  // streaming aggregation (Complete mode), so after every micro-batch
+  // the state IS the exact batch sample of the rows seen so far —
+  // selection commutes with streaming because bounded top-k states
+  // are mergeable.  Priorities are the same two single-rounded IEEE
+  // column ops (Sampling.priorityItem, shared code), so the streamed
+  // pick hash-equals q95's batch oracle bit-for-bit.  Per-trigger
+  // cost: map-side partials ≤ k+1 items, one O(partitions × k) merge;
+  // the corpus never sorts and never re-aggregates from scratch.
+  // Independent-implementation check for free: the batch path runs
+  // native CollectTopK partial aggregation, this one the fold-as-UDAF
+  // bridge — both must land the identical 200 rows + estimator.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect().sortBy(_._1).toIndexedSeq
+    val tk = StreamingAgg.foldUdaf(Sampling.priorityTopKFold(200))
+    val sink = runStreamedMode(s, rows, "q104_sink",
+      Seq("doc_id", "n_chars"), "complete") { df =>
+      df.select(Sampling.priorityItem(col("doc_id"), col("n_chars")).as("it"))
+        .select(col("it.pri").as("pri"), col("it.nid").as("nid"),
+          col("it.id").as("id"), col("it.w").as("w"))
+        .agg(tk(col("pri"), col("nid"), col("id"), col("w")).as("arr"))
+    }
+    // the fold's List output lands as array<struct<_1.._4>> — rename
+    // to the priorityItem field names the shared finisher expects
+    Sampling.finishPriorityTopK(
+      sink.select(transform(col("arr"), x =>
+        struct(x.getField("_1").as("pri"), x.getField("_2").as("nid"),
+          x.getField("_3").as("id"), x.getField("_4").as("w"))).as("arr")),
+      "arr", "doc_id", "n_chars", 200)
+      .orderBy("doc_id")
+  }
+  // same oracle as q95 — the streamed state must equal the one-shot pick
+  val q104Sql: String = q95Sql
+
   // ---- Q96: per-source cap by quality — bounded top-k per group ---------
   // "No domain may contribute more than k docs, keep its best" — the
   // anti-dominance cap every crawl corpus applies.  CollectTopK on
@@ -3161,6 +3200,7 @@ object PipelineQueries {
     "q101_cluster_split" -> (q101 _),
     "q102_streamed_curation" -> (q102 _),
     "q103_emission_compaction" -> (q103 _),
+    "q104_stream_priority_sample" -> (q104 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3263,6 +3303,7 @@ object PipelineQueries {
     "q101_cluster_split" -> q101Sql,
     "q102_streamed_curation" -> q102Sql,
     "q103_emission_compaction" -> q103Sql,
+    "q104_stream_priority_sample" -> q104Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -333,6 +333,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed priority sample equals the batch pick after EVERY micro-batch prefix") {
+    import graft.ext.Sampling
+    implicit val sq = spark.sqlContext
+    val k = 7
+    // deterministic weights with collisions so ties exercise the
+    // (pri, -id) order; ids sparse so hashes spread
+    val rows = (1L to 500L).map(id => (id * 13L, (id % 23L) + 1L))
+    val in = MemoryStream[(Long, Long)]
+    val tk = StreamingAgg.foldUdaf(Sampling.priorityTopKFold(k))
+    val agg = in.toDF().toDF("id", "w")
+      .select(Sampling.priorityItem(col("id"), col("w")).as("it"))
+      .select(col("it.pri").as("pri"), col("it.nid").as("nid"),
+        col("it.id").as("id"), col("it.w").as("w"))
+      .agg(tk(col("pri"), col("nid"), col("id"), col("w")).as("arr"))
+    val q = agg.writeStream.format("memory").queryName("psample_sink")
+      .outputMode("complete").start()
+    def finish(sink: org.apache.spark.sql.DataFrame) =
+      Sampling.finishPriorityTopK(
+        sink.select(transform(col("arr"), x =>
+          struct(x.getField("_1").as("pri"), x.getField("_2").as("nid"),
+            x.getField("_3").as("id"), x.getField("_4").as("w"))).as("arr")),
+        "arr", "id", "w", k)
+        .select("id", "w", "pri", "w_hat")
+        .as[(Long, Long, Double, Double)].collect().toSet
+    try {
+      rows.grouped(120).foldLeft(Seq.empty[(Long, Long)]) { (seen, chunk) =>
+        in.addData(chunk); q.processAllAvailable()
+        val prefix = seen ++ chunk
+        val batch = Sampling.prioritySample(
+          prefix.toDF("id", "w"), "id", "w", k)
+          .as[(Long, Long, Double, Double)].collect().toSet
+        // Complete mode: the sink snapshot IS the current state
+        assert(finish(spark.table("psample_sink")) == batch,
+          s"streamed state diverged from batch pick at prefix ${prefix.size}")
+        prefix
+      }
+    } finally q.stop()
+  }
+
   test("foldUdaf: a Fold as a SQL-callable aggregate on batch data") {
     val meanUdaf = StreamingAgg.foldUdaf(Folds.mean)
     val got = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
