@@ -1775,6 +1775,63 @@ object PipelineQueries {
   // same oracle as q95 — the streamed state must equal the one-shot pick
   val q104Sql: String = q95Sql
 
+  // ---- Q105: BM25 top-k retrieval over the corpus -----------------------
+  // The ranking layer on q62's inverted index: score docs against a
+  // query workload with BM25 and keep the k best per query.  Query
+  // terms broadcast and filter the exploded tokens BEFORE the tf
+  // aggregation (the shuffle carries only query-term postings, not
+  // the corpus vocabulary); scores sum as DECIMAL(38,15) so they are
+  // independent of term merge order; the per-query top-k is a bounded
+  // CollectTopK — no window sort over the scored postings.  The k1/b
+  // constants are folded into BOTH engines from the same Scala
+  // doubles (embedded via toString, which round-trips), the
+  // minhash-table convention.
+  private val Bm25K = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    ("hash_join", Seq("hash", "join", "merge")),
+    ("window_sort", Seq("window", "sort", "order")),
+    ("stream_state", Seq("stream", "batch", "dup")))
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    graft.ext.Retrieval.bm25TopK(tbl(s, dir, "documents"), "doc_id",
+        "text", queries, "query_id", "term", Bm25K, Bm25K1, Bm25B)
+      .orderBy("query_id", "rank")
+  }
+  val q105Sql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    // identical IEEE arithmetic: the derived constants are computed in
+    // Scala and embedded (Double.toString round-trips), and the
+    // expression tree parenthesizes exactly as the Column build does
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMb = (1.0 - Bm25B).toString
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+       |tok AS (SELECT doc_id, len(toks) AS l, unnest(toks) AS tok FROM t0),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf, max(l) AS l FROM tok
+       |  WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    sum(CAST(ln(1.0 + (CAST(st.n AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5))
+       |      * (tf.tf * $k1p1) / (tf.tf + $Bm25K1 * ($oneMb + $Bm25B * tf.l / st.avgdl))
+       |      AS DECIMAL(38,15))) AS score
+       |  FROM tf JOIN q ON q.term = tf.tok JOIN dfc ON dfc.tok = tf.tok, st
+       |  GROUP BY q.query_id, tf.doc_id),
+       |rk AS (SELECT query_id, doc_id, score, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc)
+       |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 6) AS score,
+       |  CAST(rnk AS BIGINT) AS rank
+       |FROM rk WHERE rnk <= $Bm25K ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- Q96: per-source cap by quality — bounded top-k per group ---------
   // "No domain may contribute more than k docs, keep its best" — the
   // anti-dominance cap every crawl corpus applies.  CollectTopK on
@@ -3201,6 +3258,7 @@ object PipelineQueries {
     "q102_streamed_curation" -> (q102 _),
     "q103_emission_compaction" -> (q103 _),
     "q104_stream_priority_sample" -> (q104 _),
+    "q105_bm25_topk" -> (q105 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3304,6 +3362,7 @@ object PipelineQueries {
     "q102_streamed_curation" -> q102Sql,
     "q103_emission_compaction" -> q103Sql,
     "q104_stream_priority_sample" -> q104Sql,
+    "q105_bm25_topk" -> q105Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -320,6 +320,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bSort \\[") <= 1, s"corpus must never sort:\n$p")
   }
 
+  test("q105: BM25 retrieval — query tables broadcast, bounded top-k, no window") {
+    val p = plan(PipelineQueries.q105(spark, sf))
+    assert(p.contains("partial_collect_top_k"),
+      s"per-query top-k must be a k-bounded agg:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0,
+      s"no window sort over the scored postings:\n$p")
+    // query terms prune the tokens BEFORE the tf aggregation, and the
+    // query/df tables join broadcast — the corpus side never builds
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"query terms must broadcast-semi-join the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in retrieval:\n$p")
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
