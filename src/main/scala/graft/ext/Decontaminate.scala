@@ -72,6 +72,81 @@ object Decontaminate {
     * df>1 filter happens before the join back, so only actually-
     * repeated grams (a tiny fraction of a natural corpus) flow into
     * the per-doc count. */
+  /** Cross-document repeated-passage REMOVAL — the acting form of
+    * [[repeatedPassages]]'s signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, the
+    * ExactSubstr variant at word-`n`-gram granularity): re-emit every
+    * document with the token spans covered by grams that ALSO occur
+    * in an earlier document removed, keeping exactly one copy of
+    * every repeated passage corpus-wide.
+    *
+    * Keep rule (deterministic, engine-independent): a gram's
+    * CANONICAL document is the smallest `idCol` containing it; in any
+    * later document, all `n` tokens under that gram are dropped.  The
+    * canonical document keeps its copy even when the gram repeats
+    * within it (intra-doc repetition is
+    * [[TextOps.dedupChunks]]'s job).  Documents shorter than `n`
+    * tokens pass through unchanged.
+    *
+    * Scale shape: one (id, pos, gram-hash) exploded table, persisted
+    * and read twice (min-id aggregation, join back) — the
+    * [[repeatedPassages]] shuffle pair, grams as 60-bit longs; only
+    * MARKED positions (repeated grams, a small fraction of a natural
+    * corpus) flow into the per-doc mark lists, which broadcast back
+    * into the corpus rebuild under a counted guard
+    * (`maxBroadcastMarkedDocs`, shuffle-join fallback above it) — the
+    * corpus itself never shuffles.  The rebuild is per-row HOFs over
+    * the materialized token array (the q98 two-step projection
+    * contract).  Release the persisted gram table via
+    * [[Dedup.unpersistInputsOf]] on the result.
+    *
+    * Returns (idCol, `clean_text`, `n_kept`, `n_removed`). */
+  def removeRepeatedPassages(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      maxBroadcastMarkedDocs: Long = 4000000L): DataFrame = {
+    val toked = Dedup.parallelized(corpus)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val grams = toked
+      .select(col(idCol), posexplode(wordShingles(col("__toks"), n))
+        .as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), h60(col("__g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keeper = grams.groupBy(col("h")).agg(min(col(idCol)).as("__keeper"))
+    // marked docs: per-doc 1-based start positions of dropped spans
+    val marks = grams.join(keeper, Seq("h"))
+      .where(col("__keeper") < col(idCol))
+      .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__starts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMarked = marks.count()
+    val marksSide =
+      if (nMarked <= maxBroadcastMarkedDocs) broadcast(marks)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"removeRepeatedPassages: $nMarked marked docs exceed " +
+            s"maxBroadcastMarkedDocs=$maxBroadcastMarkedDocs — " +
+            "shuffle-join fallback for the rebuild")
+        marks
+      }
+    // two-step rebuild over bound attributes: kept INDICES first
+    // (token i survives iff no dropped span s covers it), tokens after
+    val kept = toked.join(marksSide, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .select(col(idCol), col("__toks"),
+        // size-0 guard: sequence(1, 0) counts DOWN (TextOps note)
+        when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("__toks"))),
+            i => !exists(col("__st"),
+              s => s <= i && s + lit(n - 1) >= i))).as("__keep"))
+    Dedup.registerCleanup(
+      kept.select(col(idCol),
+        concat_ws(" ", transform(col("__keep"),
+          i => element_at(col("__toks"), i))).as("clean_text"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long").as("n_removed")),
+      grams, marks)
+  }
+
   def repeatedPassages(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     def gramHashes(t: Column): Column =

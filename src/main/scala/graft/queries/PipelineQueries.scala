@@ -1832,6 +1832,49 @@ object PipelineQueries {
        |FROM rk WHERE rnk <= $Bm25K ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- Q106: cross-document repeated-passage REMOVAL --------------------
+  // q65 scores the exact-substring duplication; this one ACTS on it
+  // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
+  // every token span covered by a gram that also occurs in an
+  // EARLIER document (min-doc_id canonical copy) is dropped, so
+  // exactly one copy of each repeated passage survives corpus-wide.
+  // Two gram-hash shuffles (min-id agg + join back); only marked
+  // positions aggregate; the per-doc mark lists broadcast back into
+  // a per-row HOF rebuild — the corpus never shuffles.
+  private val PassageN = 8 // shared with q65 (the scoring form)
+  def q106(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Decontaminate.removeRepeatedPassages(
+      tbl(s, dir, "documents"), "doc_id", "text", PassageN)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")).as("fp"),
+        col("n_kept"), col("n_removed"))
+      .orderBy("doc_id")
+  val q106Sql: String = {
+    val grams = (0 until PassageN).map {
+      case 0 => "toks[pos]"
+      case j => s"toks[pos+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(range(1, len(toks)-${PassageN - 2})) AS pos, toks
+       |  FROM tok WHERE len(toks) >= $PassageN),
+       |gh AS (SELECT doc_id, pos, ${h60Sql(grams)} AS h FROM g),
+       |mn AS (SELECT h, min(doc_id) AS keeper FROM gh GROUP BY h),
+       |mk AS (SELECT gh.doc_id, list(gh.pos) AS starts
+       |  FROM gh JOIN mn USING (h) WHERE mn.keeper < gh.doc_id
+       |  GROUP BY gh.doc_id),
+       |r AS (SELECT t.doc_id, t.toks,
+       |    coalesce(m.starts, CAST([] AS BIGINT[])) AS st
+       |  FROM tok t LEFT JOIN mk m USING (doc_id)),
+       |k AS (SELECT doc_id, toks, list_filter(range(1, len(toks)+1),
+       |    i -> len(list_filter(st, s -> s <= i AND s + ${PassageN - 1} >= i)) = 0) AS keep
+       |  FROM r)
+       |SELECT doc_id,
+       |  md5(coalesce(array_to_string(list_transform(keep, i -> toks[i]), ' '),
+       |    '')) AS fp,
+       |  CAST(len(keep) AS BIGINT) AS n_kept,
+       |  CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Q96: per-source cap by quality — bounded top-k per group ---------
   // "No domain may contribute more than k docs, keep its best" — the
   // anti-dominance cap every crawl corpus applies.  CollectTopK on
@@ -2732,8 +2775,8 @@ object PipelineQueries {
   // Every doc scored by how many of its distinct word 8-grams appear
   // in ≥ 1 other document — 0 for clean docs, high for near-dups and
   // boilerplate.  Two gram-hash shuffles, df>1 filtered before the
-  // join back; never an all-pairs comparison.
-  private val PassageN = 8
+  // join back; never an all-pairs comparison.  (PassageN declared at
+  // q106, the removal form.)
   def q65(s: SparkSession, dir: String): DataFrame =
     graft.ext.Decontaminate.repeatedPassages(
       tbl(s, dir, "documents"), "doc_id", "text", PassageN)
@@ -3259,6 +3302,7 @@ object PipelineQueries {
     "q103_emission_compaction" -> (q103 _),
     "q104_stream_priority_sample" -> (q104 _),
     "q105_bm25_topk" -> (q105 _),
+    "q106_passage_removal" -> (q106 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3363,6 +3407,7 @@ object PipelineQueries {
     "q103_emission_compaction" -> q103Sql,
     "q104_stream_priority_sample" -> q104Sql,
     "q105_bm25_topk" -> q105Sql,
+    "q106_passage_removal" -> q106Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -334,6 +334,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no shuffle join anywhere in retrieval:\n$p")
   }
 
+  test("q106: passage removal — mark lists broadcast into the rebuild, no window") {
+    val p = plan(PipelineQueries.q106(spark, sf))
+    // the corpus-side rebuild joins the per-doc mark lists broadcast
+    // (left outer); the only shuffle joins are the gram-hash pair
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"mark lists must broadcast into the rebuild:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
