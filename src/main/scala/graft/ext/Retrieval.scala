@@ -60,7 +60,7 @@ object Retrieval {
     // BEFORE the tf aggregation, so the shuffle is O(query postings)
     val tf = toked.join(broadcast(terms), Seq("__tok"), "left_semi")
       .groupBy(col(idCol), col("__tok"))
-      .agg(count(lit(1)).as("__tf"), first(col("__len")).as("__len"))
+      .agg(count(lit(1)).as("__tf"), max(col("__len")).as("__len"))
     // corpus stats: two bounded scalars (count + mean token length).
     // Token counts come from the same per-row projection; the agg is
     // a map-side-partial count/sum, not a shuffle of the corpus.

@@ -246,16 +246,42 @@ object Sampling {
     * `w_hat = max(w, tau)` estimator.  Factored out so the two
     * engines cannot drift in the estimator arithmetic. */
   def finishPriorityTopK(df: DataFrame, arrCol: String, idName: String,
-      weightName: String, k: Int): DataFrame =
-    df.select(sort_array(col(arrCol), asc = false).as("arr"))
-      .select(col("arr"),
+      weightName: String, k: Int, keep: Seq[String] = Nil): DataFrame = {
+    val kp = keep.map(col)
+    df.select(kp :+ sort_array(col(arrCol), asc = false).as("arr"): _*)
+      .select(kp ++ Seq(col("arr"),
         when(size(col("arr")) === k + 1,
           element_at(col("arr"), k + 1).getField("pri"))
-          .otherwise(lit(0.0)).as("tau"))
-      .select(explode(slice(col("arr"), 1, k)).as("p"), col("tau"))
-      .select(col("p.id").as(idName), col("p.w").as(weightName),
+          .otherwise(lit(0.0)).as("tau")): _*)
+      .select(kp ++ Seq(explode(slice(col("arr"), 1, k)).as("p"), col("tau")): _*)
+      .select(kp ++ Seq(col("p.id").as(idName), col("p.w").as(weightName),
         col("p.pri").as("pri"),
-        greatest(col("p.w").cast("double"), col("tau")).as("w_hat"))
+        greatest(col("p.w").cast("double"), col("tau")).as("w_hat")): _*)
+  }
+
+  /** STRATIFIED [[prioritySample]]: an independent weighted-without-
+    * replacement sample of ≤ `k` rows per group, each with its own
+    * per-group threshold `tau` folded into the unbiased `w_hat` —
+    * "sample k docs per source, upweighted by length, estimator
+    * included", the per-stratum twin of the global sample.  Same
+    * priority arithmetic ([[priorityItem]]), same bounded shape as
+    * [[capPerGroup]]: map-side partials hold ≤ k+1 items per group,
+    * the shuffle carries O(groups × k) — never a per-group window
+    * sort.  Returns (groupCols…, idCol, weightCol, `pri`,
+    * `w_hat`). */
+  def prioritySamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    requireNumericId(df, idCol, "prioritySamplePerGroup")
+    finishPriorityTopK(
+      df.select(groupCols.map(col) :+
+          priorityItem(col(idCol), col(weightCol)).as("it"): _*)
+        .groupBy(groupCols.map(col): _*)
+        .agg(org.apache.spark.sql.graftshim.Bridge
+          .collectTopK(col("it"), k + 1, reverse = false).as("arr")),
+      "arr", idCol, weightCol, k, keep = groupCols)
+  }
 
   /** Bounded per-partition state for a STREAMED priority sample: the
     * [[graft.core.Folds.topK]](k+1) fold over [[priorityItem]] tuples

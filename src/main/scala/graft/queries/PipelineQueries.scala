@@ -1875,6 +1875,34 @@ object PipelineQueries {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Q107: stratified priority sample (per-source, unbiased) ----------
+  // The per-stratum form of q95: an independent weighted sample of ≤ k
+  // docs per source, each stratum with its own tau folded into the
+  // unbiased w_hat — the "balanced mini-corpus with estimator" draw.
+  // Same bounded shape as q96: map partials ≤ k+1 items per group,
+  // shuffle O(sources × k), no per-group window sort (PlanShapeSpec
+  // family); priorities bit-identical on both engines (q95's IEEE
+  // argument, per group).
+  private val StratK = 50
+  def q107(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySamplePerGroup(tbl(s, dir, "documents"),
+        Seq("source"), "doc_id", "n_chars", StratK)
+      .orderBy("source", "doc_id")
+  val q107Sql: String = {
+    val pri = s"CAST(n_chars AS DOUBLE) * 1152921504606846976.0 / " +
+      s"CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)"
+    s"""WITH p AS (SELECT source, doc_id, n_chars, $pri AS pri FROM documents),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY source ORDER BY pri DESC, doc_id ASC) AS rn FROM p),
+       |t AS (SELECT source,
+       |    coalesce(max(CASE WHEN rn = ${StratK + 1} THEN pri END), 0.0) AS tau
+       |  FROM r GROUP BY source)
+       |SELECT r.source, doc_id, n_chars, pri,
+       |  greatest(CAST(n_chars AS DOUBLE), t.tau) AS w_hat
+       |FROM r JOIN t USING (source) WHERE rn <= $StratK
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   // ---- Q96: per-source cap by quality — bounded top-k per group ---------
   // "No domain may contribute more than k docs, keep its best" — the
   // anti-dominance cap every crawl corpus applies.  CollectTopK on
@@ -3303,6 +3331,7 @@ object PipelineQueries {
     "q104_stream_priority_sample" -> (q104 _),
     "q105_bm25_topk" -> (q105 _),
     "q106_passage_removal" -> (q106 _),
+    "q107_stratified_priority" -> (q107 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3408,6 +3437,7 @@ object PipelineQueries {
     "q104_stream_priority_sample" -> q104Sql,
     "q105_bm25_topk" -> q105Sql,
     "q106_passage_removal" -> q106Sql,
+    "q107_stratified_priority" -> q107Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

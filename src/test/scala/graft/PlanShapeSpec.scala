@@ -343,6 +343,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
   }
 
+  test("q107: stratified priority sample is one bounded per-group agg, no window") {
+    val p = plan(PipelineQueries.q107(spark, sf))
+    assert(p.contains("partial_collect_top_k"),
+      s"per-group selection must be a k-bounded agg:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, "no per-group window sort")
+    assert(countOf(p, "\\bSort \\[") <= 1, s"corpus must never sort:\n$p")
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")

@@ -112,6 +112,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prioritySamplePerGroup: each stratum equals the global sample of that stratum") {
+    // independence across strata is the definition: group g's draw
+    // (rows, pri, tau, w_hat) must equal prioritySample run on g alone
+    val rows = (0L until 300L).map(i => (i, s"s${i % 5}", 1L + i % 29))
+    val df = rows.toDF("id", "src", "w")
+    val k = 12
+    val grouped = Sampling.prioritySamplePerGroup(df, Seq("src"), "id", "w", k)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (g <- rows.map(_._2).distinct) {
+      val solo = Sampling.prioritySample(
+        df.where(col("src") === g), "id", "w", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+      assert(grouped(g) == solo, s"stratum $g diverged from its solo sample")
+    }
+  }
+
   // ---- capPerGroup -------------------------------------------------------
 
   test("capPerGroup: keeps the k best per group, ties to the smaller id") {
