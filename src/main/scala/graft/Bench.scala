@@ -293,12 +293,21 @@ object Bench {
     val b11 = best5Loaded {
       PipelineQueries.q92(spark, sfDir).count(); spark.catalog.clearCache()
     }
+    // B13: cross-document passage removal (q106) — the other
+    // gram-granularity heavyweight (8-gram explode with positions, two
+    // gram-hash shuffles, broadcast mark rebuild).  Runs last so its
+    // wake can't pollute any other block.  (b12 is the CurationBench
+    // log-growth curve in BASELINE.md, not a Bench block.)
+    val b13 = best5Loaded {
+      PipelineQueries.q106(spark, sfDir).count(); spark.catalog.clearCache()
+    }
 
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
       "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9,
-      "b10_dedup_ttl_tws" -> b10, "b11_q92_survivor_corpus" -> b11)
+      "b10_dedup_ttl_tws" -> b10, "b11_q92_survivor_corpus" -> b11,
+      "b13_q106_passage_removal" -> b13)
     val qjson = qs.map { case (k, (v, _, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention

@@ -31,7 +31,11 @@ object SpillCheck {
     // round-11: the streamed emission + mid-loop compaction loop —
     // its resolves, semantic folds, and union-find contraction all
     // cross the spill-sensitive agg/sort machinery per batch
-    "q103_emission_compaction")
+    "q103_emission_compaction",
+    // round-12: passage removal — positional gram explode through two
+    // gram-hash shuffles + collect_list mark aggregation, the biggest
+    // new per-key buffers; BM25's decimal-sum + bounded top-k tail
+    "q106_passage_removal", "q105_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
