@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.ColFns._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch full-text retrieval over a document corpus: BM25 scoring +
@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   * the Lucene-style idf `ln(1 + (N - df + 0.5)/(df + 0.5))`, which is
   * always positive.
   *
+  * Two forms, one scoring tail (they cannot drift):
+  *   - [[bm25TopK]] scores straight off the raw corpus (one-shot);
+  *   - [[writeBm25Index]] + [[bm25TopKFromIndex]] persist the
+  *     postings/vocab/stats tables once and serve every subsequent
+  *     query workload from them — the production shape: a probe
+  *     reads ONLY the buckets holding its query terms (bucket
+  *     pruning on the `tok`-bucketed postings table), so probe cost
+  *     is O(query postings), independent of corpus size.
+  *
   * Scale shape (the part that matters at 100 TB):
   *   - the ONLY corpus-wide work is one projection computing each
-  *     doc's token array + length — per-row, codegen'd, no shuffle;
+  *     doc's token array + length — per-row, codegen'd, no shuffle
+  *     (the index BUILD pays the one full tf aggregation, once);
   *   - query terms broadcast (a query workload is KBs), and tokens
   *     are semi-joined against them BEFORE any aggregation, so the
   *     tf shuffle carries only postings of query terms —
@@ -31,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** BM25 top-k documents per query.
+  /** BM25 top-k documents per query, scored off the raw corpus.
     *
     * @param docs    corpus; `idCol` must be numeric (tie-break
     *                contract), `textCol` is tokenized with the
@@ -47,10 +57,7 @@ object Retrieval {
       queries: DataFrame, qidCol: String, termCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(docs.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"bm25TopK requires a numeric id column for its (score desc, " +
-        s"id asc) tie-break; '$idCol' is ${docs.schema(idCol).dataType}")
+    requireNumericId(docs, idCol, "bm25TopK")
     // one corpus projection: per-doc token list + length (no shuffle)
     val toked = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("__len"),
@@ -66,10 +73,87 @@ object Retrieval {
     // a map-side-partial count/sum, not a shuffle of the corpus.
     val stats = docs.select(size(tokens(col(textCol))).as("__l"))
       .agg(count(lit(1)).as("n"), avg(col("__l")).as("avgdl")).first()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
     // df per query term — derived from the already-filtered postings
     val dfc = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    scoreAndTopK(tf, dfc, queries, qidCol, termCol, idCol, k, k1, b,
+      stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** Persist the BM25 index for a corpus as three tables — the
+    * build-once half of the production pair:
+    *   - `<name>_postings` (tok, id, tf, len), BUCKETED BY `tok` so
+    *     a probe's `tok IN (...)` filter prunes to the buckets
+    *     holding its query terms (plus parquet row-group pruning via
+    *     the same pushed filter);
+    *   - `<name>_vocab` (tok, df) — same bucketing;
+    *   - `<name>_stats` (n_docs, avgdl) — one row.
+    * The build pays the full corpus-vocabulary tf aggregation once;
+    * every subsequent workload probes in O(query postings).  Size
+    * `buckets` so one bucket's postings fit a task (vocab is
+    * Zipf-distributed: stopword postings dominate — at web scale use
+    * O(10³) buckets). */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int = 16): Unit = {
+    requireNumericId(docs, idCol, "writeBm25Index")
+    val s = docs.sparkSession
+    val tf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("len"),
+        explode(col("__toks")).as("tok"))
+      .groupBy(col("tok"), col(idCol))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      // canonical column name: the stored id column is always `id`
+      // (the probe renames it back to the caller's idCol)
+      .select(col("tok"), col(idCol).as("id"), col("tf"), col("len"))
+    graft.sources.Tables.writeBucketed(tf, s"${name}_postings", buckets,
+      Seq("tok"), sortCols = Seq("tok"))
+    // df from the WRITTEN postings (one read back, co-located agg on
+    // the bucket key — no second corpus pass, no extra exchange)
+    graft.sources.Tables.writeBucketed(
+      s.table(s"${name}_postings").groupBy(col("tok"))
+        .agg(count(lit(1)).as("df")),
+      s"${name}_vocab", buckets, Seq("tok"))
+    graft.sources.Tables.dropWithLocation(s, s"${name}_stats")
+    docs.select(size(tokens(col(textCol))).as("__l"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__l")).as("avgdl"))
+      .write.format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** BM25 top-k served from a persisted [[writeBm25Index]] index —
+    * result-identical to [[bm25TopK]] over the same corpus
+    * (RetrievalSpec pins it; the scoring tail is shared code).
+    *
+    * The query-term set collects to the driver (a query workload is
+    * KBs — the bounded-collect contract) and becomes an `isin`
+    * LITERAL filter, which is what enables BUCKET pruning on the
+    * postings/vocab scans: the probe reads only the buckets that can
+    * hold its terms (`SelectedBucketsCount` in the plan,
+    * PlanShapeSpec-pinned) — probe cost is independent of corpus
+    * size. */
+  def bm25TopKFromIndex(spark: SparkSession, name: String,
+      queries: DataFrame, qidCol: String, termCol: String, k: Int,
+      idCol: String = "id", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val termList = queries.select(col(termCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val post = spark.table(s"${name}_postings")
+      .where(col("tok").isin(termList: _*))
+      .select(col("tok").as("__tok"), col("id").as(idCol),
+        col("tf").as("__tf"), col("len").as("__len"))
+    val dfc = spark.table(s"${name}_vocab")
+      .where(col("tok").isin(termList: _*))
+      .select(col("tok").as("__tok"), col("df").as("__df"))
+    val st = spark.table(s"${name}_stats").first()
+    scoreAndTopK(post, dfc, queries, qidCol, termCol, idCol, k, k1, b,
+      st.getLong(0), st.getDouble(1))
+  }
+
+  /** Shared scoring + bounded top-k tail: `tf` = (idCol, __tok, __tf,
+    * __len) postings of the query terms, `dfc` = (__tok, __df).  One
+    * definition for both the raw-corpus and index-served paths so the
+    * idf/score arithmetic cannot drift between them. */
+  private def scoreAndTopK(tf: DataFrame, dfc: DataFrame,
+      queries: DataFrame, qidCol: String, termCol: String, idCol: String,
+      k: Int, k1: Double, b: Double, nDocs: Long, avgdl: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val contrib = idf * (col("__tf") * lit(k1 + 1.0)) /
@@ -96,4 +180,11 @@ object Retrieval {
         round(col("r.s").cast("double"), 6).as("score"),
         (col("__p") + 1).cast("long").as("rank"))
   }
+
+  private def requireNumericId(df: DataFrame, idCol: String,
+      op: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric id column for its (score desc, " +
+        s"id asc) tie-break; '$idCol' is ${df.schema(idCol).dataType}")
 }

@@ -1832,6 +1832,30 @@ object PipelineQueries {
        |FROM rk WHERE rnk <= $Bm25K ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- Q108: the SAME retrieval, served from a PERSISTED index ----------
+  // q105 scores off the raw corpus; this one builds the production
+  // asset — tok-bucketed postings/vocab + stats tables — and probes
+  // it.  The probe's isin literal filter prunes the scan to the
+  // buckets holding the query terms (SelectedBucketsCount pinned in
+  // PlanShapeSpec), so probe cost is O(query postings) independent of
+  // corpus size.  Scoring tail is SHARED CODE with q105, and the
+  // oracle is q105's verbatim: index round-trip must not change one
+  // bit of any score.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val name = "q108_bm25_idx"
+    graft.ext.Retrieval.writeBm25Index(tbl(s, dir, "documents"),
+      "doc_id", "text", name)
+    graft.ext.Retrieval.bm25TopKFromIndex(s, name, queries, "query_id",
+        "term", Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank")
+  }
+  // index round-trip must reproduce q105's scores bit-for-bit
+  val q108Sql: String = q105Sql
+
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
   // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
@@ -3332,6 +3356,7 @@ object PipelineQueries {
     "q105_bm25_topk" -> (q105 _),
     "q106_passage_removal" -> (q106 _),
     "q107_stratified_priority" -> (q107 _),
+    "q108_bm25_from_index" -> (q108 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3438,6 +3463,7 @@ object PipelineQueries {
     "q105_bm25_topk" -> q105Sql,
     "q106_passage_removal" -> q106Sql,
     "q107_stratified_priority" -> q107Sql,
+    "q108_bm25_from_index" -> q108Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

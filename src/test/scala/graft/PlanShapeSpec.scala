@@ -351,6 +351,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bSort \\[") <= 1, s"corpus must never sort:\n$p")
   }
 
+  test("q108: index probe prunes to the query terms' buckets") {
+    val p = plan(PipelineQueries.q108(spark, sf))
+    // the isin literal filter must reach the bucketed scans as bucket
+    // pruning: fewer buckets selected than the table holds
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(p).toList
+    assert(hits.nonEmpty, s"probe scans must show bucket pruning:\n$p")
+    hits.foreach { m =>
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"probe must read a strict subset of buckets: ${m.matched}\n$p")
+    }
+    assert(countOf(p, "\\bWindow\\b") == 0)
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")

@@ -80,6 +80,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("index-served retrieval equals the raw-corpus path bit-for-bit") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 150L).map { id =>
+      val len = 3 + (id % 13).toInt
+      (id, (0 until len).map(j => vocab(((id * 5 + j * 3) % 6).toInt)).mkString(" "))
+    }
+    val queries = Seq(("qa", "alpha"), ("qa", "delta"), ("qb", "zeta"))
+      .toDF("qid", "term")
+    val name = "retrspec_idx"
+    try {
+      graft.ext.Retrieval.writeBm25Index(docs.toDF("doc_id", "text"),
+        "doc_id", "text", name, buckets = 4)
+      val raw = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id",
+          "text", queries, "qid", "term", k = 6)
+        .collect().map(_.toSeq).toSet
+      val idx = Retrieval.bm25TopKFromIndex(spark, name, queries, "qid",
+          "term", k = 6, idCol = "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(raw.nonEmpty && idx == raw)
+    } finally Seq("_postings", "_vocab", "_stats").foreach(sfx =>
+      graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
+  }
+
   test("bm25TopK rejects a non-numeric id column") {
     val ex = intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(Seq(("a", "x")).toDF("doc_id", "text"), "doc_id",
