@@ -79,14 +79,24 @@ object Retrieval {
       stats.getLong(0), stats.getDouble(1))
   }
 
-  /** Persist the BM25 index for a corpus as three tables — the
-    * build-once half of the production pair:
+  /** The batch_id the initial [[writeBm25Index]] bootstrap lands
+    * under — below every ingest batch id (those start at 0), the
+    * [[Dedup.bootstrapBatchId]] convention. */
+  val bootstrapBatchId: Long = -1L
+
+  /** Persist the BM25 index for a corpus as three `batch_id`-
+    * partitioned tables — the build-once half of the production pair,
+    * and the base an incremental ingest ([[appendBm25Batch]]) extends:
     *   - `<name>_postings` (tok, id, tf, len), BUCKETED BY `tok` so
     *     a probe's `tok IN (...)` filter prunes to the buckets
     *     holding its query terms (plus parquet row-group pruning via
     *     the same pushed filter);
-    *   - `<name>_vocab` (tok, df) — same bucketing;
-    *   - `<name>_stats` (n_docs, avgdl) — one row.
+    *   - `<name>_vocab` (tok, df) — same bucketing; per-partition df
+    *     values SUM to the corpus df (batches hold disjoint docs);
+    *   - `<name>_stats` (n_docs, total_len) — one row per batch,
+    *     both additive.  Totals are LONGS divided once at probe time
+    *     (exact at any corpus size, where a running double mean
+    *     would drift).
     * The build pays the full corpus-vocabulary tf aggregation once;
     * every subsequent workload probes in O(query postings).  Size
     * `buckets` so one bucket's postings fit a task (vocab is
@@ -96,6 +106,41 @@ object Retrieval {
       name: String, buckets: Int = 16): Unit = {
     requireNumericId(docs, idCol, "writeBm25Index")
     val s = docs.sparkSession
+    Seq("_postings", "_vocab", "_stats").foreach(sfx =>
+      graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
+    writeBm25Tables(docs, idCol, textCol, name, buckets, bootstrapBatchId)
+  }
+
+  /** Append one ingest batch to a [[writeBm25Index]] index — the
+    * incremental half: per batch, ONLY the batch's own postings/
+    * vocab/stats aggregate and land as that batch's `batch_id`
+    * partitions; nothing already stored is read or rewritten, so
+    * per-batch cost is O(|batch| tokens) regardless of index size.
+    *
+    * Correctness leans on two contracts: batches hold docs DISJOINT
+    * from everything already indexed (df and the stats totals are
+    * then additive across partitions — the [[Dedup]] index's "batch
+    * ids disjoint from indexed ids" rule), and writes are
+    * single-writer.  Replay-safe the way the LSH index is: each
+    * table lands the batch as a dynamic-overwrite of its OWN
+    * partition, so a crash-replay REPLACES the partition instead of
+    * duplicating it — q109's gate run replays a batch mid-sequence
+    * and must still hash-match the one-shot oracle. */
+  def appendBm25Batch(docs: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, buckets: Int = 16): Unit = {
+    requireNumericId(docs, idCol, "appendBm25Batch")
+    require(batchId >= 0, s"ingest batch ids start at 0, got $batchId " +
+      s"(negative ids are reserved for the bootstrap)")
+    writeBm25Tables(docs, idCol, textCol, name, buckets, batchId)
+  }
+
+  /** Shared writer: the batch's postings/vocab/stats as `batchId`'s
+    * partitions (creating the partitioned+bucketed tables on first
+    * use, dynamic-overwriting the batch's own partition after — the
+    * replay-replace contract). */
+  private def writeBm25Tables(docs: DataFrame, idCol: String,
+      textCol: String, name: String, buckets: Int, batchId: Long): Unit = {
+    val s = docs.sparkSession
     val tf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("len"),
         explode(col("__toks")).as("tok"))
@@ -104,18 +149,42 @@ object Retrieval {
       // canonical column name: the stored id column is always `id`
       // (the probe renames it back to the caller's idCol)
       .select(col("tok"), col(idCol).as("id"), col("tf"), col("len"))
-    graft.sources.Tables.writeBucketed(tf, s"${name}_postings", buckets,
-      Seq("tok"), sortCols = Seq("tok"))
-    // df from the WRITTEN postings (one read back, co-located agg on
-    // the bucket key — no second corpus pass, no extra exchange)
-    graft.sources.Tables.writeBucketed(
-      s.table(s"${name}_postings").groupBy(col("tok"))
-        .agg(count(lit(1)).as("df")),
-      s"${name}_vocab", buckets, Seq("tok"))
-    graft.sources.Tables.dropWithLocation(s, s"${name}_stats")
-    docs.select(size(tokens(col(textCol))).as("__l"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("__l")).as("avgdl"))
-      .write.format("parquet").saveAsTable(s"${name}_stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writePartition(tf, s"${name}_postings", batchId, Some(buckets))
+      // df from the batch's postings (no second corpus pass; the agg
+      // rides the persisted frame)
+      writePartition(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+        s"${name}_vocab", batchId, Some(buckets))
+      writePartition(
+        docs.select(size(tokens(col(textCol))).as("__l"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("__l").cast("long")), lit(0L)).as("total_len")),
+        s"${name}_stats", batchId, None)
+    } finally tf.unpersist()
+  }
+
+  /** Land `df` as `table`'s `batch_id=batchId` partition (bucketed by
+    * `tok` when `buckets` is set) — create-or-dynamic-overwrite, the
+    * [[Dedup]] index-table protocol. */
+  private def writePartition(df: DataFrame, table: String, batchId: Long,
+      buckets: Option[Int]): Unit = {
+    val s = df.sparkSession
+    val withB = df.withColumn("batch_id", lit(batchId))
+    if (!s.catalog.tableExists(table)) {
+      val w = withB.write.partitionBy("batch_id").format("parquet")
+      buckets.fold(w)(b => w.bucketBy(b, "tok")).saveAsTable(table)
+    } else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try withB.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .insertInto(table)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
   }
 
   /** BM25 top-k served from a persisted [[writeBm25Index]] index —
@@ -139,12 +208,18 @@ object Retrieval {
       .where(col("tok").isin(termList: _*))
       .select(col("tok").as("__tok"), col("id").as(idCol),
         col("tf").as("__tf"), col("len").as("__len"))
+    // per-batch df values sum to the corpus df (disjoint batches);
+    // the agg is co-located on the bucket key, no exchange
     val dfc = spark.table(s"${name}_vocab")
       .where(col("tok").isin(termList: _*))
-      .select(col("tok").as("__tok"), col("df").as("__df"))
-    val st = spark.table(s"${name}_stats").first()
+      .groupBy(col("tok").as("__tok"))
+      .agg(sum(col("df")).as("__df"))
+    // stats rows are additive longs, one per batch — divide ONCE here
+    val st = spark.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("total_len")).as("t")).first()
+    val nDocs = st.getLong(0)
     scoreAndTopK(post, dfc, queries, qidCol, termCol, idCol, k, k1, b,
-      st.getLong(0), st.getDouble(1))
+      nDocs, st.getLong(1).toDouble / nDocs.toDouble)
   }
 
   /** Shared scoring + bounded top-k tail: `tf` = (idCol, __tok, __tf,

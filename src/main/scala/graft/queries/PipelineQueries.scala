@@ -1856,6 +1856,41 @@ object PipelineQueries {
   // index round-trip must reproduce q105's scores bit-for-bit
   val q108Sql: String = q105Sql
 
+  // ---- Q109: BM25 index maintained INCREMENTALLY, one batch replayed ----
+  // The retrieval index as a living asset: bootstrap on a third of
+  // the corpus, append two ingest batches (each O(|batch| tokens) —
+  // nothing stored is read or rewritten), then REPLAY one batch
+  // mid-sequence (the crash-recovery case: dynamic partition
+  // overwrite makes it a replace, not a duplicate).  The probe must
+  // still reproduce q105's one-shot scores bit-for-bit — df and the
+  // length totals are additive across disjoint batches, and totals
+  // stay LONGS divided once at probe time.
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Retrieval
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val name = "q109_bm25_inc"
+    val docs = tbl(s, dir, "documents")
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Retrieval.writeBm25Index(docs.where(col("doc_id") <= c1),
+      "doc_id", "text", name)
+    def batch(n: Long, df: DataFrame) =
+      Retrieval.appendBm25Batch(df, n, "doc_id", "text", name)
+    batch(0L, docs.where(col("doc_id") > c1 && col("doc_id") <= c2))
+    batch(1L, docs.where(col("doc_id") > c2))
+    // mid-protocol replay: batch 0 lands again — must REPLACE
+    batch(0L, docs.where(col("doc_id") > c1 && col("doc_id") <= c2))
+    Retrieval.bm25TopKFromIndex(s, name, queries, "query_id", "term",
+        Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank")
+  }
+  // incremental maintenance must not change one bit of any score
+  val q109Sql: String = q105Sql
+
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
   // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
@@ -3357,6 +3392,7 @@ object PipelineQueries {
     "q106_passage_removal" -> (q106 _),
     "q107_stratified_priority" -> (q107 _),
     "q108_bm25_from_index" -> (q108 _),
+    "q109_bm25_incremental" -> (q109 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3464,6 +3500,7 @@ object PipelineQueries {
     "q106_passage_removal" -> q106Sql,
     "q107_stratified_priority" -> q107Sql,
     "q108_bm25_from_index" -> q108Sql,
+    "q109_bm25_incremental" -> q109Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

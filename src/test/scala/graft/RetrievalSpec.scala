@@ -103,6 +103,44 @@ class RetrievalSpec extends AnyFunSuite {
       graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
   }
 
+  test("incremental index ingest + replay equals the one-shot build") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1L to 90L).map { id =>
+      (id, (0 until 4 + (id % 7).toInt)
+        .map(j => vocab(((id * 3 + j) % 4).toInt)).mkString(" "))
+    }
+    val queries = Seq(("qa", "alpha"), ("qa", "beta"), ("qb", "delta"))
+      .toDF("qid", "term")
+    val (inc, one) = ("retrspec_inc", "retrspec_one")
+    val all = Seq("_postings", "_vocab", "_stats")
+    try {
+      def part(lo: Long, hi: Long) =
+        docs.filter(d => d._1 > lo && d._1 <= hi).toDF("doc_id", "text")
+      graft.ext.Retrieval.writeBm25Index(part(0, 30), "doc_id", "text",
+        inc, buckets = 4)
+      graft.ext.Retrieval.appendBm25Batch(part(30, 60), 0L, "doc_id",
+        "text", inc, buckets = 4)
+      graft.ext.Retrieval.appendBm25Batch(part(60, 90), 1L, "doc_id",
+        "text", inc, buckets = 4)
+      val before = spark.table(s"${inc}_postings").count()
+      // replay: the batch's partitions are REPLACED, not duplicated
+      graft.ext.Retrieval.appendBm25Batch(part(30, 60), 0L, "doc_id",
+        "text", inc, buckets = 4)
+      assert(spark.table(s"${inc}_postings").count() == before,
+        "replayed batch must replace its own partition")
+      graft.ext.Retrieval.writeBm25Index(part(0, 90), "doc_id", "text",
+        one, buckets = 4)
+      val got = Retrieval.bm25TopKFromIndex(spark, inc, queries, "qid",
+        "term", k = 7, idCol = "doc_id").collect().map(_.toSeq).toSet
+      val want = Retrieval.bm25TopKFromIndex(spark, one, queries, "qid",
+        "term", k = 7, idCol = "doc_id").collect().map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want)
+    } finally all.foreach { sfx =>
+      graft.sources.Tables.dropWithLocation(spark, s"$inc$sfx")
+      graft.sources.Tables.dropWithLocation(spark, s"$one$sfx")
+    }
+  }
+
   test("bm25TopK rejects a non-numeric id column") {
     val ex = intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(Seq(("a", "x")).toDF("doc_id", "text"), "doc_id",
