@@ -726,7 +726,7 @@ object Dedup {
     * from the moved directory — dropping the stale entries and
     * registering the real ones — and is a no-op-shaped relisting on
     * catalogs that already did the right thing. */
-  private def renameWithPartitions(spark: SparkSession, from: String, to: String): Unit = {
+  private[ext] def renameWithPartitions(spark: SparkSession, from: String, to: String): Unit = {
     spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
     spark.sql(s"MSCK REPAIR TABLE `$to` SYNC PARTITIONS")
   }

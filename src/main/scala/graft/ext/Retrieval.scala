@@ -106,7 +106,7 @@ object Retrieval {
       name: String, buckets: Int = 16): Unit = {
     requireNumericId(docs, idCol, "writeBm25Index")
     val s = docs.sparkSession
-    Seq("_postings", "_vocab", "_stats").foreach(sfx =>
+    Seq("_postings", "_vocab", "_stats", "_batches").foreach(sfx =>
       graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
     writeBm25Tables(docs, idCol, textCol, name, buckets, bootstrapBatchId)
   }
@@ -185,6 +185,146 @@ object Retrieval {
         case None    => s.conf.unset(key)
       }
     }
+  }
+
+  // ---- index lifecycle: marker-gated ingest + compaction ----------------
+
+  /** Reserved batch_id the compacted index base lands under — below
+    * [[bootstrapBatchId]] and every real (≥ 0) ingest batch id, the
+    * [[Dedup.compactedBatchId]] convention. */
+  val compactedBatchId: Long = -2L
+
+  /** The ids `<name>_batches` marks committed (empty when the marker
+    * table does not exist yet — a plain [[writeBm25Index]] +
+    * [[appendBm25Batch]] index has no markers and no seen gate). */
+  private def committedIds(spark: SparkSession, name: String): Set[Long] =
+    if (spark.catalog.tableExists(s"${name}_batches"))
+      spark.table(s"${name}_batches").select("batch_id")
+        .collect().map(_.getLong(0)).toSet
+    else Set.empty[Long]
+
+  /** Marker-gated ingest — the replay gate [[appendBm25Batch]] alone
+    * cannot provide ACROSS a compaction: dynamic partition overwrite
+    * makes a replay a REPLACE only while the batch's partition still
+    * exists; once [[compactBm25Index]] folds it into the base, a raw
+    * re-append would re-add the batch's docs and double-count df.
+    * So the production loop lands batches through here: a batch id
+    * already in `<name>_batches` no-ops BEFORE any write (returns
+    * false), otherwise the append runs and the marker lands after
+    * all three tables — a crash in between replays as a harmless
+    * partition replace (the marker is last, the [[Dedup]] protocol).
+    * Single-writer, like every index mutation here. */
+  def ingestBm25Batch(docs: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, buckets: Int = 16): Boolean = {
+    val s = docs.sparkSession
+    if (committedIds(s, name).contains(batchId)) false
+    else {
+      appendBm25Batch(docs, batchId, idCol, textCol, name, buckets)
+      s.range(1).select(lit(batchId).as("batch_id")).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(s"${name}_batches")
+      true
+    }
+  }
+
+  /** Fold the index's per-batch partitions into one consolidated
+    * base — the BM25 twin of [[Dedup.compactLshIndex]], and the step
+    * that bounds probe cost at a real ingest cadence: every append
+    * lands ~tasks×buckets new files per table and the probe reads
+    * every partition of the pruned buckets, so probe wall time grows
+    * with batches-since-compaction until the fold.
+    *
+    * What folds, per table (marked batches + every negative system
+    * partition; an UNMARKED in-flight batch — a crash between append
+    * and marker — passes through untouched so its replay-replace
+    * still works):
+    *   - `_postings`: rows are disjoint across batches — relabel to
+    *     [[compactedBatchId]] and re-bucket, one file per bucket;
+    *   - `_vocab`: df is additive across disjoint batches — the fold
+    *     SUMS per token, so the consolidated base is one row per
+    *     term (the probe's sum over partitions reads fewer rows but
+    *     computes the same long);
+    *   - `_stats`: additive longs — folds to ONE row.
+    * The probe is sum-shaped over all three, so compaction cannot
+    * change any score bit (RetrievalSpec pins it; q110 gates it).
+    *
+    * Crash safety is the staged-swap protocol: each table rewrites
+    * into `<tbl>__cstage` (live table untouched until the stage is
+    * complete), then drop + rename.  A crash between drop and rename
+    * leaves the table MISSING — loud, never wrong — and
+    * [[recoverBm25Compaction]], run first by every compaction,
+    * finishes the swap.  Requires a quiesced index (no concurrent
+    * ingest) — the single-maintenance-owner cadence. */
+  def compactBm25Index(spark: SparkSession, name: String): Unit = {
+    recoverBm25Compaction(spark, name)
+    val post = s"${name}_postings"
+    val vocab = s"${name}_vocab"
+    val stats = s"${name}_stats"
+    if (!Seq(post, vocab, stats).forall(spark.catalog.tableExists)) return
+    val committed = committedIds(spark, name)
+    def foldableOf(tbl: String): Seq[Long] = {
+      val system = spark.table(tbl).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).filter(_ < 0L)
+      (committed ++ system + compactedBatchId).toSeq
+    }
+    def swapIn(tbl: String, build: (DataFrame, Column) => DataFrame): Unit = {
+      val live = spark.table(tbl)
+      val inFold = col("batch_id").isin(foldableOf(tbl): _*)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+      val folded = build(live.where(inFold), lit(compactedBatchId))
+      val staged = folded.unionByName(live.where(!inFold))
+      val stage = s"${tbl}__cstage"
+      graft.sources.Tables.dropWithLocation(spark, stage)
+      val shaped = spec.fold(staged.coalesce(1))(sp =>
+        staged.repartition(sp.numBuckets, col(sp.bucketColumnNames.head)))
+      val w = shaped.write.partitionBy("batch_id").format("parquet")
+      spec.fold(w)(sp => w.bucketBy(sp.numBuckets, sp.bucketColumnNames.head))
+        .saveAsTable(stage)
+      graft.sources.Tables.dropWithLocation(spark, tbl)
+      Dedup.renameWithPartitions(spark, stage, tbl)
+    }
+    // postings: disjoint rows — relabel only
+    swapIn(post, (df, base) => df.withColumn("batch_id", base))
+    // vocab: df sums across disjoint batches — fold to one row per term
+    swapIn(vocab, (df, base) => df.groupBy(col("tok"))
+      .agg(sum(col("df")).as("df")).withColumn("batch_id", base))
+    // stats: additive longs — fold to one row
+    swapIn(stats, (df, base) => df
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+      .withColumn("batch_id", base))
+    // the marker table folds to one file, preserving EVERY id — the
+    // seen gate is what keeps folded partitions replay-safe
+    if (spark.catalog.tableExists(s"${name}_batches")) {
+      val stage = s"${name}_batches__cstage"
+      graft.sources.Tables.dropWithLocation(spark, stage)
+      spark.table(s"${name}_batches").distinct().coalesce(1)
+        .write.format("parquet").saveAsTable(stage)
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `${name}_batches`")
+    }
+  }
+
+  /** Finish a [[compactBm25Index]] swap a crash interrupted between
+    * the live-table drop and the stage rename — the only window where
+    * a table is missing (every read there fails loudly, never answers
+    * from a partial index).  Idempotent; returns true if any repair
+    * ran.  Compaction runs it first, so "re-run compaction" is the
+    * whole recovery runbook. */
+  def recoverBm25Compaction(spark: SparkSession, name: String): Boolean = {
+    val partitioned =
+      Set(s"${name}_postings", s"${name}_vocab", s"${name}_stats")
+    val swaps = for {
+      tbl <- (partitioned + s"${name}_batches").toSeq.sorted
+      stage = s"${tbl}__cstage"
+      if spark.catalog.tableExists(stage) && !spark.catalog.tableExists(tbl)
+    } yield {
+      if (partitioned(tbl)) Dedup.renameWithPartitions(spark, stage, tbl)
+      else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
+      tbl
+    }
+    swaps.nonEmpty
   }
 
   /** BM25 top-k served from a persisted [[writeBm25Index]] index —

@@ -1891,6 +1891,97 @@ object PipelineQueries {
   // incremental maintenance must not change one bit of any score
   val q109Sql: String = q105Sql
 
+  // ---- Q110: BM25 index COMPACTED, batches replayed across the boundary -
+  // q109 proves incremental appends; this proves the step that bounds
+  // them: ingest through the MARKER gate (dynamic overwrite alone
+  // stops protecting a replay once compaction folds the batch's
+  // partition away), fold the index to one consolidated base —
+  // postings relabeled, vocab df SUMMED to one row per term, stats to
+  // one additive row — then replay a batch on EACH side of the
+  // boundary.  Both must no-op at the seen gate (require()d here, so
+  // a silent double-ingest fails the query, not just the hash), and
+  // the probe off the folded base must still reproduce q105's
+  // one-shot scores bit-for-bit.
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Retrieval
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val name = "q110_bm25_cmp"
+    val docs = tbl(s, dir, "documents")
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def slice(cond: Column) = docs.where(cond)
+    Retrieval.writeBm25Index(slice(col("doc_id") <= c1), "doc_id", "text", name)
+    def ingest(n: Long, df: DataFrame): Boolean =
+      Retrieval.ingestBm25Batch(df, n, "doc_id", "text", name)
+    val b0 = slice(col("doc_id") > c1 && col("doc_id") <= c2)
+    val b1 = slice(col("doc_id") > c2)
+    require(ingest(0L, b0) && ingest(1L, b1), "fresh batches must land")
+    // replay BEFORE the fold: marked → no-op
+    require(!ingest(0L, b0), "pre-compaction replay must no-op at the marker")
+    Retrieval.compactBm25Index(s, name)
+    // replay ACROSS the fold boundary: the partition is gone, only
+    // the marker stands between this and a double-count
+    require(!ingest(1L, b1), "post-compaction replay must no-op at the marker")
+    Retrieval.bm25TopKFromIndex(s, name, queries, "query_id", "term",
+        Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank")
+  }
+  // compaction + boundary replays must not change one bit of any score
+  val q110Sql: String = q105Sql
+
+  // ---- Q111: BM25 index maintained by a STREAM, redelivered, compacted --
+  // The index as a continuously-maintained asset: a Structured
+  // Streaming foreachBatch sink lands each micro-batch through the
+  // marker-gated ingest.  The gate run feeds two batches, stops,
+  // compacts the index mid-loop, then restarts WITHOUT a checkpoint —
+  // the at-least-once shape where the source redelivers everything:
+  // epochs 0 and 1 replay (no-ops at the seen gate, across the
+  // compaction boundary) and epoch 2 is the only new data to land.
+  // The probe must reproduce q105's one-shot scores bit-for-bit.
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Retrieval
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val name = "q111_bm25_stream"
+    val docs = tbl(s, dir, "documents")
+    Retrieval.writeBm25Index(docs.where(lit(false)), "doc_id", "text", name)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = rows.grouped((rows.length + 2) / 3).toIndexedSeq
+    def runStream(feed: Seq[IndexedSeq[(Long, String)]]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAgg.bm25IndexSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", name)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(batches.take(2).map(_.toIndexedSeq)) // epochs 0, 1 land
+    Retrieval.compactBm25Index(s, name)
+    val postCompact = s.table(s"${name}_postings").count()
+    // uncheckpointed restart: the source redelivers epochs 0 and 1
+    // (same content, same ids — no-ops at the marker, across the
+    // fold), then epoch 2 lands the genuinely new batch
+    runStream(batches.map(_.toIndexedSeq))
+    require(s.table(s"${name}_postings")
+        .where(col("batch_id").isin(0L, 1L)).count() == 0L,
+      "redelivered epochs must not re-land their folded partitions")
+    require(s.table(s"${name}_postings").count() > postCompact,
+      "the new epoch must land")
+    Retrieval.bm25TopKFromIndex(s, name, queries, "query_id", "term",
+        Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank")
+  }
+  // streamed maintenance + redelivery must not change one bit of any score
+  val q111Sql: String = q105Sql
+
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
   // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
@@ -3393,6 +3484,8 @@ object PipelineQueries {
     "q107_stratified_priority" -> (q107 _),
     "q108_bm25_from_index" -> (q108 _),
     "q109_bm25_incremental" -> (q109 _),
+    "q110_bm25_compaction" -> (q110 _),
+    "q111_bm25_streamed" -> (q111 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3501,6 +3594,8 @@ object PipelineQueries {
     "q107_stratified_priority" -> q107Sql,
     "q108_bm25_from_index" -> q108Sql,
     "q109_bm25_incremental" -> q109Sql,
+    "q110_bm25_compaction" -> q110Sql,
+    "q111_bm25_streamed" -> q111Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -375,6 +375,30 @@ object StreamingAgg {
     }.start()
   }
 
+  /** Maintain a persisted BM25 index from a document stream — the
+    * retrieval twin of [[lshIndexSink]].  Each micro-batch lands
+    * through the marker-gated ingest
+    * ([[graft.ext.Retrieval.ingestBm25Batch]]), so an at-least-once
+    * redelivery — an uncheckpointed restart replaying earlier epochs,
+    * or a crash-replay of the current one — is a no-op at the seen
+    * gate, and stays one even after [[graft.ext.Retrieval.compactBm25Index]]
+    * has folded the batch's partitions away.  `batchIdBase` offsets
+    * the stream's epoch ids into the index's batch-id space, the
+    * [[curationSink]] convention for fresh-stream restarts that must
+    * resume ABOVE previously landed ids. */
+  def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
+      name: String, batchIdBase: Long = 0L, buckets: Int = 16,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.ext.Retrieval.ingestBm25Batch(batch.toDF(), batchIdBase + batchId,
+        idCol, textCol, name, buckets)
+      ()
+    }.start()
+  }
+
   /** The FULL continuous-curation maintenance loop as one streaming
     * query — the production composition gate q93/q100 run batch-wise,
     * wired into `foreachBatch`.  Per micro-batch:

@@ -141,6 +141,119 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  private def lifecycleDocs: Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    (1L to 100L).map { id =>
+      (id, (0 until 3 + (id % 9).toInt)
+        .map(j => vocab(((id * 7 + j * 2) % 5).toInt)).mkString(" "))
+    }
+  }
+  private def lifecycleQueries =
+    Seq(("qa", "alpha"), ("qa", "gamma"), ("qb", "epsilon"))
+      .toDF("qid", "term")
+  private def dropBm25(names: String*): Unit =
+    for (n <- names; sfx <- Seq("_postings", "_vocab", "_stats", "_batches"))
+      graft.sources.Tables.dropWithLocation(spark, s"$n$sfx")
+
+  test("compaction folds to one base without changing one bit of any score") {
+    val docs = lifecycleDocs
+    val name = "retrspec_cmp"
+    try {
+      def slice(lo: Long, hi: Long) =
+        docs.filter(d => d._1 > lo && d._1 <= hi).toDF("doc_id", "text")
+      Retrieval.writeBm25Index(slice(0, 40), "doc_id", "text", name, buckets = 4)
+      assert(Retrieval.ingestBm25Batch(slice(40, 70), 0L, "doc_id", "text", name, 4))
+      assert(Retrieval.ingestBm25Batch(slice(70, 100), 1L, "doc_id", "text", name, 4))
+      val before = Retrieval.bm25TopKFromIndex(spark, name,
+        lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+        .collect().map(_.toSeq).toSet
+      Retrieval.compactBm25Index(spark, name)
+      // every table folded to the single reserved base partition
+      for (sfx <- Seq("_postings", "_vocab", "_stats"))
+        assert(spark.table(s"$name$sfx").select("batch_id").distinct()
+          .collect().map(_.getLong(0)).toSeq == Seq(Retrieval.compactedBatchId),
+          s"$sfx not folded to the base partition")
+      // vocab folded to ONE row per term; stats to ONE row
+      val v = spark.table(s"${name}_vocab")
+      assert(v.count() == v.select("tok").distinct().count())
+      assert(spark.table(s"${name}_stats").count() == 1L)
+      val after = Retrieval.bm25TopKFromIndex(spark, name,
+        lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(before.nonEmpty && after == before)
+    } finally dropBm25(name)
+  }
+
+  test("marker gate: replay no-ops across the compaction boundary; an " +
+      "unmarked in-flight batch passes through and replays as a replace") {
+    val docs = lifecycleDocs
+    val name = "retrspec_gate"
+    try {
+      def slice(lo: Long, hi: Long) =
+        docs.filter(d => d._1 > lo && d._1 <= hi).toDF("doc_id", "text")
+      Retrieval.writeBm25Index(slice(0, 40), "doc_id", "text", name, buckets = 4)
+      assert(Retrieval.ingestBm25Batch(slice(40, 70), 0L, "doc_id", "text", name, 4))
+      // in-flight half-append: batch 1's tables land but its marker
+      // never does (the crash window between append and marker)
+      Retrieval.appendBm25Batch(slice(70, 100), 1L, "doc_id", "text", name, 4)
+      Retrieval.compactBm25Index(spark, name)
+      // batch 1 was unmarked — its partitions must have survived the
+      // fold intact, NOT been folded into the base
+      assert(spark.table(s"${name}_postings").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet ==
+        Set(Retrieval.compactedBatchId, 1L))
+      // replay of the MARKED batch 0 across the boundary: no-op
+      val postingsBefore = spark.table(s"${name}_postings").count()
+      assert(!Retrieval.ingestBm25Batch(slice(40, 70), 0L, "doc_id", "text", name, 4))
+      assert(spark.table(s"${name}_postings").count() == postingsBefore)
+      // replay of the UNMARKED batch 1: replaces its own partition
+      // (no duplication) and finally lands the marker
+      assert(Retrieval.ingestBm25Batch(slice(70, 100), 1L, "doc_id", "text", name, 4))
+      assert(spark.table(s"${name}_postings").count() == postingsBefore)
+      // final index serves the same scores as a one-shot build
+      val one = "retrspec_gate_one"
+      Retrieval.writeBm25Index(slice(0, 100), "doc_id", "text", one, buckets = 4)
+      try {
+        val got = Retrieval.bm25TopKFromIndex(spark, name,
+          lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+          .collect().map(_.toSeq).toSet
+        val want = Retrieval.bm25TopKFromIndex(spark, one,
+          lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+          .collect().map(_.toSeq).toSet
+        assert(want.nonEmpty && got == want)
+      } finally dropBm25(one)
+    } finally dropBm25(name)
+  }
+
+  test("a crash between table drop and stage rename is repaired by recovery") {
+    val docs = lifecycleDocs
+    val name = "retrspec_crash"
+    try {
+      Retrieval.writeBm25Index(docs.toDF("doc_id", "text"), "doc_id",
+        "text", name, buckets = 4)
+      val want = Retrieval.bm25TopKFromIndex(spark, name,
+        lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+        .collect().map(_.toSeq).toSet
+      // construct the crash window exactly: a complete staged twin of
+      // _vocab exists, the live table was dropped, the rename never ran
+      val vocab = s"${name}_vocab"
+      val stage = s"${vocab}__cstage"
+      spark.table(vocab).write.partitionBy("batch_id")
+        .bucketBy(4, "tok").format("parquet").saveAsTable(stage)
+      graft.sources.Tables.dropWithLocation(spark, vocab)
+      // every read in the window fails loudly (table missing) …
+      intercept[Exception] { spark.table(vocab).count() }
+      // … and recovery finishes the swap
+      assert(Retrieval.recoverBm25Compaction(spark, name))
+      val got = Retrieval.bm25TopKFromIndex(spark, name,
+        lifecycleQueries, "qid", "term", k = 7, idCol = "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      // idempotent: nothing left to repair
+      assert(!Retrieval.recoverBm25Compaction(spark, name))
+    } finally dropBm25(name)
+  }
+
   test("bm25TopK rejects a non-numeric id column") {
     val ex = intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(Seq(("a", "x")).toDF("doc_id", "text"), "doc_id",
