@@ -1982,6 +1982,71 @@ object PipelineQueries {
   // streamed maintenance + redelivery must not change one bit of any score
   val q111Sql: String = q105Sql
 
+  // ---- Q112: decontamination BY RETRIEVAL -------------------------------
+  // q59 removes exact n-gram overlap with a holdout; this is the
+  // fuzzy complement every eval-hygiene pipeline also runs: treat
+  // each benchmark prompt as a BM25 query, flag the top-k corpus
+  // docs scoring above a floor (lexical contamination the n-gram
+  // hash misses when the wording drifts), and emit the per-source
+  // shape of the SURVIVING corpus.  The flagged set is bounded by
+  // |benchmarks| × k, so the corpus-side filter is a broadcast
+  // anti-join — the corpus never shuffles; the only shuffled rows
+  // are the query-term postings inside the scorer (the q105 plan).
+  private val DecontamQueries: Seq[(String, Seq[String])] = Seq(
+    ("eval_sort", Seq("window", "order", "filter")),
+    ("eval_join", Seq("merge", "join", "hash")),
+    ("eval_stream", Seq("stream", "batch", "scan")))
+  private val DecontamK = 25
+  private val DecontamFloor = 1.0 // on the rounded (6-decimal) score
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = tbl(s, dir, "documents")
+    val bench = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val flagged = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        bench, "query_id", "term", DecontamK, Bm25K1, Bm25B)
+      .where(col("score") >= DecontamFloor)
+      .select(col("doc_id")).distinct()
+    docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("source")
+  }
+  val q112Sql: String = {
+    val qvals = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMb = (1.0 - Bm25B).toString
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |t0 AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+       |tok AS (SELECT doc_id, len(toks) AS l, unnest(toks) AS tok FROM t0),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf, max(l) AS l FROM tok
+       |  WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    sum(CAST(ln(1.0 + (CAST(st.n AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5))
+       |      * (tf.tf * $k1p1) / (tf.tf + $Bm25K1 * ($oneMb + $Bm25B * tf.l / st.avgdl))
+       |      AS DECIMAL(38,15))) AS score
+       |  FROM tf JOIN q ON q.term = tf.tok JOIN dfc ON dfc.tok = tf.tok, st
+       |  GROUP BY q.query_id, tf.doc_id),
+       |rk AS (SELECT query_id, doc_id, score, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc),
+       |flag AS (SELECT DISTINCT doc_id FROM rk
+       |  WHERE rnk <= $DecontamK
+       |    AND round(CAST(score AS DOUBLE), 6) >= $DecontamFloor)
+       |SELECT t0.source, count(*) AS n_docs,
+       |  CAST(sum(len(t0.toks)) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(t0.doc_id) AS BIGINT) AS sum_id
+       |FROM t0 WHERE t0.doc_id NOT IN (SELECT doc_id FROM flag)
+       |GROUP BY t0.source ORDER BY t0.source""".stripMargin
+  }
+
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
   // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
@@ -3486,6 +3551,7 @@ object PipelineQueries {
     "q109_bm25_incremental" -> (q109 _),
     "q110_bm25_compaction" -> (q110 _),
     "q111_bm25_streamed" -> (q111 _),
+    "q112_retrieval_decontam" -> (q112 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3596,6 +3662,7 @@ object PipelineQueries {
     "q109_bm25_incremental" -> q109Sql,
     "q110_bm25_compaction" -> q110Sql,
     "q111_bm25_streamed" -> q111Sql,
+    "q112_retrieval_decontam" -> q112Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -343,6 +343,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
   }
 
+  test("q112: retrieval decontamination — flagged set broadcasts, corpus never shuffles") {
+    // the flagged set is bounded by |benchmarks| × k, so the corpus
+    // filter must be a broadcast anti-join (the q92 contract); the
+    // scorer inside keeps q105's shape (no window, no shuffle join)
+    val p = plan(PipelineQueries.q112(spark, sf))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"flagged-id filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the contamination filter:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
+  }
+
   test("q107: stratified priority sample is one bounded per-group agg, no window") {
     val p = plan(PipelineQueries.q107(spark, sf))
     assert(p.contains("partial_collect_top_k"),
