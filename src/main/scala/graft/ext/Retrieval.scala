@@ -166,42 +166,18 @@ object Retrieval {
 
   /** Land `df` as `table`'s `batch_id=batchId` partition (bucketed by
     * `tok` when `buckets` is set) — create-or-dynamic-overwrite, the
-    * [[Dedup]] index-table protocol. */
+    * [[IndexLifecycle]] index-table protocol. */
   private def writePartition(df: DataFrame, table: String, batchId: Long,
-      buckets: Option[Int]): Unit = {
-    val s = df.sparkSession
-    val withB = df.withColumn("batch_id", lit(batchId))
-    if (!s.catalog.tableExists(table)) {
-      val w = withB.write.partitionBy("batch_id").format("parquet")
-      buckets.fold(w)(b => w.bucketBy(b, "tok")).saveAsTable(table)
-    } else {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
-      try withB.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .insertInto(table)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
-    }
-  }
+      buckets: Option[Int]): Unit =
+    IndexLifecycle.writeBatchPartition(df, table, batchId,
+      buckets.map(b => ("tok", b)))
 
   // ---- index lifecycle: marker-gated ingest + compaction ----------------
 
   /** Reserved batch_id the compacted index base lands under — below
     * [[bootstrapBatchId]] and every real (≥ 0) ingest batch id, the
-    * [[Dedup.compactedBatchId]] convention. */
-  val compactedBatchId: Long = -2L
-
-  /** The ids `<name>_batches` marks committed (empty when the marker
-    * table does not exist yet — a plain [[writeBm25Index]] +
-    * [[appendBm25Batch]] index has no markers and no seen gate). */
-  private def committedIds(spark: SparkSession, name: String): Set[Long] =
-    if (spark.catalog.tableExists(s"${name}_batches"))
-      spark.table(s"${name}_batches").select("batch_id")
-        .collect().map(_.getLong(0)).toSet
-    else Set.empty[Long]
+    * [[IndexLifecycle.compactedBatchId]] convention. */
+  val compactedBatchId: Long = IndexLifecycle.compactedBatchId
 
   /** Marker-gated ingest — the replay gate [[appendBm25Batch]] alone
     * cannot provide ACROSS a compaction: dynamic partition overwrite
@@ -217,12 +193,10 @@ object Retrieval {
   def ingestBm25Batch(docs: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, buckets: Int = 16): Boolean = {
     val s = docs.sparkSession
-    if (committedIds(s, name).contains(batchId)) false
+    if (IndexLifecycle.committedIds(s, name).contains(batchId)) false
     else {
       appendBm25Batch(docs, batchId, idCol, textCol, name, buckets)
-      s.range(1).select(lit(batchId).as("batch_id")).write
-        .mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(s"${name}_batches")
+      IndexLifecycle.markBatch(s, name, batchId)
       true
     }
   }
@@ -261,49 +235,23 @@ object Retrieval {
     val vocab = s"${name}_vocab"
     val stats = s"${name}_stats"
     if (!Seq(post, vocab, stats).forall(spark.catalog.tableExists)) return
-    val committed = committedIds(spark, name)
-    def foldableOf(tbl: String): Seq[Long] = {
-      val system = spark.table(tbl).select("batch_id").distinct()
-        .collect().map(_.getLong(0)).filter(_ < 0L)
-      (committed ++ system + compactedBatchId).toSeq
-    }
-    def swapIn(tbl: String, build: (DataFrame, Column) => DataFrame): Unit = {
-      val live = spark.table(tbl)
-      val inFold = col("batch_id").isin(foldableOf(tbl): _*)
-      val spec = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
-      val folded = build(live.where(inFold), lit(compactedBatchId))
-      val staged = folded.unionByName(live.where(!inFold))
-      val stage = s"${tbl}__cstage"
-      graft.sources.Tables.dropWithLocation(spark, stage)
-      val shaped = spec.fold(staged.coalesce(1))(sp =>
-        staged.repartition(sp.numBuckets, col(sp.bucketColumnNames.head)))
-      val w = shaped.write.partitionBy("batch_id").format("parquet")
-      spec.fold(w)(sp => w.bucketBy(sp.numBuckets, sp.bucketColumnNames.head))
-        .saveAsTable(stage)
-      graft.sources.Tables.dropWithLocation(spark, tbl)
-      Dedup.renameWithPartitions(spark, stage, tbl)
-    }
+    val committed = IndexLifecycle.committedIds(spark, name)
     // postings: disjoint rows — relabel only
-    swapIn(post, (df, base) => df.withColumn("batch_id", base))
+    IndexLifecycle.swapFold(spark, post, committed,
+      (df, base) => df.withColumn("batch_id", base))
     // vocab: df sums across disjoint batches — fold to one row per term
-    swapIn(vocab, (df, base) => df.groupBy(col("tok"))
-      .agg(sum(col("df")).as("df")).withColumn("batch_id", base))
+    IndexLifecycle.swapFold(spark, vocab, committed,
+      (df, base) => df.groupBy(col("tok"))
+        .agg(sum(col("df")).as("df")).withColumn("batch_id", base))
     // stats: additive longs — fold to one row
-    swapIn(stats, (df, base) => df
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
-      .withColumn("batch_id", base))
+    IndexLifecycle.swapFold(spark, stats, committed,
+      (df, base) => df
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
+        .withColumn("batch_id", base))
     // the marker table folds to one file, preserving EVERY id — the
     // seen gate is what keeps folded partitions replay-safe
-    if (spark.catalog.tableExists(s"${name}_batches")) {
-      val stage = s"${name}_batches__cstage"
-      graft.sources.Tables.dropWithLocation(spark, stage)
-      spark.table(s"${name}_batches").distinct().coalesce(1)
-        .write.format("parquet").saveAsTable(stage)
-      graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
-      spark.sql(s"ALTER TABLE `$stage` RENAME TO `${name}_batches`")
-    }
+    IndexLifecycle.foldMarkerTable(spark, name)
   }
 
   /** Finish a [[compactBm25Index]] swap a crash interrupted between
@@ -315,16 +263,8 @@ object Retrieval {
   def recoverBm25Compaction(spark: SparkSession, name: String): Boolean = {
     val partitioned =
       Set(s"${name}_postings", s"${name}_vocab", s"${name}_stats")
-    val swaps = for {
-      tbl <- (partitioned + s"${name}_batches").toSeq.sorted
-      stage = s"${tbl}__cstage"
-      if spark.catalog.tableExists(stage) && !spark.catalog.tableExists(tbl)
-    } yield {
-      if (partitioned(tbl)) Dedup.renameWithPartitions(spark, stage, tbl)
-      else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
-      tbl
-    }
-    swaps.nonEmpty
+    IndexLifecycle.recoverSwaps(spark,
+      (partitioned + s"${name}_batches").toSeq, partitioned)
   }
 
   /** BM25 top-k served from a persisted [[writeBm25Index]] index —

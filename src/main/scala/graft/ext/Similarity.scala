@@ -229,7 +229,7 @@ object Similarity {
     * Selection order: cos descending, ties to the lowest neighbor_id
     * — encoded as the k largest `(cos, -neighbor_id)` structs under
     * field-wise ordering. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def topK(scored: DataFrame, k: Int): DataFrame = {
     val item = struct(col("cos").as("cos"), (-col("neighbor_id")).as("nn"))
     scored.groupBy(col("probe_id"))
       .agg(org.apache.spark.sql.graftshim.Bridge.collectTopK(item, k).as("top"))

@@ -1249,7 +1249,16 @@ object PipelineQueries {
     * rounds → `asg(vec_id, cid)`), bit-identical to
     * `Similarity.kmeansCodebook`/`assignCell` — used by q37's IVF
     * search and q57's semantic dedup. */
-  private def kmeansAsgCtes: String = {
+  private def kmeansAsgCtes: String = kmeansAsgCtesOver("nn", "kmeans")
+
+  /** The k-means chain with TRAINING restricted to `trainSrc` (a CTE
+    * name; `"nn"` = the whole corpus, reproducing the original chain
+    * byte-for-byte) while `ac`/`asg` always assign the full corpus —
+    * the frozen-quantizer shape q114's incremental ANN index uses
+    * (train the codebook on the bootstrap slice, assign everything).
+    * `shareName` must be distinct per distinct chain text (the
+    * tools/check.py SHARED-cache contract). */
+  private def kmeansAsgCtesOver(trainSrc: String, shareName: String): String = {
     // one Lloyd round: assign (argmax cosine, ties to lowest cid) →
     // exact per-dimension decimal means → empty cells keep centroid
     def round(i: Int): String = {
@@ -1258,7 +1267,7 @@ object PipelineQueries {
       s"""a$i AS (SELECT e.vec_id, e.v, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id
          |           ORDER BY ${dotSql("e.v", "c.cv")}/(e.nrm*c.cnrm) DESC, c.cid ASC) AS rn
-         |       FROM nn e CROSS JOIN $prev c),
+         |       FROM $trainSrc e CROSS JOIN $prev c),
          |s$i AS (SELECT a.cid, d.i AS pos,
          |         CAST(sum(CAST(a.v[d.i] AS DECIMAL(38,15))) AS DOUBLE)/count(*) AS m
          |       FROM (SELECT * FROM a$i WHERE rn = 1) a
@@ -1271,10 +1280,16 @@ object PipelineQueries {
     }
     val rounds = (1 to IvfKmeansIters).map(round).mkString(",\n")
     val cFinal = s"c$IvfKmeansIters"
-    sharedCtes("kmeans", Seq("nn", "ac", "asg"),
+    val trainCte =
+      if (trainSrc == "nn") ""
+      else s"""$trainSrc AS (SELECT * FROM nn
+              |         WHERE vec_id <= (SELECT min(vec_id)
+              |           + (max(vec_id) - min(vec_id)) // 3 FROM nn)),
+              |""".stripMargin
+    sharedCtes(shareName, Seq("nn", "ac", "asg"),
       s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM n),
-         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nn
+         |${trainCte}c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM $trainSrc
          |         WHERE vec_id < $IvfCentroids),
          |$rounds,
          |ac AS (SELECT e.vec_id, c.cid,
@@ -2046,6 +2061,73 @@ object PipelineQueries {
        |FROM t0 WHERE t0.doc_id NOT IN (SELECT doc_id FROM flag)
        |GROUP BY t0.source ORDER BY t0.source""".stripMargin
   }
+
+  // ---- Q113: IVF ANN search served from a PERSISTED index ---------------
+  // q37 scores off a codebook trained inline; this builds the
+  // production asset — the cid-bucketed cells table + frozen codebook
+  // — and probes it.  The probes' candidate cell ids become isin
+  // literals, so the cells scan bucket-prunes (the q108 contract for
+  // vectors).  Oracle is q37's verbatim: the index round-trip must
+  // not change one bit of any cosine.
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val name = "q113_ann_idx"
+    graft.ext.AnnIndex.writeAnnIndex(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", name, IvfCentroids, IvfKmeansIters)
+    graft.ext.AnnIndex.annTopKFromIndex(s, name, Seq(1L, 2L, 3L, 4L, 5L),
+        k = 3, nProbe = IvfProbe)
+      .orderBy("vec_id", "neighbor_id")
+  }
+  val q113Sql: String = q37Sql
+
+  // ---- Q114: ANN index maintained INCREMENTALLY with a FROZEN codebook --
+  // The FAISS-style production contract: train the coarse quantizer
+  // ONCE on the bootstrap corpus, freeze it, assign every later batch
+  // against it — appends are O(|batch|), nothing stored is touched.
+  // The gate run bootstraps on the first third (where the quantizer
+  // trains), ingests the rest as two marker-gated batches, replays
+  // one pre-compaction, folds the cells to one base, then replays the
+  // other ACROSS the boundary (both replays require()d no-ops).  The
+  // oracle replays the same frozen-codebook semantics in SQL: k-means
+  // CTEs restricted to the bootstrap slice, assignment over the full
+  // corpus.
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.AnnIndex
+    val name = "q114_ann_inc"
+    val emb = tbl(s, dir, "embeddings")
+    val ids = emb.select(min(col("vec_id")), max(col("vec_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    AnnIndex.writeAnnIndex(emb.where(col("vec_id") <= c1), "vec_id",
+      "embedding", name, IvfCentroids, IvfKmeansIters)
+    def ingest(n: Long, df: DataFrame): Boolean =
+      AnnIndex.ingestAnnBatch(df, n, "vec_id", "embedding", name)
+    val b0 = emb.where(col("vec_id") > c1 && col("vec_id") <= c2)
+    val b1 = emb.where(col("vec_id") > c2)
+    require(ingest(0L, b0) && ingest(1L, b1), "fresh batches must land")
+    require(!ingest(0L, b0), "pre-compaction replay must no-op at the marker")
+    graft.ext.AnnIndex.compactAnnIndex(s, name)
+    require(!ingest(1L, b1), "post-compaction replay must no-op at the marker")
+    AnnIndex.annTopKFromIndex(s, name, Seq(1L, 2L, 3L, 4L, 5L),
+        k = 3, nProbe = IvfProbe)
+      .orderBy("vec_id", "neighbor_id")
+  }
+  val q114Sql: String =
+    s"""WITH ${kmeansAsgCtesOver("tnn", "kmeans_boot")},
+       |pcells AS (SELECT vec_id AS probe_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac
+       |         WHERE vec_id IN (1,2,3,4,5)) WHERE rn <= $IvfProbe),
+       |sc AS (SELECT pc.probe_id AS vec_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.v", "e.v")}/(p.nrm*e.nrm) AS cos
+       |       FROM pcells pc
+       |       JOIN asg a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+       |       JOIN nn p ON p.vec_id = pc.probe_id
+       |       JOIN nn e ON e.vec_id = a.vec_id),
+       |rk AS (SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
 
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
@@ -3552,6 +3634,8 @@ object PipelineQueries {
     "q110_bm25_compaction" -> (q110 _),
     "q111_bm25_streamed" -> (q111 _),
     "q112_retrieval_decontam" -> (q112 _),
+    "q113_ann_from_index" -> (q113 _),
+    "q114_ann_incremental" -> (q114 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3663,6 +3747,8 @@ object PipelineQueries {
     "q110_bm25_compaction" -> q110Sql,
     "q111_bm25_streamed" -> q111Sql,
     "q112_retrieval_decontam" -> q112Sql,
+    "q113_ann_from_index" -> q113Sql,
+    "q114_ann_incremental" -> q114Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -378,6 +378,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
   }
 
+  test("q113: ANN index probe prunes to the candidate cells' buckets") {
+    // the probes' nProbe cell ids become isin literals on the cid-
+    // bucketed cells table — the scan must show bucket pruning (the
+    // q108 contract for vectors), and scoring joins broadcast
+    val p = plan(PipelineQueries.q113(spark, sf))
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(p).toList
+    assert(hits.nonEmpty, s"cells scan must show bucket pruning:\n$p")
+    assert(hits.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"the candidate-cell scan must read a strict subset of buckets:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
