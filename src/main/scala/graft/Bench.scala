@@ -277,6 +277,12 @@ object Bench {
     // b8 (cheap ANN) runs BEFORE the two LSH heavyweights so its
     // pre-block load stamp reflects ambient, not b6/b7's own wake
     val b8 = best5Loaded { PipelineQueries.q15b(spark, sfDir).count() }
+    // B14: BM25 top-k retrieval (q105) — the scorer the round-12
+    // retrieval family (persisted/incremental/streamed index, q112
+    // decontamination) shares.  Cheap by design (only query-term
+    // postings shuffle), so it runs with the light blocks before the
+    // LSH heavyweights' wake.
+    val b14 = best5Loaded { PipelineQueries.q105(spark, sfDir).count() }
     val b6 = best5Loaded {
       PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
     }
@@ -307,7 +313,7 @@ object Bench {
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
       "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9,
       "b10_dedup_ttl_tws" -> b10, "b11_q92_survivor_corpus" -> b11,
-      "b13_q106_passage_removal" -> b13)
+      "b13_q106_passage_removal" -> b13, "b14_q105_bm25_topk" -> b14)
     val qjson = qs.map { case (k, (v, _, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention

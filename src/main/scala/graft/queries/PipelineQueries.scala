@@ -2129,6 +2129,54 @@ object PipelineQueries {
        |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
        |ORDER BY vec_id, neighbor_id""".stripMargin
 
+  // ---- Q115: ANN index maintained by a STREAM, redelivered, compacted ---
+  // The q111 lifecycle for vectors: bootstrap trains + freezes the
+  // quantizer, a foreachBatch sink lands each embedding micro-batch
+  // through the marker-gated ingest, the index compacts mid-loop,
+  // and an uncheckpointed restart redelivers every epoch — only the
+  // genuinely new one lands.  Probe must match q114's frozen-codebook
+  // oracle bit-for-bit.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.AnnIndex
+    val name = "q115_ann_stream"
+    val emb = tbl(s, dir, "embeddings")
+    val ids = emb.select(min(col("vec_id")), max(col("vec_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val c1 = lo + (hi - lo) / 3
+    AnnIndex.writeAnnIndex(emb.where(col("vec_id") <= c1), "vec_id",
+      "embedding", name, IvfCentroids, IvfKmeansIters)
+    val rows = emb.where(col("vec_id") > c1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val batches = rows.grouped((rows.length + 2) / 3).toIndexedSeq
+    def runStream(feed: Seq[IndexedSeq[(Long, Seq[Double])]]): Unit = {
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamingAgg.annIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", name)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(batches.take(2).map(_.toIndexedSeq)) // epochs 0, 1 land
+    AnnIndex.compactAnnIndex(s, name)
+    val postCompact = s.table(s"${name}_cells").count()
+    // uncheckpointed restart: epochs 0/1 redeliver (no-ops at the
+    // marker, across the fold), epoch 2 is the only new data
+    runStream(batches.map(_.toIndexedSeq))
+    require(s.table(s"${name}_cells")
+        .where(col("batch_id").isin(0L, 1L)).count() == 0L,
+      "redelivered epochs must not re-land their folded partitions")
+    require(s.table(s"${name}_cells").count() > postCompact,
+      "the new epoch must land")
+    AnnIndex.annTopKFromIndex(s, name, Seq(1L, 2L, 3L, 4L, 5L),
+        k = 3, nProbe = IvfProbe)
+      .orderBy("vec_id", "neighbor_id")
+  }
+  // streamed maintenance must reproduce the frozen-codebook oracle
+  val q115Sql: String = q114Sql
+
   // ---- Q106: cross-document repeated-passage REMOVAL --------------------
   // q65 scores the exact-substring duplication; this one ACTS on it
   // (Lee et al. ACL 2022, ExactSubstr at word-8-gram granularity):
@@ -3636,6 +3684,7 @@ object PipelineQueries {
     "q112_retrieval_decontam" -> (q112 _),
     "q113_ann_from_index" -> (q113 _),
     "q114_ann_incremental" -> (q114 _),
+    "q115_ann_streamed" -> (q115 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3749,6 +3798,7 @@ object PipelineQueries {
     "q112_retrieval_decontam" -> q112Sql,
     "q113_ann_from_index" -> q113Sql,
     "q114_ann_incremental" -> q114Sql,
+    "q115_ann_streamed" -> q115Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -399,6 +399,27 @@ object StreamingAgg {
     }.start()
   }
 
+  /** Maintain a persisted ANN index from an embedding stream — the
+    * vector twin of [[bm25IndexSink]]: each micro-batch is assigned
+    * against the index's FROZEN codebook and lands through the
+    * marker-gated ingest ([[graft.ext.AnnIndex.ingestAnnBatch]]), so
+    * an at-least-once redelivery is a no-op at the seen gate, across
+    * compaction boundaries included.  The index must already be
+    * bootstrapped ([[graft.ext.AnnIndex.writeAnnIndex]] — that is
+    * where the quantizer trains). */
+  def annIndexSink(emb: DataFrame, idCol: String, vecCol: String,
+      name: String, batchIdBase: Long = 0L, buckets: Int = 16,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = emb.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.ext.AnnIndex.ingestAnnBatch(batch.toDF(), batchIdBase + batchId,
+        idCol, vecCol, name, buckets)
+      ()
+    }.start()
+  }
+
   /** The FULL continuous-curation maintenance loop as one streaming
     * query — the production composition gate q93/q100 run batch-wise,
     * wired into `foreachBatch`.  Per micro-batch:

@@ -22,6 +22,10 @@ object IndexBench {
     if (args.headOption.contains("growth")) return growth(
       if (args.length > 1) args(1).toInt else 20000,
       if (args.length > 2) args(2).toInt else 500)
+    if (args.headOption.contains("bm25")) return bm25Growth(
+      if (args.length > 1) args(1).toInt else 20000,
+      if (args.length > 2) args(2).toInt else 500,
+      if (args.length > 3) args(3).toInt else 32)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -95,6 +99,71 @@ object IndexBench {
       size = target
       println(f"index_size=$size%8d  probe_s=${probeTime()}%.2f")
     }
+    spark.stop()
+  }
+
+  /** BM25-index growth curve — the measured claim behind
+    * `Retrieval.compactBm25Index`: every `appendBm25Batch` lands
+    * ~tasks×buckets new files per table and the probe reads every
+    * partition of its pruned buckets, so probe wall time grows with
+    * batches-since-compaction; ONE fold restores the bootstrap-sized
+    * probe.  Probes a FIXED query workload at batch checkpoints
+    * {1, 8, batches}, then compacts and re-probes.
+    * Usage: runMain graft.tools.IndexBench bm25 [baseDocs] [batchDocs] [batches]
+    */
+  private def bm25Growth(base: Int, nBatch: Int, batches: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.Retrieval
+    // deterministic pseudo-text over a 5,000-term vocabulary: 30
+    // tokens per doc, term = "w" + (id * prime) % 5000 — every doc
+    // hits ~30 distinct terms, so df values are realistic and the
+    // probe's terms have non-trivial postings at every size point
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      concat_ws(" ", (0 until 30).map(k =>
+        concat(lit("w"), pmod(col("id") * lit(31 + k), lit(5000)))): _*)
+        .as("text"))
+    import spark.implicits._
+    val queries = Seq(("q1", "w17"), ("q1", "w233"), ("q2", "w999"),
+      ("q2", "w4242"), ("q3", "w5"), ("q3", "w1717")).toDF("qid", "term")
+    val name = "bm25grow_idx"
+    def files(tbl: String): Long = {
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def probeTime(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Retrieval.bm25TopKFromIndex(spark, name, queries, "qid", "term", 10)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def point(label: String): Unit =
+      println(f"$label%-28s probe_s=${probeTime()}%.2f " +
+        f"postings_files=${files(s"${name}_postings")}%d")
+    Retrieval.writeBm25Index(docs(0L, base.toLong), "id", "text", name)
+    point(s"bootstrap n=$base")
+    val checkpoints = Set(1, 8, batches)
+    for (b <- 0 until batches) {
+      val lo = base.toLong + b.toLong * nBatch
+      Retrieval.ingestBm25Batch(docs(lo, lo + nBatch), b.toLong, "id",
+        "text", name)
+      if (checkpoints(b + 1)) point(s"batches=${b + 1}")
+    }
+    val t0 = System.nanoTime()
+    Retrieval.compactBm25Index(spark, name)
+    println(f"compact_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+    point("post-compaction")
     spark.stop()
   }
 }
