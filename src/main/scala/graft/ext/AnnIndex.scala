@@ -152,6 +152,56 @@ object AnnIndex {
     Similarity.topK(scored, k)
   }
 
+  /** Within-cell near-duplicate pairs between a NEW batch and the
+    * stored index, plus the batch's internal pairs — the incremental
+    * pair-emission step of semantic dedup (SemDeDup-style, the q57
+    * semantics) against the frozen quantizer.  Call BEFORE ingesting
+    * the batch (ids must be disjoint from the stored cells); across a
+    * disjoint batch sequence each unordered pair is emitted exactly
+    * once — when its LATER member arrives — so the union of all
+    * batches' pairs equals the one-shot within-cell pair set, and an
+    * incremental closure over them equals the one-shot clustering
+    * ([[graft.ext.Components.incrementalComponents]]; gate q116).
+    *
+    * Scale shape: the batch assigns in one codegen'd projection and
+    * BROADCASTS into the stored cells, which are scanned only for
+    * the batch's own cell ids (isin literals → bucket pruning) —
+    * per-batch cost is O(|batch| × touched-cell occupancy), the
+    * stored table never shuffles. */
+  def semanticPairsAgainstIndex(emb: DataFrame, idCol: String,
+      vecCol: String, name: String, minCos: Double): DataFrame = {
+    val s = emb.sparkSession
+    val cents = loadCodebook(s, name)
+    val b = emb.select(col(idCol).as("bid"), vecD(col(vecCol)).as("bv"))
+      .withColumn("bn", normD(col("bv")))
+      .withColumn("cid", Similarity.assignCell(col("bv"), col("bn"), cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the batch's cell ids as literals: bounded by nCentroids (the
+      // codebook is tiny by construction), prunes the stored scan
+      val touched = b.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val stored = s.table(s"${name}_cells")
+        .where(col("cid").isin(touched: _*))
+      val cross = stored.join(broadcast(b), Seq("cid"))
+        .where(cosineWithNorms(dotD(col("bv"), col("v")),
+          col("bn"), col("nrm")) >= minCos)
+        .select(least(col("id"), col("bid")).as("id_a"),
+          greatest(col("id"), col("bid")).as("id_b"))
+      val l = b.select(col("cid"), col("bid").as("id_a"),
+        col("bv").as("va"), col("bn").as("na"))
+      val r = b.select(col("cid"), col("bid").as("id_b"),
+        col("bv").as("vb"), col("bn").as("nb"))
+      val internal = l.join(r, Seq("cid")).where(col("id_a") < col("id_b"))
+        .where(cosineWithNorms(dotD(col("va"), col("vb")),
+          col("na"), col("nb")) >= minCos)
+        .select(col("id_a"), col("id_b"))
+      // materialize before unpersisting the batch projection
+      val out = cross.unionByName(internal).localCheckpoint(true)
+      out
+    } finally b.unpersist()
+  }
+
   /** The frozen quantizer, loaded as driver-side literals (tiny by
     * construction — the [[Similarity.kmeansCodebook]] contract). */
   private def loadCodebook(spark: SparkSession,

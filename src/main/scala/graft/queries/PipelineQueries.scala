@@ -2865,6 +2865,77 @@ object PipelineQueries {
        |FROM embeddings em LEFT JOIN lbl l ON l.nd = em.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---- Q116: INCREMENTAL semantic dedup against the frozen ANN index ----
+  // q57 as a living pipeline, composing three families: per batch,
+  // (1) the batch's within-cell near-dup pairs are emitted against
+  // the persisted ANN index (frozen quantizer — the batch broadcasts
+  // into the bucket-pruned stored cells, the stored table never
+  // shuffles), (2) the batch lands through the marker-gated ingest,
+  // (3) the pairs fold into the assignment table via the O(|batch|)
+  // incremental closure.  Across disjoint batches each unordered
+  // pair is emitted exactly once (when its later member arrives), so
+  // the union of batch pair sets equals the one-shot within-cell
+  // pair set and the final assignments must equal the one-shot
+  // closure — the oracle replays frozen-codebook semantic clustering
+  // in SQL (k-means trained on the bootstrap slice, assignment +
+  // pairs + recursive closure over the full corpus).  At a real
+  // cadence the assignment updates would flow through the q90 delta
+  // log; the gate composes the in-memory form.
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{AnnIndex, Components}
+    val name = "q116_sem_idx"
+    val emb = tbl(s, dir, "embeddings")
+    val ids = emb.select(min(col("vec_id")), max(col("vec_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    AnnIndex.writeAnnIndex(emb.where(col("vec_id") <= c1), "vec_id",
+      "embedding", name, IvfCentroids, IvfKmeansIters)
+    // the bootstrap's own within-cell pairs, off its stored cells
+    val cells0 = s.table(s"${name}_cells")
+    val l = cells0.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = cells0.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs0 = l.join(r, Seq("cid")).where(col("id_a") < col("id_b"))
+      .where(cosineWithNorms(dotD(col("va"), col("vb")),
+        col("na"), col("nb")) >= SemMinCos)
+      .select(col("id_a"), col("id_b"))
+    var assign = Components.connectedComponents(pairs0, "id_a", "id_b",
+      emb.where(col("vec_id") <= c1).select(col("vec_id")), "vec_id")
+      .localCheckpoint(true)
+    val batches = Seq(
+      0L -> emb.where(col("vec_id") > c1 && col("vec_id") <= c2),
+      1L -> emb.where(col("vec_id") > c2))
+    for ((bid, batch) <- batches) {
+      val pairs = AnnIndex.semanticPairsAgainstIndex(batch, "vec_id",
+        "embedding", name, SemMinCos)
+      require(AnnIndex.ingestAnnBatch(batch, bid, "vec_id", "embedding", name),
+        s"fresh batch $bid must land")
+      assign = Components.incrementalComponents(assign, pairs,
+        "id_a", "id_b", "vec_id").localCheckpoint(true)
+    }
+    emb.select(col("vec_id")).join(assign, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
+  val q116Sql: String =
+    s"""WITH RECURSIVE ${kmeansAsgCtesOver("tnn", "kmeans_boot")},
+       |prs AS (SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN nn x ON x.vec_id = a.vec_id
+       |  JOIN nn y ON y.vec_id = b.vec_id
+       |  WHERE ${dotSql("x.v", "y.v")}/(x.nrm*y.nrm) >= $SemMinCos),
+       |edges AS (SELECT u, w FROM prs UNION SELECT w, u FROM prs),
+       |reach(nd, c) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.w, r.c FROM reach r JOIN edges e ON e.u = r.nd),
+       |lbl AS (SELECT nd, min(c) AS comp FROM reach GROUP BY nd)
+       |SELECT em.vec_id, CAST(coalesce(l.comp, em.vec_id) AS BIGINT) AS component
+       |FROM embeddings em LEFT JOIN lbl l ON l.nd = em.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -3685,6 +3756,7 @@ object PipelineQueries {
     "q113_ann_from_index" -> (q113 _),
     "q114_ann_incremental" -> (q114 _),
     "q115_ann_streamed" -> (q115 _),
+    "q116_incremental_semdedup" -> (q116 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3799,6 +3871,7 @@ object PipelineQueries {
     "q113_ann_from_index" -> q113Sql,
     "q114_ann_incremental" -> q114Sql,
     "q115_ann_streamed" -> q115Sql,
+    "q116_incremental_semdedup" -> q116Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

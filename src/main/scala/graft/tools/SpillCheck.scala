@@ -35,7 +35,11 @@ object SpillCheck {
     // round-12: passage removal — positional gram explode through two
     // gram-hash shuffles + collect_list mark aggregation, the biggest
     // new per-key buffers; BM25's decimal-sum + bounded top-k tail
-    "q106_passage_removal", "q105_bm25_topk")
+    "q106_passage_removal", "q105_bm25_topk",
+    // round-12 lifecycle additions: the BM25 index fold (vocab df
+    // re-aggregation + postings re-bucket under spill pressure) and
+    // the ANN incremental lifecycle (k-means dim means, cell fold)
+    "q110_bm25_compaction", "q114_ann_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -102,6 +102,53 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally dropAnn(name)
   }
 
+  test("incremental pair emission covers the one-shot within-cell pair set " +
+      "exactly once across a disjoint batch sequence") {
+    val all = vectors(120)
+    val name = "annspec_pairs"
+    try {
+      def slice(lo: Long, hi: Long) =
+        all.filter(v => v._1 >= lo && v._1 < hi).toDF("vec_id", "embedding")
+      AnnIndex.writeAnnIndex(slice(0, 40), "vec_id", "embedding", name,
+        nCentroids = 8, kmeansIters = 2, buckets = 4)
+      val minCos = 0.9
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // bootstrap-internal pairs off the stored cells
+      val cells0 = spark.table(s"${name}_cells")
+      import graft.functions.ColFns._
+      val l = cells0.select(col("cid"), col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val r = cells0.select(col("cid"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      var got = pairsOf(l.join(r, Seq("cid")).where(col("id_a") < col("id_b"))
+        .where(cosineWithNorms(dotD(col("va"), col("vb")),
+          col("na"), col("nb")) >= minCos)
+        .select(col("id_a"), col("id_b")))
+      for ((lo, hi, bid) <- Seq((40L, 80L, 0L), (80L, 120L, 1L))) {
+        val batchPairs = pairsOf(AnnIndex.semanticPairsAgainstIndex(
+          slice(lo, hi), "vec_id", "embedding", name, minCos))
+        assert(batchPairs.intersect(got).isEmpty,
+          "a pair must be emitted exactly once across batches")
+        got ++= batchPairs
+        assert(AnnIndex.ingestAnnBatch(slice(lo, hi), bid, "vec_id",
+          "embedding", name, 4))
+      }
+      // one-shot reference: within-cell pairs over the final cells
+      val cellsAll = spark.table(s"${name}_cells")
+      val la = cellsAll.select(col("cid"), col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val ra = cellsAll.select(col("cid"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val want = pairsOf(la.join(ra, Seq("cid"))
+        .where(col("id_a") < col("id_b"))
+        .where(cosineWithNorms(dotD(col("va"), col("vb")),
+          col("na"), col("nb")) >= minCos)
+        .select(col("id_a"), col("id_b")))
+      assert(want.nonEmpty && got == want)
+    } finally dropAnn(name)
+  }
+
   test("a crash between cells drop and stage rename is repaired by recovery") {
     val name = "annspec_crash"
     try {
