@@ -336,6 +336,37 @@ object Retrieval {
         (col("__p") + 1).cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank fusion of two bounded per-query rank lists:
+    * `rrf(d) = Σ_list 1/(rrfK + rank_list(d))`, the score-free fusion
+    * for rank lists whose scores live on incomparable scales (BM25 vs
+    * cosine; Cormack et al., SIGIR'09).  Each input carries
+    * (qidCol, idCol, rankCol); a doc absent from one list contributes
+    * 0 for it.  Output: (qidCol, idCol, `rrf_score` = the raw fused
+    * double, `rank` 1..k by (rrf desc, id asc)).
+    *
+    * Scale shape: inputs are top-k lists — bounded at |queries| × k
+    * rows each — so the full-outer join and the per-query re-rank
+    * window run over ≤ 2k rows per query, never the corpus.  Ranks
+    * are small exact integers, so the fused double is bit-stable
+    * across engines and runs. */
+  def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+      rankCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0 && rrfK >= 0, s"k must be positive, rrfK non-negative")
+    requireNumericId(a, idCol, "rrfFuse")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(qidCol), col(idCol), col(rankCol).as(tag))
+    val fused = side(a, "__ra").join(side(b, "__rb"),
+        Seq(qidCol, idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (col("__ra") + lit(rrfK)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("__rb") + lit(rrfK)), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rrf_score"), col("rank"))
+  }
+
   private def requireNumericId(df: DataFrame, idCol: String,
       op: String): Unit =
     require(df.schema(idCol).dataType

@@ -2936,6 +2936,168 @@ object PipelineQueries {
        |FROM embeddings em LEFT JOIN lbl l ON l.nd = em.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---- Q117: HYBRID retrieval — RRF fusion of both persisted indexes ----
+  // The two index families built for q108/q113 serving ONE query:
+  // each benchmark query carries both a term set (BM25, lexical) and
+  // a probe vector (IVF ANN, semantic — the synthetic corpus pairs
+  // doc_id k with embedding vec_id k), and the two rank lists fuse by
+  // reciprocal-rank: rrf(d) = Σ_sys 1/(60 + rank_sys(d)) — the
+  // standard score-free fusion, robust to the incomparable BM25 vs
+  // cosine scales.  Scale shape: both probes are index-served (the
+  // postings scan bucket-prunes to the query terms, the cells scan to
+  // the probed cells), so each rank list is bounded at |queries| × k
+  // rows and the fusion — a full-outer join + re-rank over ≤ 2k rows
+  // per query — never touches the corpus at all.  Probe cost is
+  // independent of corpus size; the only corpus-sized work is the
+  // one-time index builds.  Ranks are small exact integers, so the
+  // fused double is bit-identical across engines; ties (symmetric
+  // rank patterns) break by doc_id on both sides.
+  private val HybridProbes: Seq[(String, Long)] =
+    Seq(("hash_join", 1L), ("window_sort", 2L), ("stream_state", 3L))
+  private val RrfK = 60
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{AnnIndex, Retrieval}
+    val terms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val bmName = "q117_bm25_idx"
+    val annName = "q117_ann_idx"
+    Retrieval.writeBm25Index(tbl(s, dir, "documents"), "doc_id", "text",
+      bmName)
+    AnnIndex.writeAnnIndex(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      annName, IvfCentroids, IvfKmeansIters)
+    val bm = Retrieval.bm25TopKFromIndex(s, bmName, terms, "query_id",
+        "term", Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
+    // selection inside the probe is by raw cosine (the q37/q113
+    // contract); the fused rank re-ranks the k survivors on the
+    // ROUNDED sim both here and in the oracle, so a beyond-6-decimal
+    // cosine difference can never flip a fused rank between engines
+    val awin = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val ann = AnnIndex.annTopKFromIndex(s, annName, HybridProbes.map(_._2),
+        Bm25K, IvfProbe)
+      .withColumn("arank", row_number().over(awin).cast("long"))
+      .join(broadcast(HybridProbes.toDF("query_id", "probe_vec")),
+        col("vec_id") === col("probe_vec"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("arank"))
+    Retrieval.rrfFuse(bm.withColumnRenamed("brank", "r"),
+        ann.withColumnRenamed("arank", "r"),
+        "query_id", "doc_id", "r", Bm25K, RrfK)
+      .withColumn("rrf_score", round(col("rrf_score"), 6))
+      .orderBy("query_id", "rank")
+  }
+  val q117Sql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val pvals = HybridProbes
+      .map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMb = (1.0 - Bm25B).toString
+    s"""WITH $kmeansAsgCtes,
+       |q(query_id, term) AS (VALUES $qvals),
+       |pm(query_id, probe_vec) AS (VALUES $pvals),
+       |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
+       |dtok AS (SELECT doc_id, len(toks) AS l, unnest(toks) AS tok FROM t0),
+       |tfq AS (SELECT doc_id, tok, count(*) AS tf, max(l) AS l FROM dtok
+       |  WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, tok),
+       |dfcq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+       |bsc AS (SELECT q.query_id, tfq.doc_id,
+       |    sum(CAST(ln(1.0 + (CAST(st.n AS DOUBLE) - dfcq.df + 0.5) / (dfcq.df + 0.5))
+       |      * (tfq.tf * $k1p1) / (tfq.tf + $Bm25K1 * ($oneMb + $Bm25B * tfq.l / st.avgdl))
+       |      AS DECIMAL(38,15))) AS score
+       |  FROM tfq JOIN q ON q.term = tfq.tok JOIN dfcq ON dfcq.tok = tfq.tok, st
+       |  GROUP BY q.query_id, tfq.doc_id),
+       |brk AS (SELECT query_id, doc_id, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS brank
+       |  FROM bsc),
+       |b2 AS (SELECT query_id, doc_id, brank FROM brk WHERE brank <= $Bm25K),
+       |pcells AS (SELECT vec_id AS probe_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac
+       |         WHERE vec_id IN (SELECT probe_vec FROM pm)) WHERE rn <= $IvfProbe),
+       |asc0 AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.v", "e.v")}/(p.nrm*e.nrm) AS cos
+       |       FROM pcells pc
+       |       JOIN asg a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+       |       JOIN nn p ON p.vec_id = pc.probe_id
+       |       JOIN nn e ON e.vec_id = a.vec_id),
+       |ark AS (SELECT probe_id, neighbor_id, round(cos, 6) AS sim FROM
+       |        (SELECT probe_id, neighbor_id, cos, row_number() OVER
+       |           (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
+       |         FROM asc0) WHERE rn <= $Bm25K),
+       |a2 AS (SELECT pm.query_id, ark.neighbor_id AS doc_id, row_number() OVER
+       |    (PARTITION BY ark.probe_id ORDER BY ark.sim DESC, ark.neighbor_id) AS arank
+       |  FROM ark JOIN pm ON pm.probe_vec = ark.probe_id),
+       |f AS (SELECT coalesce(b2.query_id, a2.query_id) AS query_id,
+       |    coalesce(b2.doc_id, a2.doc_id) AS doc_id,
+       |    coalesce(CAST(1.0 AS DOUBLE)/(b2.brank + $RrfK), CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE)/(a2.arank + $RrfK), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM b2 FULL OUTER JOIN a2
+       |    ON a2.query_id = b2.query_id AND a2.doc_id = b2.doc_id),
+       |fr AS (SELECT query_id, doc_id, rrf, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM f)
+       |SELECT query_id, doc_id, round(rrf, 6) AS rrf_score,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM fr WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- Q118: INCREMENTAL decontamination — a flag log over the index ----
+  // q112 decontaminates against a fixed benchmark set in one shot;
+  // in production the benchmark suites ARRIVE over time, and
+  // re-sweeping the corpus per suite is the O(N)-per-arrival rewrite
+  // this library exists to avoid.  Here the corpus (and its persisted
+  // BM25 index) is FROZEN; each arriving suite probes the index —
+  // bucket-pruned to its own query terms, O(suite postings)
+  // regardless of corpus size — and its flagged doc ids land as one
+  // TxLog batch (≤ |suite| × k rows).  A replayed suite must no-op at
+  // the commit marker (require()d).  Because flagging is per
+  // query_id (top-k within the query, floor on the rounded score),
+  // the union of per-suite flag sets IS the one-shot flag set over
+  // the union query set, so resolving the log and anti-joining the
+  // corpus must hash-equal q112 exactly — q112's oracle is this
+  // query's oracle.  Decontamination state is the log, not a corpus
+  // rewrite: the only corpus-sized work is the final broadcast
+  // anti-join + per-source aggregate the consumer runs anyway.
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Retrieval
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q118_bm25_idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", name)
+    val flagDir = scratchDir("q118_flags")
+    def flagsOf(suite: (String, Seq[String])): DataFrame = {
+      val qdf = Seq(suite).flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term")
+      Retrieval.bm25TopKFromIndex(s, name, qdf, "query_id", "term",
+          DecontamK, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+        .where(col("score") >= DecontamFloor)
+        .select(col("doc_id")).distinct()
+    }
+    for ((suite, k) <- DecontamQueries.zipWithIndex)
+      require(TxLog.commitBatch(flagsOf(suite), flagDir, k.toLong),
+        s"fresh suite $k must land")
+    // a redelivered suite (crash-recovery replay) must no-op at the
+    // marker — isCommitted short-circuits before the probe runs
+    require(!TxLog.commitBatch(flagsOf(DecontamQueries(1)), flagDir, 1L),
+      "replayed suite must no-op at the commit marker")
+    val flagged = TxLog.readCommitted(s, flagDir)
+      .select(col("doc_id")).distinct()
+    docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("source")
+  }
+  // suite-at-a-time flag log resolved == one-shot decontamination
+  val q118Sql: String = q112Sql
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -3757,6 +3919,8 @@ object PipelineQueries {
     "q114_ann_incremental" -> (q114 _),
     "q115_ann_streamed" -> (q115 _),
     "q116_incremental_semdedup" -> (q116 _),
+    "q117_hybrid_rrf" -> (q117 _),
+    "q118_incremental_decontam" -> (q118 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -3872,6 +4036,8 @@ object PipelineQueries {
     "q114_ann_incremental" -> q114Sql,
     "q115_ann_streamed" -> q115Sql,
     "q116_incremental_semdedup" -> q116Sql,
+    "q117_hybrid_rrf" -> q117Sql,
+    "q118_incremental_decontam" -> q118Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

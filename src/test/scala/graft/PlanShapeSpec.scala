@@ -355,6 +355,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
   }
 
+  test("q118: incremental decontamination — resolved flag log broadcasts, corpus never shuffles") {
+    // the flag log resolves to ≤ |suites| × k ids, so the corpus
+    // filter must stay q112's broadcast anti-join even when the
+    // flagged set comes from TxLog batches instead of an inline probe
+    val p = plan(PipelineQueries.q118(spark, sf))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"flag-log filter must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the decontamination filter:\n$p")
+    assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
+  }
+
   test("q107: stratified priority sample is one bounded per-group agg, no window") {
     val p = plan(PipelineQueries.q107(spark, sf))
     assert(p.contains("partial_collect_top_k"),

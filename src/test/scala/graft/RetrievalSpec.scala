@@ -261,4 +261,55 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("numeric id"))
   }
+
+  test("rrfFuse matches a hand-rolled reciprocal-rank fusion") {
+    // partial overlap (10/11 in both lists, 12 only in a, 13 only in
+    // b) plus a SYMMETRIC rank pattern in q3 (fused scores equal, so
+    // the id tie-break decides)
+    val a = Seq(("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L),
+      ("q2", 20L, 1L), ("q3", 30L, 1L), ("q3", 31L, 2L))
+      .toDF("qid", "id", "r")
+    val b = Seq(("q1", 11L, 1L), ("q1", 13L, 2L), ("q1", 10L, 3L),
+      ("q2", 22L, 1L), ("q3", 31L, 1L), ("q3", 30L, 2L))
+      .toDF("qid", "id", "r")
+    def rrf(ranks: Long*): Double = ranks.map(r => 1.0 / (r + 60)).sum
+    val expect = Map(
+      "q1" -> Seq( // fused: 11 > 10 > 13 > 12, k=3 cuts 12
+        (11L, rrf(2, 1), 1L), (10L, rrf(1, 3), 2L), (13L, rrf(2), 3L)),
+      "q2" -> Seq((20L, rrf(1), 1L), (22L, rrf(1), 2L)),
+      "q3" -> Seq((30L, rrf(1, 2), 1L), (31L, rrf(2, 1), 2L)))
+    val got = Retrieval.rrfFuse(a, b, "qid", "id", "r", k = 3)
+      .collect().groupBy(_.getString(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3))
+          .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      }
+    assert(got == expect)
+  }
+
+  test("per-suite flag probes union to the one-shot decontamination flag set") {
+    // the q118 semantic claim: flagging is per query (top-k within
+    // the query, floor on the rounded score), so probing suites one
+    // at a time and unioning flags equals one probe of the union set
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 150L).map { id =>
+      val len = 4 + (id % 13).toInt
+      val words = (0 until len).map(j => vocab(((id * 11 + j * 3) % 42 % 6).toInt))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val suites = Seq(
+      ("s_a", Seq("alpha", "gamma")),
+      ("s_b", Seq("zeta", "beta")),
+      ("s_c", Seq("epsilon", "delta", "alpha")))
+    def flags(qs: Seq[(String, Seq[String])]) =
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          qs.flatMap { case (q, ts) => ts.map((q, _)) }.toDF("qid", "term"),
+          "qid", "term", k = 9)
+        .where(col("score") >= 1.0)
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    val oneShot = flags(suites)
+    val unioned = suites.map(s => flags(Seq(s))).reduce(_ ++ _)
+    assert(oneShot.nonEmpty && unioned == oneShot)
+  }
 }
