@@ -3098,6 +3098,66 @@ object PipelineQueries {
   // suite-at-a-time flag log resolved == one-shot decontamination
   val q118Sql: String = q112Sql
 
+  // ---- Q119: decontamination maintained by a STREAM, log compacted ------
+  // q118's loop as a continuously-running Structured Streaming query
+  // (the q111/q115 shape for the read side of the index): benchmark
+  // suites arrive as micro-batches, each probes the frozen index and
+  // lands its flags as one TxLog batch.  The gate run feeds two
+  // suites, stops, COMPACTS the flag log mid-loop, then restarts
+  // WITHOUT a checkpoint — the at-least-once shape where the source
+  // redelivers everything: suites 0 and 1 replay (no-ops at the
+  // commit marker, ACROSS the compaction boundary — require()d by
+  // row count, since the resolved distinct would mask a silent
+  // double-land) and suite 2 is the only new probe.  The resolved
+  // log ⊕ broadcast anti-join ⊕ per-source aggregate must still
+  // hash-equal the one-shot decontamination — q112's oracle.
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Retrieval
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q119_bm25_idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", name)
+    val flagDir = scratchDir("q119_flags")
+    val epochs = DecontamQueries.map { case (q, ts) => ts.map(t => (q, t)) }
+    def runStream(feed: Seq[Seq[(String, String)]]): Unit = {
+      val in = MemoryStream[(String, String)]
+      val q = StreamingAgg.decontamFlagSink(
+        in.toDF().toDF("query_id", "term"), "query_id", "term", name,
+        flagDir, DecontamK, DecontamFloor, idCol = "doc_id",
+        k1 = Bm25K1, b = Bm25B)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(epochs.take(2)) // suites 0, 1 land
+    TxLog.compact(s, flagDir) // fold the flag log mid-loop
+    val afterCompact = TxLog.readCommitted(s, flagDir).count()
+    // uncheckpointed restart: the source redelivers suites 0 and 1
+    // (no-ops at the marker, across the fold), then suite 2 lands
+    runStream(epochs)
+    val suite2 = Retrieval.bm25TopKFromIndex(s, name,
+        epochs(2).toDF("query_id", "term"), "query_id", "term",
+        DecontamK, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .where(col("score") >= DecontamFloor)
+      .select(col("doc_id")).distinct().count()
+    require(TxLog.isCommitted(s, flagDir, 2L), "the new suite must land")
+    require(TxLog.readCommitted(s, flagDir).count() == afterCompact + suite2,
+      "redelivered suites must no-op across the compaction boundary")
+    val flagged = TxLog.readCommitted(s, flagDir)
+      .select(col("doc_id")).distinct()
+    docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("source")
+  }
+  // streamed maintenance + redelivery + compaction must not change
+  // the decontaminated corpus by one bit
+  val q119Sql: String = q112Sql
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -3921,6 +3981,7 @@ object PipelineQueries {
     "q116_incremental_semdedup" -> (q116 _),
     "q117_hybrid_rrf" -> (q117 _),
     "q118_incremental_decontam" -> (q118 _),
+    "q119_streamed_decontam" -> (q119 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4038,6 +4099,7 @@ object PipelineQueries {
     "q116_incremental_semdedup" -> q116Sql,
     "q117_hybrid_rrf" -> q117Sql,
     "q118_incremental_decontam" -> q118Sql,
+    "q119_streamed_decontam" -> q119Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

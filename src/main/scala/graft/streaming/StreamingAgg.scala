@@ -420,6 +420,43 @@ object StreamingAgg {
     }.start()
   }
 
+  /** Maintain a decontamination FLAG LOG from a stream of benchmark
+    * queries — the read-side twin of [[bm25IndexSink]]: the corpus
+    * and its BM25 index stay FROZEN while eval suites arrive as
+    * micro-batches of (qid, term) rows.  Each batch probes the index
+    * (bucket-pruned to its own terms — O(batch postings) regardless
+    * of corpus size), flags the top-`k` docs per query scoring at
+    * least `floor` (on the rounded score, the
+    * [[graft.queries.PipelineQueries]] q112 contract), and commits
+    * the flagged ids as ONE TxLog batch of ≤ |batch queries| × k
+    * rows.  At-least-once redelivery no-ops at the commit marker —
+    * across flag-log compactions included — and the guard runs
+    * BEFORE the probe, so a replay costs a marker probe, not a
+    * scoring pass.  Downstream reads
+    * [[graft.sources.TxLog.readCommitted]] → distinct → broadcast
+    * anti-join: the corpus is never rewritten.  `batchIdBase` is the
+    * [[curationSink]] restart convention. */
+  def decontamFlagSink(bench: DataFrame, qidCol: String, termCol: String,
+      indexName: String, flagDir: String, k: Int, floor: Double,
+      idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
+      batchIdBase: Long = 0L, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = bench.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val s = batch.sparkSession
+      val id = batchIdBase + batchId
+      if (!graft.sources.TxLog.isCommitted(s, flagDir, id)) {
+        val flags = graft.ext.Retrieval.bm25TopKFromIndex(s, indexName,
+            batch.toDF(), qidCol, termCol, k, idCol, k1, b)
+          .where(col("score") >= floor)
+          .select(col(idCol)).distinct()
+        graft.sources.TxLog.commitBatch(flags, flagDir, id)
+      }
+      ()
+    }.start()
+  }
+
   /** The FULL continuous-curation maintenance loop as one streaming
     * query — the production composition gate q93/q100 run batch-wise,
     * wired into `foreachBatch`.  Per micro-batch:
