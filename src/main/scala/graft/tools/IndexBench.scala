@@ -26,6 +26,8 @@ object IndexBench {
       if (args.length > 1) args(1).toInt else 20000,
       if (args.length > 2) args(2).toInt else 500,
       if (args.length > 3) args(3).toInt else 32)
+    if (args.headOption.contains("hybrid")) return hybridGrowth(
+      if (args.length > 1) args(1).toInt else 20000)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -164,6 +166,87 @@ object IndexBench {
     Retrieval.compactBm25Index(spark, name)
     println(f"compact_s=${(System.nanoTime() - t0) / 1e9}%.2f")
     point("post-compaction")
+    spark.stop()
+  }
+
+  /** Hybrid-fusion growth curve — the measured claim behind q117:
+    * the fused probe (BM25 postings probe + IVF ANN probe + RRF over
+    * the two bounded rank lists) costs O(query postings + probed
+    * cells), INDEPENDENT of corpus size.  Builds both indexes at a
+    * base size, probes a fixed workload, grows the corpus to 4x and
+    * 16x via frozen-codebook / marker-gated appends, COMPACTS both
+    * indexes at each checkpoint (so file-count growth — the separate,
+    * already-measured compaction story — cannot pollute the slope),
+    * and re-probes.  A flat-ish fused probe time across 16x corpus
+    * growth is the claim, measured.
+    * Usage: runMain graft.tools.IndexBench hybrid [baseDocs]
+    */
+  private def hybridGrowth(base: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{AnnIndex, Retrieval}
+    import spark.implicits._
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      concat_ws(" ", (0 until 30).map(k =>
+        concat(lit("w"), pmod(col("id") * lit(31 + k), lit(5000)))): _*)
+        .as("text"))
+    // deterministic dense embeddings, 64 dims — cheap to generate,
+    // non-degenerate cosines (sin of id-scaled frequencies).
+    // MATERIALIZED before use: an unmaterialized array expression fed
+    // into the index's HOF lambdas re-evaluates per element on
+    // Catalyst's interpreted HOF path (the TextOps two-step lesson —
+    // measured here as a >100x bootstrap blowup)
+    def embs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      array((0 until 64).map(k =>
+        sin(col("id").cast("double") * lit(0.1 * (k + 1)) + lit(k))): _*)
+        .as("v"))
+      .localCheckpoint()
+    val queries = Seq(("q1", "w17"), ("q1", "w233"), ("q2", "w999"),
+      ("q2", "w4242"), ("q3", "w5"), ("q3", "w1717")).toDF("qid", "term")
+    val probeIds = Seq(1L, 2L, 3L)
+    val (bmName, annName) = ("hybgrow_bm25", "hybgrow_ann")
+    def probeTime(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val bm = Retrieval.bm25TopKFromIndex(spark, bmName, queries,
+            "qid", "term", 10)
+          .select(col("qid"), col("id"), col("rank").as("r"))
+        val ann = AnnIndex.annTopKFromIndex(spark, annName, probeIds, 10, 4)
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+              .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
+          .join(probeIds.zip(Seq("q1", "q2", "q3")).toDF("vec_id", "qid"),
+            Seq("vec_id"))
+          .select(col("qid"), col("neighbor_id").as("id"), col("r"))
+        Retrieval.rrfFuse(bm, ann, "qid", "id", "r", 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    Retrieval.writeBm25Index(docs(0L, base.toLong), "id", "text", bmName)
+    // 16 centroids = the gate/q113 knob: assignCell embeds the
+    // codebook as literals, so centroid count scales the projection's
+    // expression size — 16×64 dims stays inside what codegen JITs
+    AnnIndex.writeAnnIndex(embs(0L, base.toLong), "id", "v", annName, 16, 2)
+    println(f"bootstrap n=$base%-8d fused_probe_s=${probeTime()}%.2f")
+    var size = base.toLong
+    var batchId = 0L
+    def growTo(target: Long, label: String): Unit = {
+      while (size < target) {
+        Retrieval.ingestBm25Batch(docs(size, size + base), batchId, "id",
+          "text", bmName)
+        AnnIndex.ingestAnnBatch(embs(size, size + base), batchId, "id",
+          "v", annName)
+        size += base; batchId += 1
+      }
+      Retrieval.compactBm25Index(spark, bmName)
+      AnnIndex.compactAnnIndex(spark, annName)
+      println(f"$label n=$size%-8d fused_probe_s=${probeTime()}%.2f")
+    }
+    growTo(4L * base, "grown-4x ")
+    growTo(16L * base, "grown-16x")
     spark.stop()
   }
 }

@@ -39,7 +39,11 @@ object SpillCheck {
     // round-12 lifecycle additions: the BM25 index fold (vocab df
     // re-aggregation + postings re-bucket under spill pressure) and
     // the ANN incremental lifecycle (k-means dim means, cell fold)
-    "q110_bm25_compaction", "q114_ann_incremental")
+    "q110_bm25_compaction", "q114_ann_incremental",
+    // round-12 fusion + flag log: both index builds, both probes and
+    // the full-outer fusion under pressure; TxLog batch commits and
+    // the resolved-log anti-join under the same knobs
+    "q117_hybrid_rrf", "q118_incremental_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
