@@ -156,10 +156,26 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", "8") // state sizing, see above
     val b9rows = 200000; val b9batches = 10; val b9keys = 1000
     def deleteRec(p: java.nio.file.Path): Unit = {
-      val walked = java.nio.file.Files.walk(p)
-      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walked.close()
+      // q.stop() returns while the RocksDB state-store maintenance
+      // thread may still be flushing this checkpoint: a file
+      // recreated between the walk and the parent rmdir throws
+      // DirectoryNotEmptyException.  Retry briefly, then leave the
+      // residue — a leaked tmp checkpoint is harmless, a crashed
+      // bench run is not.
+      def sweep(): Unit = {
+        val walked = java.nio.file.Files.walk(p)
+        try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walked.close()
+      }
+      var left = 5
+      while (left > 0)
+        try { sweep(); left = 0 }
+        catch {
+          case _: java.io.IOException =>
+            left -= 1
+            if (left > 0) Thread.sleep(300)
+        }
     }
     def b9run(): Unit = {
       implicit val sq = spark.sqlContext
