@@ -101,15 +101,48 @@ object Decontaminate {
     * [[Dedup.unpersistInputsOf]] on the result.
     *
     * Returns (idCol, `clean_text`, `n_kept`, `n_removed`). */
-  def removeRepeatedPassages(corpus: DataFrame, idCol: String,
-      textCol: String, n: Int = 8,
-      maxBroadcastMarkedDocs: Long = 4000000L): DataFrame = {
-    val toked = Dedup.parallelized(corpus)
+  /** (idCol, `__toks`) — the one tokenization pass every passage
+    * operation shares (the two-step projection contract). */
+  private def tokedOf(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.parallelized(corpus)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val grams = toked
+
+  /** (idCol, `__pos` 1-based, `h` 60-bit gram hash) for every word
+    * `n`-gram start position. */
+  private def gramsOf(toked: DataFrame, idCol: String, n: Int): DataFrame =
+    toked
       .select(col(idCol), posexplode(wordShingles(col("__toks"), n))
         .as(Seq("__p0", "__g")))
       .select(col(idCol), (col("__p0") + 1).as("__pos"), h60(col("__g")).as("h"))
+
+  /** Rebuild clean text from per-doc dropped-span start lists:
+    * token i survives iff no dropped span covers it.  `marks` =
+    * (idCol, `__starts`); docs absent from it pass through unchanged.
+    * Returns (idCol, `clean_text`, `n_kept`, `n_removed`). */
+  private def rebuildClean(toked: DataFrame, marks: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val kept = toked.join(marks, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .select(col(idCol), col("__toks"),
+        // size-0 guard: sequence(1, 0) counts DOWN (TextOps note)
+        when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("__toks"))),
+            i => !exists(col("__st"),
+              s => s <= i && s + lit(n - 1) >= i))).as("__keep"))
+    kept.select(col(idCol),
+      concat_ws(" ", transform(col("__keep"),
+        i => element_at(col("__toks"), i))).as("clean_text"),
+      size(col("__keep")).cast("long").as("n_kept"),
+      (size(col("__toks")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
+  def removeRepeatedPassages(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      maxBroadcastMarkedDocs: Long = 4000000L): DataFrame = {
+    val toked = tokedOf(corpus, idCol, textCol)
+    val grams = gramsOf(toked, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keeper = grams.groupBy(col("h")).agg(min(col(idCol)).as("__keeper"))
     // marked docs: per-doc 1-based start positions of dropped spans
@@ -129,21 +162,7 @@ object Decontaminate {
       }
     // two-step rebuild over bound attributes: kept INDICES first
     // (token i survives iff no dropped span s covers it), tokens after
-    val kept = toked.join(marksSide, Seq(idCol), "left")
-      .select(col(idCol), col("__toks"),
-        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
-      .select(col(idCol), col("__toks"),
-        // size-0 guard: sequence(1, 0) counts DOWN (TextOps note)
-        when(size(col("__toks")) === 0, array().cast("array<int>"))
-          .otherwise(filter(sequence(lit(1), size(col("__toks"))),
-            i => !exists(col("__st"),
-              s => s <= i && s + lit(n - 1) >= i))).as("__keep"))
-    Dedup.registerCleanup(
-      kept.select(col(idCol),
-        concat_ws(" ", transform(col("__keep"),
-          i => element_at(col("__toks"), i))).as("clean_text"),
-        size(col("__keep")).cast("long").as("n_kept"),
-        (size(col("__toks")) - size(col("__keep"))).cast("long").as("n_removed")),
+    Dedup.registerCleanup(rebuildClean(toked, marksSide, idCol, n),
       grams, marks)
   }
 
@@ -167,5 +186,156 @@ object Decontaminate {
         .select(col(idCol),
           coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams")),
       grams)
+  }
+
+  // ---- passage-removal lifecycle: the persisted keeper index ------------
+  //
+  // [[removeRepeatedPassages]] recomputes global gram state per run —
+  // an O(corpus) sweep a production ingest cannot afford per batch.
+  // The incremental form persists the KEEPER index: one row per
+  // distinct gram hash corpus-wide, `(h, keeper)` with keeper = the
+  // smallest doc id carrying the gram, h-bucketed and batch_id-
+  // partitioned under the [[IndexLifecycle]] protocol.
+  //
+  // The contract that makes increments exact is MONOTONE INGEST IDS
+  // (require()d per batch): every id in a new batch exceeds every id
+  // already indexed, so a new document can never steal keeper-ship
+  // from a stored one — stored docs' clean text is immutable, and
+  // cleaning a batch needs only (a) "does h exist in the index"
+  // (stored keeper is automatically smaller) and (b) the within-batch
+  // min id.  Per-batch cost: one gram pass over the batch + one join
+  // against the keeper table's matching rows (the stored side is
+  // scanned in place — bucketed on h, it is never shuffled and never
+  // rewritten) + one TxLog commit of the batch's cleaned docs.  A
+  // doc's passage marks are decided ONCE, on arrival, and the
+  // resolved clean log equals the one-shot removal over the full
+  // corpus (gate q120; DecontaminateSpec).
+  //
+  // Keeper rows are NEW-ONLY (a batch writes rows only for grams the
+  // index has never seen), so h stays unique across partitions and
+  // compaction is a pure relabel + re-bucket — it cannot change a
+  // bit.  Replay is the three-layer recovery of the curation loop:
+  // the clean log guards itself (TxLog marker), the keeper/stats
+  // partitions replay as dynamic-overwrite REPLACES computed against
+  // the stored view EXCLUDING the batch's own partitions, and the
+  // index marker lands last.
+
+  /** Bootstrap the keeper index from the initial corpus: one row per
+    * distinct gram `(h, keeper = min id)`, plus a stats partition
+    * carrying the id high-water mark for the monotonicity gate.
+    * Does NOT clean the bootstrap corpus — run
+    * [[removeRepeatedPassages]] on it and commit that as the clean
+    * log's first batch (gate q120's shape). */
+  def writePassageIndex(corpus: DataFrame, idCol: String, textCol: String,
+      name: String, n: Int = 8, buckets: Int = 16): Unit = {
+    val s = corpus.sparkSession
+    Seq("_keepers", "_pstats", "_batches").foreach(sfx =>
+      graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
+    val grams = gramsOf(tokedOf(corpus, idCol, textCol), idCol, n)
+    IndexLifecycle.writeBatchPartition(
+      grams.groupBy(col("h")).agg(min(col(idCol)).as("keeper")),
+      s"${name}_keepers", IndexLifecycle.bootstrapBatchId,
+      Some(("h", buckets)))
+    IndexLifecycle.writeBatchPartition(
+      corpus.agg(count(lit(1)).as("n_docs"),
+        coalesce(max(col(idCol)).cast("long"), lit(Long.MinValue))
+          .as("max_id")),
+      s"${name}_pstats", IndexLifecycle.bootstrapBatchId, None)
+  }
+
+  /** Marker-gated incremental ingest: clean ONE new batch against the
+    * keeper index and fold its novel grams in.  Returns false (a
+    * no-op, before any compute) when `batchId` is already marked —
+    * the at-least-once replay gate, valid across compactions.
+    *
+    * Layer order (each layer independently replay-safe):
+    *   1. the batch's cleaned docs commit to `cleanDir` as TxLog
+    *      batch `batchId` (its own marker no-ops a replay);
+    *   2. novel keepers + the batch's stats land as dynamic-
+    *      overwrite partitions, computed against the stored view
+    *      EXCLUDING this batch's own partitions (so a replay after a
+    *      partial crash REPLACES instead of corrupting);
+    *   3. the index marker lands last.
+    *
+    * Throws when the batch violates the monotone-id contract — a
+    * smaller-than-indexed id would retroactively re-mark stored
+    * docs, which this index (by design) never does. */
+  def ingestPassageBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String, cleanDir: String, n: Int = 8,
+      buckets: Int = 16): Boolean = {
+    val s = batch.sparkSession
+    require(batchId >= 0, s"ingest batch ids start at 0, got $batchId")
+    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    val notSelf = col("batch_id") =!= lit(batchId)
+    val storedMax = s.table(s"${name}_pstats").where(notSelf)
+      .agg(max(col("max_id"))).first().getLong(0)
+    val ids = batch.agg(
+      coalesce(min(col(idCol)).cast("long"), lit(Long.MaxValue)),
+      coalesce(max(col(idCol)).cast("long"), lit(Long.MinValue)),
+      count(lit(1))).first()
+    require(ids.getLong(0) > storedMax,
+      s"ingestPassageBatch($batchId): batch min id ${ids.getLong(0)} must " +
+        s"exceed the indexed high-water mark $storedMax — keeper-ship is " +
+        "first-arrival, so ingest order must be id order")
+    val toked = tokedOf(batch, idCol, textCol)
+    val grams = gramsOf(toked, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one stored probe for both consumers: per distinct batch gram,
+    // the within-batch keeper + whether the index already holds it
+    val flag = grams.groupBy(col("h")).agg(min(col(idCol)).as("__bk"))
+      .join(s.table(s"${name}_keepers").where(notSelf)
+          .select(col("h"), lit(true).as("__hit")),
+        Seq("h"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val marks = grams.join(flag, Seq("h"))
+        .where(col("__hit").isNotNull || col("__bk") < col(idCol))
+        .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__starts"))
+      graft.sources.TxLog.commitBatch(
+        rebuildClean(toked, marks, idCol, n), cleanDir, batchId)
+      IndexLifecycle.writeBatchPartition(
+        flag.where(col("__hit").isNull)
+          .select(col("h"), col("__bk").as("keeper")),
+        s"${name}_keepers", batchId, Some(("h", buckets)))
+      IndexLifecycle.writeBatchPartition(
+        s.range(1).select(lit(ids.getLong(2)).as("n_docs"),
+          lit(ids.getLong(1)).as("max_id")),
+        s"${name}_pstats", batchId, None)
+      IndexLifecycle.markBatch(s, name, batchId)
+      true
+    } finally { grams.unpersist(); flag.unpersist() }
+  }
+
+  /** Fold the keeper index to one consolidated base.  Keeper rows are
+    * new-only (h unique across partitions), so the fold is a pure
+    * relabel + re-bucket — one file per bucket, not one bit of any
+    * future mark changed; stats fold to one additive row; the marker
+    * table keeps EVERY id (the seen gate is what keeps folded
+    * partitions replay-safe).  Staged-swap crash protocol, repaired
+    * by [[recoverPassageCompaction]] (run first here). */
+  def compactPassageIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    recoverPassageCompaction(spark, name)
+    val keep = s"${name}_keepers"
+    val stats = s"${name}_pstats"
+    if (!Seq(keep, stats).forall(spark.catalog.tableExists)) return
+    val committed = IndexLifecycle.committedIds(spark, name)
+    IndexLifecycle.swapFold(spark, keep, committed,
+      (df, base) => df.withColumn("batch_id", base))
+    IndexLifecycle.swapFold(spark, stats, committed,
+      (df, base) => df
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(max(col("max_id")), lit(Long.MinValue)).as("max_id"))
+        .withColumn("batch_id", base))
+    IndexLifecycle.foldMarkerTable(spark, name)
+  }
+
+  /** Finish a [[compactPassageIndex]] swap a crash interrupted —
+    * idempotent, run first by every compaction. */
+  def recoverPassageCompaction(spark: org.apache.spark.sql.SparkSession,
+      name: String): Boolean = {
+    val partitioned = Set(s"${name}_keepers", s"${name}_pstats")
+    IndexLifecycle.recoverSwaps(spark,
+      (partitioned + s"${name}_batches").toSeq, partitioned)
   }
 }

@@ -3158,6 +3158,107 @@ object PipelineQueries {
   // the decontaminated corpus by one bit
   val q119Sql: String = q112Sql
 
+  // ---- Q120: INCREMENTAL passage removal — the persisted keeper index ---
+  // q106 recomputes global gram state per run; this is its living
+  // form: keeper index bootstrapped on the first third (the
+  // bootstrap's own cleaning = one-shot q106 over that slice,
+  // committed as the clean log's batch 0), two id-monotone batches
+  // ingested — each cleaned on arrival against the stored keepers
+  // (the stored side scanned in place, never shuffled or rewritten;
+  // marks decided ONCE, since a later id can never steal
+  // keeper-ship) and folded in as new-only keeper rows.  One batch
+  // replays before the index fold and one after (both require()d
+  // no-ops at the marker), and the resolved clean log must
+  // hash-equal the one-shot removal over the full corpus — q106's
+  // oracle verbatim.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Decontaminate
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q120_passage_idx"
+    val cleanDir = scratchDir("q120_clean")
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val boot = docs.where(col("doc_id") <= c1)
+    Decontaminate.writePassageIndex(boot, "doc_id", "text", name, PassageN)
+    TxLog.commitBatch(
+      Decontaminate.removeRepeatedPassages(boot, "doc_id", "text", PassageN),
+      cleanDir, 0L)
+    def ingest(k: Long, b: DataFrame): Boolean =
+      Decontaminate.ingestPassageBatch(b, k, "doc_id", "text", name,
+        cleanDir, PassageN)
+    val b1 = docs.where(col("doc_id") > c1 && col("doc_id") <= c2)
+    val b2 = docs.where(col("doc_id") > c2)
+    require(ingest(1L, b1) && ingest(2L, b2), "fresh batches must land")
+    require(!ingest(1L, b1), "pre-compaction replay must no-op at the marker")
+    Decontaminate.compactPassageIndex(s, name)
+    require(!ingest(2L, b2), "post-compaction replay must no-op at the marker")
+    TxLog.readCommitted(s, cleanDir)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")).as("fp"),
+        col("n_kept"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+  // resolved clean log == one-shot removal over the full corpus
+  val q120Sql: String = q106Sql
+
+  // ---- Q121: passage removal maintained by a STREAM ---------------------
+  // q120's loop as a continuously-running query (`passageIndexSink`,
+  // the q111/q115/q119 shape): documents arrive in id order, each
+  // micro-batch is cleaned on arrival against the stored keepers and
+  // folds its novel grams in.  The gate feeds two epochs, stops,
+  // compacts the keeper index mid-loop, restarts WITHOUT a
+  // checkpoint (full redelivery — epochs 0 and 1 no-op at the
+  // marker, ACROSS the fold, require()d) and lands the final epoch;
+  // the resolved clean log must hash-equal the one-shot removal.
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Decontaminate
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val name = "q121_passage_idx"
+    val cleanDir = scratchDir("q121_clean")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val boot = rows.take(rows.length / 3)
+    val bootDf = boot.toSeq.toDF("doc_id", "text")
+    Decontaminate.writePassageIndex(bootDf, "doc_id", "text", name, PassageN)
+    TxLog.commitBatch(
+      Decontaminate.removeRepeatedPassages(bootDf, "doc_id", "text", PassageN),
+      cleanDir, 0L)
+    // id-ordered epochs: the index's monotone first-arrival contract
+    val epochs = rows.drop(rows.length / 3)
+      .grouped((rows.length - rows.length / 3 + 1) / 2)
+      .map(_.toIndexedSeq).toIndexedSeq
+    def runStream(feed: Seq[IndexedSeq[(Long, String)]]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingAgg.passageIndexSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", name,
+        cleanDir, PassageN, batchIdBase = 1L)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(epochs.take(1)) // epoch 0 lands (clean-log batch 1)
+    Decontaminate.compactPassageIndex(s, name)
+    val afterCompact = TxLog.readCommitted(s, cleanDir).count()
+    // uncheckpointed restart: epoch 0 redelivers (no-op at the
+    // marker, across the fold), epoch 1 is the only new data
+    runStream(epochs)
+    require(TxLog.isCommitted(s, cleanDir, 2L), "the new epoch must land")
+    require(TxLog.readCommitted(s, cleanDir).count() ==
+        afterCompact + epochs(1).length,
+      "the redelivered epoch must no-op across the compaction boundary")
+    TxLog.readCommitted(s, cleanDir)
+      .select(col("doc_id"), md5(col("clean_text").cast("binary")).as("fp"),
+        col("n_kept"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+  // streamed maintenance + redelivery + compaction must reproduce
+  // the one-shot removal bit-for-bit
+  val q121Sql: String = q106Sql
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -3982,6 +4083,8 @@ object PipelineQueries {
     "q117_hybrid_rrf" -> (q117 _),
     "q118_incremental_decontam" -> (q118 _),
     "q119_streamed_decontam" -> (q119 _),
+    "q120_incremental_passage" -> (q120 _),
+    "q121_streamed_passage" -> (q121 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4100,6 +4203,8 @@ object PipelineQueries {
     "q117_hybrid_rrf" -> q117Sql,
     "q118_incremental_decontam" -> q118Sql,
     "q119_streamed_decontam" -> q119Sql,
+    "q120_incremental_passage" -> q120Sql,
+    "q121_streamed_passage" -> q121Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -457,6 +457,31 @@ object StreamingAgg {
     }.start()
   }
 
+  /** Maintain the passage-removal keeper index from a document
+    * stream — each micro-batch cleans ON ARRIVAL against the stored
+    * keepers and folds its novel grams in
+    * ([[graft.ext.Decontaminate.ingestPassageBatch]]): cleaned docs
+    * land in the TxLog at `cleanDir`, keeper/stats partitions are
+    * marker-gated, and an at-least-once redelivery no-ops before any
+    * compute — across keeper-index compactions included.  The stream
+    * must deliver batches in id order (the index's monotone
+    * first-arrival contract; a violating batch fails the query
+    * loudly).  The index must already be bootstrapped
+    * ([[graft.ext.Decontaminate.writePassageIndex]]).  `batchIdBase`
+    * is the [[curationSink]] restart convention. */
+  def passageIndexSink(docs: DataFrame, idCol: String, textCol: String,
+      name: String, cleanDir: String, n: Int = 8, buckets: Int = 16,
+      batchIdBase: Long = 0L, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.ext.Decontaminate.ingestPassageBatch(batch.toDF(),
+        batchIdBase + batchId, idCol, textCol, name, cleanDir, n, buckets)
+      ()
+    }.start()
+  }
+
   /** The FULL continuous-curation maintenance loop as one streaming
     * query — the production composition gate q93/q100 run batch-wise,
     * wired into `foreachBatch`.  Per micro-batch:

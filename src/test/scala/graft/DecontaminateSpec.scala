@@ -67,4 +67,67 @@ class DecontaminateSpec extends AnyFunSuite {
     // sanity: only ids 1 and 2 are canonical, everyone else stripped
     assert(viaBroadcast.count { case (_, (_, _, removed)) => removed > 0 } == 38)
   }
+
+  private def dropIdx(name: String): Unit =
+    Seq("_keepers", "_pstats", "_batches").foreach(sfx =>
+      graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
+
+  test("incremental keeper-index cleaning equals the one-shot removal") {
+    // passages repeated across every batch boundary: the bootstrap's
+    // passage reappears in both batches (stored-hit path), batch 1
+    // introduces one that batch 2 repeats (cross-batch keeper), and
+    // batch 2 repeats one within itself (within-batch keeper)
+    val docs = Seq(
+      (1L, "a b c d e unique1 x"),
+      (2L, "a b c d e unique2 y"), // dup of 1's passage inside bootstrap
+      (3L, "p q r s t fresh3 z"),
+      (4L, "a b c d e later4"),    // batch 1: repeats the bootstrap passage
+      (5L, "k l m n o first5"),    // batch 1: new passage
+      (6L, "k l m n o again6"),    // batch 2: repeats batch 1's passage
+      (7L, "u v w x y twice7 u v w x y"), // batch 2: within-doc repeat (kept)
+      (8L, "a b c d e k l m n o both8")) // batch 2: repeats two stored
+    val name = "decspec_pidx"
+    val clean = java.nio.file.Files.createTempDirectory("decspec_clean")
+    try {
+      val boot = docs.take(3).toDF("doc_id", "text")
+      Decontaminate.writePassageIndex(boot, "doc_id", "text", name, n = 5)
+      graft.sources.TxLog.commitBatch(
+        Decontaminate.removeRepeatedPassages(boot, "doc_id", "text", 5),
+        clean.toString, 0L)
+      def ingest(k: Long, b: Seq[(Long, String)]) =
+        Decontaminate.ingestPassageBatch(b.toDF("doc_id", "text"), k,
+          "doc_id", "text", name, clean.toString, n = 5)
+      assert(ingest(1L, docs.slice(3, 5)) && ingest(2L, docs.drop(5)))
+      // replay straddling a compaction: both must no-op at the marker
+      assert(!ingest(1L, docs.slice(3, 5)))
+      Decontaminate.compactPassageIndex(spark, name)
+      assert(!ingest(2L, docs.drop(5)))
+      val got = graft.sources.TxLog.readCommitted(spark, clean.toString)
+        .select("doc_id", "clean_text", "n_kept", "n_removed")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == run(docs, n = 5))
+      // the batch-2 doc repeating two stored passages lost both spans
+      assert(got(8L)._1 == "both8")
+      // within-doc repetition with no earlier doc stays intact
+      assert(got(7L)._3 == 0L)
+    } finally dropIdx(name)
+  }
+
+  test("a non-monotone batch is rejected loudly (keeper-ship is first-arrival)") {
+    val name = "decspec_pidx_mono"
+    val clean = java.nio.file.Files.createTempDirectory("decspec_mono")
+    try {
+      Decontaminate.writePassageIndex(
+        Seq((10L, "a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text", name, n = 5)
+      val ex = intercept[IllegalArgumentException] {
+        Decontaminate.ingestPassageBatch(
+          Seq((5L, "a b c d e g")).toDF("doc_id", "text"), 1L,
+          "doc_id", "text", name, clean.toString, n = 5)
+      }
+      assert(ex.getMessage.contains("id order"))
+    } finally dropIdx(name)
+  }
 }
