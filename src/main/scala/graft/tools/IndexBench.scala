@@ -28,6 +28,9 @@ object IndexBench {
       if (args.length > 3) args(3).toInt else 32)
     if (args.headOption.contains("hybrid")) return hybridGrowth(
       if (args.length > 1) args(1).toInt else 20000)
+    if (args.headOption.contains("passage")) return passageGrowth(
+      if (args.length > 1) args(1).toInt else 20000,
+      if (args.length > 2) args(2).toInt else 500)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -244,6 +247,65 @@ object IndexBench {
       Retrieval.compactBm25Index(spark, bmName)
       AnnIndex.compactAnnIndex(spark, annName)
       println(f"$label n=$size%-8d fused_probe_s=${probeTime()}%.2f")
+    }
+    growTo(4L * base, "grown-4x ")
+    growTo(16L * base, "grown-16x")
+    spark.stop()
+  }
+
+  /** Passage-keeper-index ingest curve — the HONEST cost statement
+    * for `Decontaminate.ingestPassageBatch`: the stored keeper table
+    * is never shuffled or rewritten, but the per-batch probe SCANS
+    * it (batch gram hashes hit every bucket), so ingest wall time
+    * grows with index size — the operational answer is batch sizing
+    * (amortize the scan) + compaction (keep the scan one file per
+    * bucket), not a smaller scan.  Ingests a FIXED batch size as the
+    * index grows 4x/16x (compacted at each checkpoint) and reports
+    * per-batch ingest seconds at each point.
+    * Usage: runMain graft.tools.IndexBench passage [baseDocs] [batchDocs]
+    */
+  private def passageGrowth(base: Int, nBatch: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.Decontaminate
+    // mostly-novel tokens so the keeper table GROWS with the corpus
+    // (a small shared vocabulary saturates distinct grams and the
+    // scan-cost curve flattens for the wrong reason): every doc
+    // contributes ~23 brand-new grams to the index
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+      concat_ws(" ", (0 until 30).map(k =>
+        concat(lit("w"), col("id") * 30 + lit(k))): _*)
+        .as("text"))
+    val name = "pasgrow_idx"
+    val cleanDir = java.nio.file.Files.createTempDirectory("pasgrow_clean")
+      .toString
+    Decontaminate.writePassageIndex(docs(0L, base.toLong), "id", "text", name)
+    var size = base.toLong
+    var batchId = 0L
+    def ingestOne(): Double = {
+      val t0 = System.nanoTime()
+      Decontaminate.ingestPassageBatch(docs(size, size + nBatch), batchId,
+        "id", "text", name, cleanDir)
+      size += nBatch; batchId += 1
+      (System.nanoTime() - t0) / 1e9
+    }
+    def point(label: String): Unit =
+      println(f"$label n=$size%-8d ingest_s=${ingestOne()}%.2f " +
+        f"(batch=$nBatch, keepers=${spark.table(s"${name}_keepers").count()}%d)")
+    point("bootstrap")
+    def growTo(target: Long, label: String): Unit = {
+      while (size < target - nBatch) {
+        val step = math.min(base.toLong, target - nBatch - size)
+        Decontaminate.ingestPassageBatch(docs(size, size + step), batchId,
+          "id", "text", name, cleanDir)
+        size += step; batchId += 1
+      }
+      Decontaminate.compactPassageIndex(spark, name)
+      point(label)
     }
     growTo(4L * base, "grown-4x ")
     growTo(16L * base, "grown-16x")

@@ -43,7 +43,11 @@ object SpillCheck {
     // round-12 fusion + flag log: both index builds, both probes and
     // the full-outer fusion under pressure; TxLog batch commits and
     // the resolved-log anti-join under the same knobs
-    "q117_hybrid_rrf", "q118_incremental_decontam")
+    "q117_hybrid_rrf", "q118_incremental_decontam",
+    // round-12 keeper index: the per-batch gram probe (batch grams
+    // joined against stored keepers), collect_list marks and the
+    // HOF rebuild under pressure, plus the keeper fold
+    "q120_incremental_passage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
