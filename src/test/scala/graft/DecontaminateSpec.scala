@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.Decontaminate
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DecontaminateSpec extends AnyFunSuite {
@@ -113,6 +114,99 @@ class DecontaminateSpec extends AnyFunSuite {
       // within-doc repetition with no earlier doc stays intact
       assert(got(7L)._3 == 0L)
     } finally dropIdx(name)
+  }
+
+  test("a crash that loses the index marker replays the whole step to the same state") {
+    // the q93 crash shape: batch 1 fully lands (clean log + keepers +
+    // marker), then the marker table is lost; the replayed step must
+    // recompute against the stored view EXCLUDING its own partition,
+    // no-op at the clean log's own TxLog marker, and dynamic-
+    // overwrite the keeper partition — converging to the exact state
+    // a crash-free run produces
+    val docs = Seq(
+      (1L, "a b c d e boot1"), (2L, "p q r s t boot2"),
+      (3L, "a b c d e later3"), (4L, "p q r s t later4 x y"))
+    val name = "decspec_pidx_crash"
+    val clean = java.nio.file.Files.createTempDirectory("decspec_crash")
+    try {
+      val boot = docs.take(2).toDF("doc_id", "text")
+      Decontaminate.writePassageIndex(boot, "doc_id", "text", name, n = 5)
+      graft.sources.TxLog.commitBatch(
+        Decontaminate.removeRepeatedPassages(boot, "doc_id", "text", 5),
+        clean.toString, 0L)
+      def ingest() = Decontaminate.ingestPassageBatch(
+        docs.drop(2).toDF("doc_id", "text"), 1L, "doc_id", "text", name,
+        clean.toString, n = 5)
+      assert(ingest())
+      val wantKeepers = spark.table(s"${name}_keepers")
+        .select("h", "keeper").collect().map(_.toSeq).toSet
+      val wantClean = graft.sources.TxLog.readCommitted(spark, clean.toString)
+        .select("doc_id", "clean_text").collect().map(_.toSeq).toSet
+      // simulated crash: the index marker table is gone, everything
+      // else (clean log, keeper partition) already landed
+      graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
+      assert(ingest(), "replay after marker loss must re-run the step")
+      assert(spark.table(s"${name}_keepers")
+        .select("h", "keeper").collect().map(_.toSeq).toSet == wantKeepers,
+        "keeper partition must be replaced, not duplicated")
+      assert(graft.sources.TxLog.readCommitted(spark, clean.toString)
+        .select("doc_id", "clean_text").collect().map(_.toSeq).toSet
+        == wantClean, "the clean log's own marker must no-op the re-commit")
+      // the recovered index still cleans the next batch correctly
+      assert(Decontaminate.ingestPassageBatch(
+        Seq((5L, "a b c d e end5")).toDF("doc_id", "text"), 2L,
+        "doc_id", "text", name, clean.toString, n = 5))
+      val all = graft.sources.TxLog.readCommitted(spark, clean.toString)
+        .select("doc_id", "clean_text", "n_kept", "n_removed").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(all == run(docs :+ (5L, "a b c d e end5"), n = 5))
+    } finally dropIdx(name)
+  }
+
+  test("a crash between the clean-log commit and the keeper write converges on replay") {
+    // layer-1-only crash: the batch's cleaned docs are already in the
+    // clean TxLog but keepers/stats/marker never landed.  The replay
+    // recomputes (clean commit no-ops at ITS marker) and must land
+    // the remaining layers — final state equals a crash-free twin.
+    val docs = Seq(
+      (1L, "a b c d e boot1"), (2L, "f g h i j boot2"),
+      (3L, "a b c d e dup3"), (4L, "k l m n o new4"))
+    def build(name: String, clean: String,
+        crashAfterLayer1: Boolean): Unit = {
+      val boot = docs.take(2).toDF("doc_id", "text")
+      Decontaminate.writePassageIndex(boot, "doc_id", "text", name, n = 5)
+      graft.sources.TxLog.commitBatch(
+        Decontaminate.removeRepeatedPassages(boot, "doc_id", "text", 5),
+        clean, 0L)
+      if (crashAfterLayer1) {
+        // stage layer 1 exactly as the ingest would have: the batch's
+        // cleaned rows under the batch's TxLog id (then "crash")
+        val cleanedBatch = Decontaminate.removeRepeatedPassages(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 5)
+          .where(col("doc_id") > 2L)
+        graft.sources.TxLog.commitBatch(cleanedBatch, clean, 1L)
+      }
+      assert(Decontaminate.ingestPassageBatch(
+        docs.drop(2).toDF("doc_id", "text"), 1L, "doc_id", "text", name,
+        clean, n = 5))
+    }
+    val (cA, cB) = (
+      java.nio.file.Files.createTempDirectory("decspec_l1a").toString,
+      java.nio.file.Files.createTempDirectory("decspec_l1b").toString)
+    try {
+      build("decspec_pidx_l1a", cA, crashAfterLayer1 = true)
+      build("decspec_pidx_l1b", cB, crashAfterLayer1 = false)
+      def state(name: String, clean: String) = (
+        spark.table(s"${name}_keepers").select("h", "keeper")
+          .collect().map(_.toSeq).toSet,
+        graft.sources.TxLog.readCommitted(spark, clean)
+          .select("doc_id", "clean_text", "n_kept", "n_removed")
+          .collect().map(_.toSeq).toSet)
+      assert(state("decspec_pidx_l1a", cA) == state("decspec_pidx_l1b", cB))
+    } finally {
+      dropIdx("decspec_pidx_l1a"); dropIdx("decspec_pidx_l1b")
+    }
   }
 
   test("a non-monotone batch is rejected loudly (keeper-ship is first-arrival)") {
