@@ -162,4 +162,27 @@ class ShuffleBytesSpec extends AnyFunSuite {
     val b = shuffleBytes { PipelineQueries.q95(spark, sf).count() }
     assertCeiling("q95", b, 96 << 10) // (k+1)-bounded partials only
   }
+
+  test("keeper-index ingest: shuffle is O(batch grams), stored keepers never move") {
+    // a ~115k-row stored keeper table (mostly-novel grams) vs a
+    // 50-doc batch: the probe may shuffle only the batch's gram
+    // partials into the stored table's bucket layout — the stored
+    // side is read in place, and an exchange on it would bill ~2 MB
+    // here (and O(index) at scale), blowing the ceiling immediately
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr("id",
+      (0 until 30).map(k => s"concat('w', id * 30 + $k)")
+        .mkString("concat_ws(' ', ", ", ", ") AS text"))
+    val name = "sbspec_pidx"
+    val clean = java.nio.file.Files.createTempDirectory("sbspec_clean")
+    try {
+      graft.ext.Decontaminate.writePassageIndex(
+        docs(0L, 5000L), "id", "text", name)
+      val b = shuffleBytes {
+        graft.ext.Decontaminate.ingestPassageBatch(docs(5000L, 5050L), 0L,
+          "id", "text", name, clean.toString)
+      }
+      assertCeiling("keeper ingest", b, 192 << 10)
+    } finally Seq("_keepers", "_pstats", "_batches").foreach(sfx =>
+      graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
+  }
 }
