@@ -1579,7 +1579,11 @@ object PipelineQueries {
   /** Shared oracle prefix for q92/q94: closure → per-cluster survivor
     * pick (q91's rounded-quality + doc_id tie-break) → quality gate.
     * Exports `f` = (doc_id, n_tokens) of the gated survivor corpus. */
-  private def survivorGateCtes: String = {
+  /** LSH pairs → closure → per-cluster survivor pick, ending at
+    * `r` (doc_id, n_tokens, quality, rn) with rn = 1 marking each
+    * cluster's survivor — the pick WITHOUT the quality gate, so
+    * compositions can insert stages between pick and gate (q122). */
+  private def survivorPickCtes: String = {
     s"""$lshPairsCtes,
        |dup AS (SELECT id_a, id_b FROM pairs
        |  GROUP BY id_a, id_b HAVING max(jac) >= $ClusterMinJaccard),
@@ -1597,9 +1601,12 @@ object PipelineQueries {
        |r AS (SELECT cmp.doc_id, qs.n_tokens, qs.quality,
        |    row_number() OVER (PARTITION BY cmp.component
        |      ORDER BY round(qs.quality, 6) DESC, cmp.doc_id ASC) AS rn
-       |  FROM cmp JOIN qs ON qs.doc_id = cmp.doc_id),
-       |f AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1 AND quality >= 0.5)""".stripMargin
+       |  FROM cmp JOIN qs ON qs.doc_id = cmp.doc_id)""".stripMargin
   }
+
+  private def survivorGateCtes: String =
+    s"""$survivorPickCtes,
+       |f AS (SELECT doc_id, n_tokens FROM r WHERE rn = 1 AND quality >= 0.5)""".stripMargin
   val q92Sql: String =
     s"""WITH RECURSIVE $survivorGateCtes,
        |sp AS (SELECT doc_id, n_tokens,
@@ -3259,6 +3266,124 @@ object PipelineQueries {
   // the one-shot removal bit-for-bit
   val q121Sql: String = q106Sql
 
+  // ---- Q122: the FULL corpus-hygiene pipeline, one plan, one oracle -----
+  // Every hygiene family this library ships, composed in production
+  // order and hash-checked as ONE query: near-dup survivor filter
+  // (q92's LSH pairs → closure → best-quality pick → broadcast
+  // anti-join on the losers) → cross-document passage removal over
+  // the SURVIVING corpus (q106, keepers re-anchored to survivors) →
+  // retrieval decontamination over the CLEANED text (q112 — BM25
+  // scores move when passages vanish, so the probe must run on what
+  // ships) → quality gate re-scored on the cleaned text → hash split
+  // → per-split stats.  sum_id pins membership through all five
+  // stages; sum_removed pins the passage stage's exact token edits;
+  // sum_tokens pins the cleaned lengths.  Scale shape: the cluster
+  // machinery is O(pair-touched docs), the flagged set is bounded by
+  // |benchmarks| × k, and both corpus filters are broadcast
+  // anti-joins — the corpus-sized work is the gram pass, the
+  // scan-side quality projection, and the split aggregate.
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{Decontaminate, Retrieval}
+    val docs = tbl(s, dir, "documents")
+    val kept = docs.join(broadcast(loserIds(s, dir)), Seq("doc_id"), "left_anti")
+    val cleaned = Decontaminate.removeRepeatedPassages(
+      kept, "doc_id", "text", PassageN)
+    val bench = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val flagged = Retrieval.bm25TopK(cleaned, "doc_id", "clean_text",
+        bench, "query_id", "term", DecontamK, Bm25K1, Bm25B)
+      .where(col("score") >= DecontamFloor)
+      .select(col("doc_id")).distinct()
+    val decon = cleaned.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_removed"), col("clean_text").as("text"))
+    val gated = withQuality(decon, col("doc_id"), col("n_removed"))
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(gated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_removed")).as("sum_removed"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  val q122Sql: String = {
+    val grams = (0 until PassageN).map {
+      case 0 => "toks[pos]"
+      case j => s"toks[pos+$j]"
+    }.mkString(" || ' ' || ")
+    val qvals = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMb = (1.0 - Bm25B).toString
+    val allStops = TextOps.StopWords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $survivorPickCtes,
+       |srv AS (SELECT doc_id FROM r WHERE rn = 1),
+       |ptok AS (SELECT d.doc_id, $toksSql AS toks
+       |  FROM documents d JOIN srv USING (doc_id)),
+       |pg AS (SELECT doc_id, unnest(range(1, len(toks)-${PassageN - 2})) AS pos, toks
+       |  FROM ptok WHERE len(toks) >= $PassageN),
+       |pgh AS (SELECT doc_id, pos, ${h60Sql(grams)} AS h FROM pg),
+       |pmn AS (SELECT h, min(doc_id) AS keeper FROM pgh GROUP BY h),
+       |pmk AS (SELECT pgh.doc_id, list(pgh.pos) AS starts
+       |  FROM pgh JOIN pmn USING (h) WHERE pmn.keeper < pgh.doc_id
+       |  GROUP BY pgh.doc_id),
+       |pr AS (SELECT t.doc_id, t.toks,
+       |    coalesce(m.starts, CAST([] AS BIGINT[])) AS st
+       |  FROM ptok t LEFT JOIN pmk m USING (doc_id)),
+       |pk AS (SELECT doc_id, toks, list_filter(range(1, len(toks)+1),
+       |    i -> len(list_filter(st, s -> s <= i AND s + ${PassageN - 1} >= i)) = 0) AS keep
+       |  FROM pr),
+       |cl AS (SELECT doc_id, list_transform(keep, i -> toks[i]) AS ctoks,
+       |    coalesce(array_to_string(list_transform(keep, i -> toks[i]), ' '), '') AS ctext,
+       |    CAST(len(toks) - len(keep) AS BIGINT) AS n_removed
+       |  FROM pk),
+       |q2(query_id, term) AS (VALUES $qvals),
+       |st2 AS (SELECT count(*) AS n, avg(len(ctoks)) AS avgdl FROM cl),
+       |tok2 AS (SELECT doc_id, len(ctoks) AS l, unnest(ctoks) AS tok FROM cl),
+       |tf2 AS (SELECT doc_id, tok, count(*) AS tf, max(l) AS l FROM tok2
+       |  WHERE tok IN (SELECT DISTINCT term FROM q2) GROUP BY doc_id, tok),
+       |dfc2 AS (SELECT tok, count(*) AS df FROM tf2 GROUP BY tok),
+       |sc2 AS (SELECT q2.query_id, tf2.doc_id,
+       |    sum(CAST(ln(1.0 + (CAST(st2.n AS DOUBLE) - dfc2.df + 0.5) / (dfc2.df + 0.5))
+       |      * (tf2.tf * $k1p1) / (tf2.tf + $Bm25K1 * ($oneMb + $Bm25B * tf2.l / st2.avgdl))
+       |      AS DECIMAL(38,15))) AS score
+       |  FROM tf2 JOIN q2 ON q2.term = tf2.tok JOIN dfc2 ON dfc2.tok = tf2.tok, st2
+       |  GROUP BY q2.query_id, tf2.doc_id),
+       |rk2 AS (SELECT query_id, doc_id, score, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc2),
+       |flag2 AS (SELECT DISTINCT doc_id FROM rk2
+       |  WHERE rnk <= $DecontamK
+       |    AND round(CAST(score AS DOUBLE), 6) >= $DecontamFloor),
+       |feat2 AS (SELECT doc_id, n_removed,
+       |    CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       |    coalesce(CAST(list_sum(list_transform(ctoks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE), 0.0)
+       |      / CAST(greatest(len(ctoks), 1) AS DOUBLE) AS mean_tok_len,
+       |    CAST(length(ctext) - length(regexp_replace(ctext, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(ctext), 1) AS DOUBLE) AS punct_ratio,
+       |    CAST(len(list_filter(ctoks, t -> t IN ($allStops))) AS DOUBLE)
+       |      / CAST(greatest(len(ctoks), 1) AS DOUBLE) AS stopword_ratio
+       |  FROM cl WHERE doc_id NOT IN (SELECT doc_id FROM flag2)),
+       |f2 AS (SELECT doc_id, n_tokens, n_removed FROM feat2
+       |  WHERE stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+       |      + least(mean_tok_len / 8.0, 1.0) * 0.3 >= 0.5),
+       |sp2 AS (SELECT doc_id, n_tokens, n_removed,
+       |    CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *, ${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod} AS hb
+       |        FROM f2))
+       |SELECT split, count(*) AS n,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_removed) AS BIGINT) AS sum_removed,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM sp2 GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -4085,6 +4210,7 @@ object PipelineQueries {
     "q119_streamed_decontam" -> (q119 _),
     "q120_incremental_passage" -> (q120 _),
     "q121_streamed_passage" -> (q121 _),
+    "q122_hygiene_pipeline" -> (q122 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4205,6 +4331,7 @@ object PipelineQueries {
     "q119_streamed_decontam" -> q119Sql,
     "q120_incremental_passage" -> q120Sql,
     "q121_streamed_passage" -> q121Sql,
+    "q122_hygiene_pipeline" -> q122Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -367,6 +367,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "\\bWindow\\b") == 0, s"no window anywhere:\n$p")
   }
 
+  test("q122: both hygiene corpus filters broadcast — losers and flags never shuffle the corpus") {
+    // the five-stage composition may shuffle inside the bounded
+    // cluster/probe machinery, but BOTH corpus-sized filters (the
+    // dedup loser set and the contamination flag set) must be
+    // broadcast anti-joins — a sort-merge anti here means the whole
+    // corpus re-shuffles per hygiene pass
+    val p = plan(PipelineQueries.q122(spark, sf))
+    assert(countOf(p, "BroadcastHashJoin .*LeftAnti") >= 2,
+      s"both corpus filters must be broadcast anti-joins:\n$p")
+  }
+
   test("q107: stratified priority sample is one bounded per-group agg, no window") {
     val p = plan(PipelineQueries.q107(spark, sf))
     assert(p.contains("partial_collect_top_k"),
