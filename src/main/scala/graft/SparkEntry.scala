@@ -5,12 +5,14 @@ import graft.queries.RefQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0.  q92 composes the whole library's dedup last mile:
-    * MinHash-LSH pairs → connected-component closure → per-cluster
-    * survivor pick → broadcast anti-join filter of the corpus →
-    * quality gate → deterministic split → per-split stats. */
+    * rows>0.  q122 composes the library's full corpus-hygiene
+    * pipeline: MinHash-LSH pairs → connected-component closure →
+    * per-cluster survivor pick → broadcast anti-join corpus filter →
+    * cross-document passage removal over the survivors → retrieval
+    * decontamination over the cleaned text → quality gate re-scored
+    * on the cleaned text → deterministic split → per-split stats. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.PipelineQueries.q92(spark, "/root/testdata/sf0.001")
+    graft.queries.PipelineQueries.q122(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
