@@ -259,13 +259,31 @@ object Decontaminate {
     *
     * Throws when the batch violates the monotone-id contract — a
     * smaller-than-indexed id would retroactively re-mark stored
-    * docs, which this index (by design) never does. */
+    * docs, which this index (by design) never does — or the
+    * contiguous-batch-id contract (next unseen id == max marked
+    * + 1), which is what turns a lost upstream batch into a loud
+    * error instead of a silently diverged clean log. */
   def ingestPassageBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, cleanDir: String, n: Int = 8,
       buckets: Int = 16): Boolean = {
     val s = batch.sparkSession
     require(batchId >= 0, s"ingest batch ids start at 0, got $batchId")
-    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    val marked = IndexLifecycle.committedIds(s, name)
+    if (marked.contains(batchId)) return false
+    // contiguity gate: the monotone-id check below compares only
+    // against the stored HIGH-WATER mark, so a permanently skipped
+    // batch (a source violating in-order at-least-once delivery)
+    // would pass it silently and the clean log would diverge from
+    // the one-shot oracle with no signal.  Marked ids survive
+    // compaction (the marker fold keeps every id), so the next
+    // unseen id is always max(marked)+1; anything larger means a
+    // batch went missing — fail loudly, never wrong.
+    val realMarked = marked.filter(_ >= 0L)
+    require(realMarked.isEmpty || batchId == realMarked.max + 1L,
+      s"ingestPassageBatch($batchId): batch ids must be contiguous — " +
+        s"highest marked id is ${realMarked.max}, so the next batch " +
+        s"must be ${realMarked.max + 1L}; a gap means a batch was " +
+        "lost upstream and the clean log would silently diverge")
     val notSelf = col("batch_id") =!= lit(batchId)
     val storedMax = s.table(s"${name}_pstats").where(notSelf)
       .agg(max(col("max_id"))).first().getLong(0)

@@ -749,6 +749,13 @@ object Dedup {
       else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
       tbl
     }
+    // a crash BETWEEN the rename and its MSCK sync leaves the table
+    // present with stale partition metadata (invisible to the
+    // missing-table check), so re-sync existing partitioned tables
+    // unconditionally — rename+sync becomes idempotent under
+    // "re-run compaction"
+    for (tbl <- partitioned.toSeq.sorted if spark.catalog.tableExists(tbl))
+      spark.sql(s"MSCK REPAIR TABLE `$tbl` SYNC PARTITIONS")
     val folds = partitioned.toSeq.filter(spark.catalog.tableExists)
       .filter(recoverMinorFold(spark, _))
     swaps.nonEmpty || folds.nonEmpty

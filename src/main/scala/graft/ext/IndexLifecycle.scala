@@ -64,7 +64,14 @@ object IndexLifecycle {
     if (!s.catalog.tableExists(table)) {
       val w = withB.write.partitionBy("batch_id").format("parquet")
       bucket.fold(w) { case (c, n) => w.bucketBy(n, c) }.saveAsTable(table)
-    } else {
+    } else IndexLifecycle.synchronized {
+      // insertInto ignores per-write options (measured: a static
+      // session conf wipes sibling partitions even with
+      // .option("partitionOverwriteMode","dynamic")), so the session
+      // conf MUST be mutated — the object lock makes the set/restore
+      // pair atomic so two concurrent index writes on a shared
+      // session (e.g. streaming sinks) can't leak 'dynamic' or
+      // clobber a user-set value between each other's set and restore
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "dynamic")
@@ -142,6 +149,14 @@ object IndexLifecycle {
       else spark.sql(s"ALTER TABLE `$stage` RENAME TO `$tbl`")
       tbl
     }
+    // a crash BETWEEN the rename and its MSCK sync leaves the live
+    // table present but with stale partition metadata — invisible to
+    // the missing-table check above — so re-sync every existing
+    // partitioned table unconditionally, making rename+sync
+    // idempotent under "re-run compaction"
+    for (tbl <- tables.sorted if partitioned(tbl)
+         if spark.catalog.tableExists(tbl))
+      spark.sql(s"MSCK REPAIR TABLE `$tbl` SYNC PARTITIONS")
     swaps.nonEmpty
   }
 }

@@ -3036,15 +3036,15 @@ object PipelineQueries {
        |        (SELECT probe_id, neighbor_id, cos, row_number() OVER
        |           (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rn
        |         FROM asc0) WHERE rn <= $Bm25K),
-       |a2 AS (SELECT pm.query_id, ark.neighbor_id AS doc_id, row_number() OVER
+       |ark2 AS (SELECT pm.query_id, ark.neighbor_id AS doc_id, row_number() OVER
        |    (PARTITION BY ark.probe_id ORDER BY ark.sim DESC, ark.neighbor_id) AS arank
        |  FROM ark JOIN pm ON pm.probe_vec = ark.probe_id),
-       |f AS (SELECT coalesce(b2.query_id, a2.query_id) AS query_id,
-       |    coalesce(b2.doc_id, a2.doc_id) AS doc_id,
+       |f AS (SELECT coalesce(b2.query_id, ark2.query_id) AS query_id,
+       |    coalesce(b2.doc_id, ark2.doc_id) AS doc_id,
        |    coalesce(CAST(1.0 AS DOUBLE)/(b2.brank + $RrfK), CAST(0.0 AS DOUBLE))
-       |      + coalesce(CAST(1.0 AS DOUBLE)/(a2.arank + $RrfK), CAST(0.0 AS DOUBLE)) AS rrf
-       |  FROM b2 FULL OUTER JOIN a2
-       |    ON a2.query_id = b2.query_id AND a2.doc_id = b2.doc_id),
+       |      + coalesce(CAST(1.0 AS DOUBLE)/(ark2.arank + $RrfK), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM b2 FULL OUTER JOIN ark2
+       |    ON ark2.query_id = b2.query_id AND ark2.doc_id = b2.doc_id),
        |fr AS (SELECT query_id, doc_id, rrf, row_number() OVER
        |    (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
        |  FROM f)

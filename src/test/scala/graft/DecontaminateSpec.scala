@@ -224,4 +224,28 @@ class DecontaminateSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("id order"))
     } finally dropIdx(name)
   }
+
+  test("a batch-id gap is rejected loudly (a lost batch must not silently diverge the clean log)") {
+    val name = "decspec_pidx_gap"
+    val clean = java.nio.file.Files.createTempDirectory("decspec_gap")
+    try {
+      Decontaminate.writePassageIndex(
+        Seq((1L, "a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text", name, n = 5)
+      assert(Decontaminate.ingestPassageBatch(
+        Seq((2L, "g h i j k l")).toDF("doc_id", "text"), 0L,
+        "doc_id", "text", name, clean.toString, n = 5))
+      // id 1 never arrives; id 2 must be refused, not ingested
+      val ex = intercept[IllegalArgumentException] {
+        Decontaminate.ingestPassageBatch(
+          Seq((3L, "m n o p q r")).toDF("doc_id", "text"), 2L,
+          "doc_id", "text", name, clean.toString, n = 5)
+      }
+      assert(ex.getMessage.contains("contiguous"))
+      // the missing id itself is still ingestible (in-order resume)
+      assert(Decontaminate.ingestPassageBatch(
+        Seq((3L, "m n o p q r")).toDF("doc_id", "text"), 1L,
+        "doc_id", "text", name, clean.toString, n = 5))
+    } finally dropIdx(name)
+  }
 }

@@ -182,7 +182,13 @@ class ShuffleBytesSpec extends AnyFunSuite {
           "id", "text", name, clean.toString)
       }
       assertCeiling("keeper ingest", b, 192 << 10)
-    } finally Seq("_keepers", "_pstats", "_batches").foreach(sfx =>
-      graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
+    } finally {
+      Seq("_keepers", "_pstats", "_batches").foreach(sfx =>
+        graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
+      val walked = java.nio.file.Files.walk(clean)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walked.close()
+    }
   }
 }

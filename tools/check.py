@@ -49,6 +49,26 @@ def rewrite_shared(sql, con, seen_chains, materialized):
     stubs = ", ".join(f"{c} AS (SELECT * FROM shared_{name}_{c})" for c in exports)
     return sql[:m.start()] + stubs + sql[m.end():]
 
+# Self-containment guard: every oracle must be runnable RAW (the
+# driver never materializes SHARED chains), so a CTE name that appears
+# twice in one statement — e.g. a query-local CTE colliding with a
+# chain-internal name — is a driver-side parse error even when the
+# SHARED rewrite here would mask it.  Matches `name [(cols)] AS
+# (SELECT|VALUES|WITH ...` which is exactly the CTE-definition shape
+# (CAST(x AS TYPE(...)), derived-table aliases, and column aliases
+# never put SELECT/VALUES after `AS (`).
+CTE_RE = re.compile(r"\b(\w+)\s*(?:\([\w\s,]*\))?\s+AS\s*\(\s*(?:SELECT|VALUES|WITH)\b",
+                    re.I)
+
+def dup_ctes(sql):
+    seen, dups = set(), []
+    for m in CTE_RE.finditer(sql):
+        n = m.group(1).lower()
+        if n in seen and n not in dups:
+            dups.append(n)
+        seen.add(n)
+    return dups
+
 def norm(v):
     if v is None:
         return "NULL"
@@ -71,6 +91,11 @@ def main(sf_dir, out_dir, skip=(), no_shared=False):
             print(f"SKIP {name}")
             continue
         sql = oracles[name]
+        dups = dup_ctes(sql)
+        if dups:
+            print(f"FAIL {name}: duplicate CTE name(s) in raw oracle: {dups}")
+            n_fail += 1
+            continue
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output dir")
