@@ -103,14 +103,14 @@ object Decontaminate {
     * Returns (idCol, `clean_text`, `n_kept`, `n_removed`). */
   /** (idCol, `__toks`) — the one tokenization pass every passage
     * operation shares (the two-step projection contract). */
-  private def tokedOf(corpus: DataFrame, idCol: String,
+  private[ext] def tokedOf(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame =
     Dedup.parallelized(corpus)
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
 
   /** (idCol, `__pos` 1-based, `h` 60-bit gram hash) for every word
     * `n`-gram start position. */
-  private def gramsOf(toked: DataFrame, idCol: String, n: Int): DataFrame =
+  private[ext] def gramsOf(toked: DataFrame, idCol: String, n: Int): DataFrame =
     toked
       .select(col(idCol), posexplode(wordShingles(col("__toks"), n))
         .as(Seq("__p0", "__g")))
@@ -120,7 +120,7 @@ object Decontaminate {
     * token i survives iff no dropped span covers it.  `marks` =
     * (idCol, `__starts`); docs absent from it pass through unchanged.
     * Returns (idCol, `clean_text`, `n_kept`, `n_removed`). */
-  private def rebuildClean(toked: DataFrame, marks: DataFrame,
+  private[ext] def rebuildClean(toked: DataFrame, marks: DataFrame,
       idCol: String, n: Int): DataFrame = {
     val kept = toked.join(marks, Seq(idCol), "left")
       .select(col(idCol), col("__toks"),
@@ -219,6 +219,23 @@ object Decontaminate {
   // partitions replay as dynamic-overwrite REPLACES computed against
   // the stored view EXCLUDING the batch's own partitions, and the
   // index marker lands last.
+  //
+  // AMORTIZATION CONTRACT for the stored-side scan (the honest
+  // linear term, measured in IndexBench `passage` across a 64x
+  // octave): the probe join reads the whole keeper table per batch —
+  // 16 bytes/row of columnar (h, keeper) longs — and uniform 60-bit
+  // hashes defeat every skipping lever: min/max row-group stats are
+  // useless, and parquet column bloom filters cannot skip either
+  // because a batch-sized probe set (tens of thousands of uniform
+  // hashes) hits every row group (IndexBench `pasbloom` measures the
+  // negative).  The lever that works is BATCH SIZING: per-batch scan
+  // cost is keeperRows x 16 B / scan-bandwidth, so per-DOC cost
+  // stays constant when batches grow proportionally to the index —
+  // size batches to >= indexDocs / F for a fixed amortization factor
+  // F (per-doc scan cost = 16 B x gramsPerDoc x F / bandwidth,
+  // independent of corpus age).  At a fold cadence that keeps one
+  // file per bucket, the scan is sequential columnar I/O — the same
+  // reason the LSH index's probe survives at scale.
 
   /** Bootstrap the keeper index from the initial corpus: one row per
     * distinct gram `(h, keeper = min id)`, plus a stats partition

@@ -306,7 +306,7 @@ object Retrieval {
     * __len) postings of the query terms, `dfc` = (__tok, __df).  One
     * definition for both the raw-corpus and index-served paths so the
     * idf/score arithmetic cannot drift between them. */
-  private def scoreAndTopK(tf: DataFrame, dfc: DataFrame,
+  private[ext] def scoreAndTopK(tf: DataFrame, dfc: DataFrame,
       queries: DataFrame, qidCol: String, termCol: String, idCol: String,
       k: Int, k1: Double, b: Double, nDocs: Long, avgdl: Double): DataFrame = {
     val idf = log(lit(1.0) +

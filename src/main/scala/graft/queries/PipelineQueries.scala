@@ -3384,6 +3384,100 @@ object PipelineQueries {
        |FROM sp2 GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- Q123: the composed hygiene pipeline MAINTAINED BY A STREAM -------
+  // q122 proves the five stages compose once; this proves the
+  // composition SUSTAINS: documents arrive as a stream in id order,
+  // and EACH micro-batch flows through survivor delta → passage clean
+  // against the keeper index (with ownership-transfer repair for the
+  // batch's demotions) → mutable-BM25 decontamination flag probe →
+  // per-batch log commits, in one pass (`Hygiene.hygieneStep` via
+  // `StreamingAgg.hygieneSink`).  The gate runs the full production
+  // torture sequence: two streamed epochs, a mid-loop compaction of
+  // ALL NINE state stores (five TxLogs + keeper/marks/BM25 tables +
+  // the LSH index's minor+major folds), a replay of batch 1 ACROSS
+  // the fold boundary (must no-op at the step marker, require()d),
+  // and a final epoch streamed onto the folded base.  The resolved
+  // logs then feed q122's exact consumer tail — and must hash-equal
+  // the ONE-SHOT pipeline's oracle, which is the composition-level
+  // exactly-once proof: no batch double-applied, no demotion cascade
+  // missed, no score bit drifted across compactions and replays.
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.Hygiene
+    import graft.ext.Hygiene.HygieneState
+    import graft.sources.TxLog
+    val docs = tbl(s, dir, "documents")
+    val st = HygieneState("q123_hyg", scratchDir("q123_pairs"),
+      scratchDir("q123_assign"), scratchDir("q123_surv"),
+      scratchDir("q123_emit"), scratchDir("q123_clean"),
+      scratchDir("q123_flag"))
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text",
+      st.lshName)
+    graft.sources.Tables.dropWithLocation(s, s"${st.lshName}_batches")
+    def scoresFor(ids: DataFrame): DataFrame =
+      withQuality(docs.join(broadcast(ids.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi"), col("doc_id"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    def rawTextFor(ids: DataFrame): DataFrame =
+      docs.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi").select(col("doc_id"), col("text"))
+    val bench = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = rows.grouped((rows.length + 2) / 3).toIndexedSeq
+    def runStream(feed: Seq[IndexedSeq[(Long, String)]], base: Long): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAgg.hygieneSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+        DecontamK, DecontamFloor, passageN = PassageN,
+        minJaccard = ClusterMinJaccard, batchIdBase = base)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(batches.take(2).map(_.toIndexedSeq), 0L) // batches 0, 1
+    // mid-loop LSM maintenance across EVERY store the composition
+    // owns, then a replay across the fold boundary: the step marker
+    // survives the marker fold, so the whole batch no-ops before any
+    // compute — the composition-level no-double-count proof
+    Hygiene.compactHygiene(s, st)
+    require(!Hygiene.hygieneStep(batches(1).toSeq.toDF("doc_id", "text"),
+        1L, "doc_id", "text", scoresFor _, "q", rawTextFor _, st, bench,
+        "query_id", "term", DecontamK, DecontamFloor,
+        passageN = PassageN, minJaccard = ClusterMinJaccard),
+      "a replayed batch must no-op at the step marker across the fold")
+    runStream(Seq(batches(2).toIndexedSeq), 2L) // final epoch, folded base
+    val resolved = Hygiene.resolveHygiene(s, st, "doc_id")
+      .localCheckpoint() // cut before the state tables drop below
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    // q122's exact consumer tail over the resolved corpus
+    val gated = withQuality(
+      resolved.select(col("doc_id"), col("n_removed"),
+        col("clean_text").as("text")),
+      col("doc_id"), col("n_removed"))
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(gated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_removed")).as("sum_removed"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  // the streamed composition, compacted mid-loop and replay-probed,
+  // must equal the one-shot five-stage pipeline — q122's oracle
+  def q123Sql: String = q122Sql
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -4211,6 +4305,7 @@ object PipelineQueries {
     "q120_incremental_passage" -> (q120 _),
     "q121_streamed_passage" -> (q121 _),
     "q122_hygiene_pipeline" -> (q122 _),
+    "q123_streamed_hygiene" -> (q123 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4332,6 +4427,7 @@ object PipelineQueries {
     "q120_incremental_passage" -> q120Sql,
     "q121_streamed_passage" -> q121Sql,
     "q122_hygiene_pipeline" -> q122Sql,
+    "q123_streamed_hygiene" -> q123Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

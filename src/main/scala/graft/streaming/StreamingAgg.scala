@@ -482,6 +482,50 @@ object StreamingAgg {
     }.start()
   }
 
+  /** The FULL composed hygiene pipeline as one streaming query — the
+    * five-stage q122 composition maintained per micro-batch
+    * ([[graft.ext.Hygiene.hygieneStep]]: dedup/curation layers →
+    * passage ownership repair + clean → mutable BM25 deltas →
+    * decontamination flag set).  Documents must arrive in id order
+    * (the passage index's monotone first-arrival contract) with
+    * contiguous batch ids — either violation fails the query loudly.
+    * The LSH index must already be bootstrapped under
+    * `<name>_lsh`; every other table/log bootstraps on first use.
+    * `batchIdBase` is the [[curationSink]] uncheckpointed-restart
+    * convention: without a checkpoint, epoch 0 must not alias a
+    * marked batch SILENTLY while carrying different documents — the
+    * step's marker would drop them — so the base must sit above every
+    * marked id. */
+  def hygieneSink(docs: DataFrame, idCol: String, textCol: String,
+      scoresFor: DataFrame => DataFrame, scoreCol: String,
+      rawTextFor: DataFrame => DataFrame,
+      st: graft.ext.Hygiene.HygieneState, bench: DataFrame,
+      qidCol: String, termCol: String, k: Int, floor: Double,
+      passageN: Int = 8, lshN: Int = 3, bands: Int = 8,
+      buckets: Int = 16, minJaccard: Double = 0.0,
+      batchIdBase: Long = 0L, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpointDir.isEmpty) {
+      val marked = graft.ext.IndexLifecycle
+        .committedIds(docs.sparkSession, st.name).filter(_ >= 0L)
+      marked.reduceOption(_ max _).foreach(m =>
+        require(batchIdBase > m,
+          s"hygieneSink without a checkpointDir: batchIdBase=" +
+            s"$batchIdBase must exceed the max marked batch id ($m) — " +
+            "otherwise a restart's epoch 0 aliases a marked batch and " +
+            "the step silently drops its documents"))
+    }
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+      graft.ext.Hygiene.hygieneStep(batch.toDF(), batchIdBase + epochId,
+        idCol, textCol, scoresFor, scoreCol, rawTextFor, st, bench,
+        qidCol, termCol, k, floor, passageN, lshN, bands, buckets,
+        minJaccard)
+      ()
+    }.start()
+  }
+
   /** The FULL continuous-curation maintenance loop as one streaming
     * query — the production composition gate q93/q100 run batch-wise,
     * wired into `foreachBatch`.  Per micro-batch:

@@ -31,6 +31,9 @@ object IndexBench {
     if (args.headOption.contains("passage")) return passageGrowth(
       if (args.length > 1) args(1).toInt else 20000,
       if (args.length > 2) args(2).toInt else 500)
+    if (args.headOption.contains("pasbloom")) return passageBloom(
+      if (args.length > 1) args(1).toInt else 2000000,
+      if (args.length > 2) args(2).toInt else 2000)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -309,6 +312,69 @@ object IndexBench {
     }
     growTo(4L * base, "grown-4x ")
     growTo(16L * base, "grown-16x")
+    growTo(64L * base, "grown-64x")
+    // amortization check at the same index size: a batch sized
+    // PROPORTIONAL to the index (base docs instead of nBatch) — the
+    // contract that keeps PER-DOC cost flat as the index ages
+    val t0 = System.nanoTime()
+    Decontaminate.ingestPassageBatch(docs(size, size + base), batchId,
+      "id", "text", name, cleanDir)
+    val tb = (System.nanoTime() - t0) / 1e9
+    println(f"grown-64x proportional batch=$base ingest_s=$tb%.2f " +
+      f"per_doc_ms=${tb * 1000.0 / base}%.3f")
+    spark.stop()
+  }
+
+  /** The parquet-bloom lever for the keeper-probe scan, measured
+    * honestly (round-13 ask): write the SAME keeper table with and
+    * without column bloom filters on `h`, probe both with a pushed
+    * literal `h IN (...)` set, and report wall time + input bytes.
+    * Expectation to verify, not assume: a BATCH-sized probe set
+    * (tens of thousands of uniform hashes) hits every row group, so
+    * bloom skipping cannot trigger on the real ingest join — the
+    * lever only pays off for FEW-value probes.
+    * Usage: runMain graft.tools.IndexBench pasbloom [rows] [probes]
+    */
+  private def passageBloom(rows: Int, probes: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pasbloom").toString
+    // uniform 60-bit hashes, the keeper table's real distribution
+    val keepers = spark.range(rows.toLong)
+      .select(xxhash64(col("id")).as("h"), col("id").as("keeper"))
+    keepers.write.parquet(s"$dir/plain")
+    keepers.write
+      .option("parquet.bloom.filter.enabled#h", "true")
+      .option("parquet.bloom.filter.expected.ndv#h", rows.toString)
+      .parquet(s"$dir/bloom")
+    // probe set drawn from stored hashes (the ingest join's hit case)
+    val probeVals = spark.read.parquet(s"$dir/plain").limit(probes)
+      .collect().map(_.getLong(0)).toSeq
+    def measure(path: String, label: String): Unit = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(path)
+        .where(col("h").isin(probeVals: _*)).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(l)
+      println(f"$label rows=$rows probes=$probes matched=$n " +
+        f"time_s=$t%.2f input_bytes=${bytes.get()}%,d")
+    }
+    // warm the page cache symmetrically, then measure each twice
+    Seq("plain", "bloom").foreach { v =>
+      measure(s"$dir/$v", s"$v-warmup"); measure(s"$dir/$v", s"$v      ")
+    }
     spark.stop()
   }
 }

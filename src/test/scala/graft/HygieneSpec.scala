@@ -1,0 +1,238 @@
+package graft
+
+import graft.ext.{Components, Decontaminate, Dedup, Hygiene, Retrieval}
+import graft.ext.Hygiene.HygieneState
+import graft.sources.TxLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed-pipeline invariants at unit scale: a crafted corpus
+  * whose batch 1 DEMOTES a previously-kept survivor that OWNS a
+  * shared passage — the exact cascade (ownership transfer, owner
+  * rebuild, BM25 retraction) the per-family incremental forms never
+  * exercise.  The one-shot twin is computed with the batch operators
+  * (survivor pick → removeRepeatedPassages → bm25TopK) over the final
+  * corpus. */
+class HygieneSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- fixture ----------------------------------------------------------
+  // G = the shared 5-token passage.  doc1 owns it (smallest id);
+  // doc2 holds a later copy (marked on arrival); doc3 is a near-dup
+  // of doc1 with a BETTER quality score, so its arrival merges
+  // {1,3} and demotes doc1 — G's ownership must transfer to doc2.
+  private val G = "g1 g2 g3 g4 g5"
+  private val docs = Seq(
+    (1L, s"$G alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7"),
+    (2L, s"beta1 beta2 $G beta3 beta4 beta5 beta6 beta7"),
+    (3L, s"$G alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7 extra9"),
+    (4L, "delta1 delta2 delta3 delta4 delta5 delta6 delta7 delta8"))
+  private val quality = Map(1L -> 0.5, 2L -> 0.6, 3L -> 0.9, 4L -> 0.7)
+  private val batches: Seq[Seq[(Long, String)]] =
+    Seq(docs.take(2), docs.slice(2, 3), docs.drop(3))
+  private val bench = Seq(("qa", "g3"), ("qa", "beta3"), ("qb", "alpha2"))
+    .toDF("query_id", "term")
+  private val K = 3
+  private val Floor = 0.0001
+  private val PassN = 5
+  private val MinJac = 0.5
+
+  private def docsDF = docs.toDF("doc_id", "text")
+  private def scoresFor(ids: DataFrame): DataFrame = {
+    val q = quality.toSeq.toDF("doc_id", "q")
+    ids.select(col("doc_id")).distinct().join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("q"))
+  }
+  private def rawTextFor(ids: DataFrame): DataFrame =
+    docsDF.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+      "left_semi")
+
+  private def mkState(tag: String): HygieneState = {
+    def dir(n: String) = java.nio.file.Files
+      .createTempDirectory(s"hyg_${tag}_$n").toString
+    val st = HygieneState(s"hygspec_$tag", dir("pairs"), dir("assign"),
+      dir("surv"), dir("emit"), dir("clean"), dir("flag"))
+    // LSH bootstrap, the q103 shape: empty index, clean marker slate
+    Dedup.writeLshIndex(docsDF.where(lit(false)), "doc_id", "text",
+      st.lshName)
+    graft.sources.Tables.dropWithLocation(spark, s"${st.lshName}_batches")
+    st
+  }
+  private def dropState(st: HygieneState): Unit = {
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    Seq(st.pairsDir, st.assignDir, st.survDir, st.emitDir, st.cleanDir,
+      st.flagDir).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally w.close()
+      }
+    }
+  }
+
+  private def step(st: HygieneState, b: Seq[(Long, String)], k: Long,
+      hook: (String, Long) => Unit = (_, _) => ()): Boolean =
+    Hygiene.hygieneStep(b.toDF("doc_id", "text"), k, "doc_id", "text",
+      scoresFor, "q", rawTextFor, st, bench, "query_id", "term", K,
+      Floor, passageN = PassN, minJaccard = MinJac, layerHook = hook)
+
+  // ---- the one-shot twin -------------------------------------------------
+  private lazy val oneShot: (Set[Long], Map[Long, (String, Long, Long)],
+      Set[Long]) = {
+    val pairs = Dedup.lshPairs(docsDF, "doc_id", "text",
+      minJaccard = MinJac)
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b",
+      nodes, "doc_id")
+    val surv = comp.join(scoresFor(comp), Seq("doc_id"))
+      .groupBy("component")
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+        .as("survivor_id"))
+    val losers = comp.join(surv, "component")
+      .where(col("doc_id") =!= col("survivor_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = docsDF.where(!col("doc_id").isin(losers.toSeq: _*))
+    val cleaned = Decontaminate.removeRepeatedPassages(kept, "doc_id",
+        "text", PassN).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val cleanedDf = cleaned.toSeq
+      .map { case (id, (t, nk, nr)) => (id, t) }.toDF("doc_id", "text")
+    val flags = Retrieval.bm25TopK(cleanedDf, "doc_id", "text", bench,
+        "query_id", "term", K)
+      .where(col("score") >= Floor)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    (losers, cleaned, flags)
+  }
+
+  private def resolved(st: HygieneState): Map[Long, (String, Long, Long)] =
+    Hygiene.resolveHygiene(spark, st, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("the fixture demotes a passage owner (doc 1 loses {1,3} to doc 3)") {
+    val (losers, _, _) = oneShot
+    assert(losers == Set(1L),
+      s"fixture must demote exactly doc 1, got $losers — adjust texts/" +
+        "minJaccard if the LSH pairing changed")
+  }
+
+  test("incremental composition == one-shot (clean texts, flags, final rows)") {
+    val st = mkState("e2e")
+    try {
+      batches.zipWithIndex.foreach { case (b, k) => assert(step(st, b, k.toLong)) }
+      val (losers, cleaned, flags) = oneShot
+      val want = cleaned.view.filterKeys(id =>
+        !losers.contains(id) && !flags.contains(id)).toMap
+      assert(resolved(st) == want)
+      // the flag log's latest batch equals the one-shot flag set
+      val got = TxLog.readBatch(spark, st.flagDir,
+          TxLog.committedBatchIds(spark, st.flagDir).max)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == flags, s"flags: got $got want $flags")
+    } finally dropState(st)
+  }
+
+  test("demotion transfers gram ownership to the marked kept holder and rebuilds it") {
+    val st = mkState("xfer")
+    try {
+      assert(step(st, batches(0), 0L))
+      // pre-demotion: doc1 owns G, doc2's copy is stripped
+      val clean0 = Hygiene.resolveClean(spark, st.cleanDir, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(clean0(1L).startsWith(G))
+      assert(!clean0(2L).contains("g1"), s"doc2 pre: ${clean0(2L)}")
+      assert(step(st, batches(1), 1L))
+      // post-demotion: doc2 regains its copy (it is now the smallest
+      // kept holder); doc3's copy is stripped against the new owner.
+      // Read the UNFILTERED clean log — doc2's restored text makes it
+      // a decontamination flag hit, so resolveHygiene would hide it.
+      val clean1 = Hygiene.resolveClean(spark, st.cleanDir, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val evicted = Components.resolveEvicted(
+        TxLog.readCommitted(spark, st.emitDir), "doc_id", "batch")
+        .collect().map(_.getLong(0)).toSet
+      assert(evicted == Set(1L), s"demoted set: $evicted")
+      assert(clean1(2L).contains(G), s"doc2 post: ${clean1(2L)}")
+      assert(!clean1(3L).contains("g1 g2 g3 g4 g5"),
+        s"doc3 stripped vs transferred owner: ${clean1(3L)}")
+    } finally dropState(st)
+  }
+
+  test("mutable BM25 probe == raw scorer over the represented corpus") {
+    val st = mkState("bm")
+    try {
+      batches.zipWithIndex.foreach { case (b, k) => step(st, b, k.toLong) }
+      val (losers, cleaned, _) = oneShot
+      val corpus = cleaned.toSeq.collect {
+        case (id, (t, _, _)) if !losers.contains(id) => (id, t)
+      }.toDF("doc_id", "text")
+      val raw = Retrieval.bm25TopK(corpus, "doc_id", "text", bench,
+        "query_id", "term", K).collect().map(_.toSeq).toSet
+      val idx = Hygiene.bm25TopKFromMutable(spark, st, bench, "query_id",
+        "term", K, "doc_id").collect().map(_.toSeq).toSet
+      assert(idx == raw, s"probe drift:\nidx=$idx\nraw=$raw")
+    } finally dropState(st)
+  }
+
+  test("a marked batch no-ops; a mid-step crash converges on replay") {
+    val stA = mkState("crashA") // crashed-then-replayed
+    val stB = mkState("crashB") // crash-free twin
+    try {
+      assert(step(stA, batches(0), 0L)); assert(step(stB, batches(0), 0L))
+      // full replay of a marked batch: no-op before any compute
+      assert(!step(stA, batches(0), 0L))
+      // crash AFTER the passage layer of batch 1 (clean log committed,
+      // BM25/flags absent) — the replay must re-run layers 3-4 and
+      // recompute layer 2's partitions to identical content
+      val boom = intercept[RuntimeException] {
+        step(stA, batches(1), 1L, hook = (layer, _) =>
+          if (layer == "passage") throw new RuntimeException("crash"))
+      }
+      assert(boom.getMessage == "crash")
+      assert(step(stA, batches(1), 1L), "replay must run, not no-op")
+      assert(step(stB, batches(1), 1L))
+      assert(step(stA, batches(2), 2L)); assert(step(stB, batches(2), 2L))
+      assert(resolved(stA) == resolved(stB))
+    } finally { dropState(stA); dropState(stB) }
+  }
+
+  test("mid-loop compaction preserves state; a replay across the fold no-ops") {
+    val st = mkState("cpt")
+    try {
+      assert(step(st, batches(0), 0L))
+      assert(step(st, batches(1), 1L))
+      Hygiene.compactHygiene(spark, st)
+      // replay across the fold boundary: the step marker survives the
+      // marker-table fold, so the whole step no-ops
+      assert(!step(st, batches(1), 1L))
+      assert(step(st, batches(2), 2L))
+      val (losers, cleaned, flags) = oneShot
+      val want = cleaned.view.filterKeys(id =>
+        !losers.contains(id) && !flags.contains(id)).toMap
+      assert(resolved(st) == want)
+    } finally dropState(st)
+  }
+
+  test("a batch-id gap or non-monotone doc ids are rejected loudly") {
+    val st = mkState("gap")
+    try {
+      assert(step(st, batches(0), 0L))
+      val gap = intercept[IllegalArgumentException] {
+        step(st, batches(2), 2L)
+      }
+      assert(gap.getMessage.contains("contiguous"))
+      val mono = intercept[IllegalArgumentException] {
+        step(st, Seq((0L, "z1 z2 z3 z4 z5 z6")), 1L)
+      }
+      assert(mono.getMessage.contains("id order"))
+    } finally dropState(st)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import graft.queries.PipelineQueries
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shuffle-VOLUME regression gate, the byte-level companion of
@@ -161,6 +161,60 @@ class ShuffleBytesSpec extends AnyFunSuite {
   test("q95 priority sample: one O(partitions × k) top-k merge") {
     val b = shuffleBytes { PipelineQueries.q95(spark, sf).count() }
     assertCeiling("q95", b, 96 << 10) // (k+1)-bounded partials only
+  }
+
+  test("composed hygiene step: per-batch shuffle is O(batch + touched), stored state never moves") {
+    // a ~1000-doc corpus already flowed through the composed pipeline
+    // (clean log holds 1000 full texts ≈ 200 KB, keeper table ~23k
+    // gram rows, BM25 postings ~30k rows); a 40-doc batch 1 may
+    // shuffle only ITS OWN gram/token partials plus bounded repair
+    // and probe rows.  Any plan regression that resolves, re-reads,
+    // or exchanges a stored table per batch (full clean-log resolve,
+    // keeper-table exchange, postings re-aggregation outside the
+    // pruned buckets) bills hundreds of KB here — and O(corpus) at
+    // scale — blowing the ceiling immediately.
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr("id AS doc_id",
+      (0 until 30).map(k => s"concat('w', id * 30 + $k)")
+        .mkString("concat_ws(' ', ", ", ", ") AS text"))
+    import graft.ext.Hygiene
+    val st = Hygiene.HygieneState("sbspec_hyg",
+      java.nio.file.Files.createTempDirectory("sbh_pairs").toString,
+      java.nio.file.Files.createTempDirectory("sbh_assign").toString,
+      java.nio.file.Files.createTempDirectory("sbh_surv").toString,
+      java.nio.file.Files.createTempDirectory("sbh_emit").toString,
+      java.nio.file.Files.createTempDirectory("sbh_clean").toString,
+      java.nio.file.Files.createTempDirectory("sbh_flag").toString)
+    def scoresFor(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1.0).as("q"))
+    def rawTextFor(ids: org.apache.spark.sql.DataFrame) =
+      docs(0L, 2000L).join(broadcast(ids.select("doc_id")), Seq("doc_id"),
+        "left_semi")
+    val bench = { import spark.implicits._
+      Seq(("qa", "w100"), ("qa", "w200")).toDF("query_id", "term") }
+    def step(b: org.apache.spark.sql.DataFrame, k: Long) =
+      Hygiene.hygieneStep(b, k, "doc_id", "text", scoresFor, "q",
+        rawTextFor, st, bench, "query_id", "term", 5, 0.0001)
+    try {
+      graft.ext.Dedup.writeLshIndex(docs(0L, 0L), "doc_id", "text",
+        st.lshName)
+      graft.sources.Tables.dropWithLocation(spark, s"${st.lshName}_batches")
+      assert(step(docs(0L, 1000L), 0L))
+      val b = shuffleBytes { assert(step(docs(1000L, 1040L), 1L)) }
+      assertCeiling("hygiene step", b, 192 << 10) // measured 51,863
+    } finally {
+      (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+        s"${st.lshName}_batches")).foreach(t =>
+        graft.sources.Tables.dropWithLocation(spark, t))
+      Seq(st.pairsDir, st.assignDir, st.survDir, st.emitDir, st.cleanDir,
+        st.flagDir).foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally w.close()
+      }
+    }
   }
 
   test("keeper-index ingest: shuffle is O(batch grams), stored keepers never move") {
