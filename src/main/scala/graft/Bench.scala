@@ -329,8 +329,18 @@ object Bench {
     // pipeline runs; tracking it per round catches a regression in
     // any stage of the composition, not just the stages benched in
     // isolation (b6 covers the pair stage alone).
+    // q92 is the one block whose machinery localCheckpoints (the
+    // component closure): those RDD blocks are NOT Dataset cache, so
+    // clearCache leaves them behind and the async ContextCleaner lags
+    // a rapid-fire bench loop — measured drift 8.16→8.44→11.05 s over
+    // three isolated best-of-5 groups without the sweep, flat with it
+    // (r12's 9.21 driver reading and 5.89–6.73 quiet spread were this
+    // accumulation plus q92's long JIT tail).  The explicit
+    // persistent-RDD sweep makes the block self-stabilizing.
     val b11 = best5Loaded {
       PipelineQueries.q92(spark, sfDir).count(); spark.catalog.clearCache()
+      // async: the removal must not bill to the iteration
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // B13: cross-document passage removal (q106) — the other
     // gram-granularity heavyweight (8-gram explode with positions, two

@@ -536,10 +536,19 @@ object Hygiene {
     val clean = resolveClean(s, st.cleanDir, idCol)
     val evicted = graft.ext.Components.resolveEvicted(
       TxLog.readCommitted(s, st.emitDir), idCol, "batch")
-    val flagIds = TxLog.committedBatchIds(s, st.flagDir)
-    val flags =
-      if (flagIds.isEmpty) clean.select(col(idCol)).limit(0)
-      else TxLog.readBatch(s, st.flagDir, flagIds.max).select(col(idCol))
+    // latest full flag set by the stored batch column, NOT by live
+    // marker ids — compaction folds the markers into the compacted
+    // base, so resolving via committedBatchIds would silently read an
+    // empty flag set right after a fold
+    val flags: DataFrame =
+      if (TxLog.committedDirs(s, st.flagDir).isEmpty)
+        clean.select(col(idCol)).limit(0)
+      else {
+        val log = TxLog.readCommitted(s, st.flagDir)
+        val m = log.agg(max(col("batch"))).first()
+        if (m.isNullAt(0)) clean.select(col(idCol)).limit(0)
+        else log.where(col("batch") === lit(m.getLong(0))).select(col(idCol))
+      }
     clean
       .join(broadcast(evicted), Seq(idCol), "left_anti")
       .join(broadcast(flags), Seq(idCol), "left_anti")

@@ -570,6 +570,41 @@ object Multimodal {
     out.toIndexedSeq
   }
 
+  /** Ingest-time guard for the upstream-transcode contract
+    * ([[demuxFrames]] is deliberately lenient — it yields the frames
+    * before a truncated tail, the right behavior mid-corpus): a
+    * stream whose HEAD is not a decodable frame signature is an
+    * UN-DEMUXABLE CONTAINER (no JDK codec exists for MP4/H.264 etc.)
+    * and must fail loudly at ingest, not silently demux to zero
+    * frames.  Sniffs the common container brands for the error
+    * message.  Returns the frames otherwise. */
+  def demuxFramesStrict(content: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def headIsFrame =
+      (content.length >= PngSig.length &&
+        PngSig.indices.forall(i => content(i) == PngSig(i))) ||
+        (content.length >= 2 && (content(0) & 0xff) == 0xff &&
+          (content(1) & 0xff) == 0xd8)
+    if (content.isEmpty || headIsFrame) demuxFrames(content)
+    else {
+      val brand =
+        if (content.length >= 8 && content(4) == 'f' && content(5) == 't' &&
+          content(6) == 'y' && content(7) == 'p') "an MP4/MOV (ftyp) container"
+        else if (content.length >= 4 && content(0) == 0x1a &&
+          (content(1) & 0xff) == 0x45 && (content(2) & 0xff) == 0xdf &&
+          (content(3) & 0xff) == 0xa3) "a Matroska/WebM (EBML) container"
+        else if (content.length >= 4 && content(0) == 'R' &&
+          content(1) == 'I' && content(2) == 'F' && content(3) == 'F')
+          "a RIFF (AVI/WAV) container"
+        else "an unrecognized byte stream"
+      throw new IllegalArgumentException(
+        s"demuxFramesStrict: content is $brand, not a pre-demuxed " +
+          "PNG-sequence/MJPEG stream — this environment ships no " +
+          "MP4/H.264 codec, so real containers must be TRANSCODED " +
+          "UPSTREAM (ffmpeg -f mjpeg) before ingest; refusing to " +
+          "silently demux to zero frames")
+    }
+  }
+
   /** Evenly-strided sample of source-frame indices: all frames when
     * `count <= n`, else `floor(i·count/n)` for i < n — strictly
     * increasing (distinct) whenever count > n, and deterministic so

@@ -47,7 +47,12 @@ object SpillCheck {
     // round-12 keeper index: the per-batch gram probe (batch grams
     // joined against stored keepers), collect_list marks and the
     // HOF rebuild under pressure, plus the keeper fold
-    "q120_incremental_passage")
+    "q120_incremental_passage",
+    // round-13: the streamed hygiene composition — every store's
+    // per-batch path (latest-wins keeper resolve, ownership-transfer
+    // aggregation, mutable-BM25 full-outer delta join, nine-store
+    // mid-loop fold) under the same forced-spill knobs
+    "q123_streamed_hygiene")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

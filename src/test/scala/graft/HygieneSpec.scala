@@ -209,7 +209,14 @@ class HygieneSpec extends AnyFunSuite {
     try {
       assert(step(st, batches(0), 0L))
       assert(step(st, batches(1), 1L))
+      // the fold must preserve the RESOLVED state exactly — including
+      // the flag set, whose live markers the fold replaces with the
+      // compacted base (resolving by marker ids instead of the stored
+      // batch column would silently drop every flag here)
+      val preFold = resolved(st)
       Hygiene.compactHygiene(spark, st)
+      assert(resolved(st) == preFold,
+        "resolved state must survive the nine-store fold unchanged")
       // replay across the fold boundary: the step marker survives the
       // marker-table fold, so the whole step no-ops
       assert(!step(st, batches(1), 1L))

@@ -220,6 +220,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.demuxFrames("not media at all".getBytes).isEmpty)
   }
 
+  test("an un-demuxable container fails LOUDLY at ingest (upstream-transcode contract)") {
+    // a minimal MP4 header: 4-byte box size + 'ftyp' + brand — the
+    // shape every real MP4/MOV starts with
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.demuxFramesStrict(mp4)
+    }
+    assert(ex.getMessage.contains("MP4/MOV"), ex.getMessage)
+    assert(ex.getMessage.toLowerCase.contains("transcoded upstream"),
+      ex.getMessage)
+    // the strict guard passes decodable streams through unchanged...
+    val png = Multimodal.encodeGrayPng(4, 3)((x, y) => (x * 7 + y) % 256)
+    assert(Multimodal.demuxFramesStrict(png ++ png).length == 2)
+    // ...and an empty stream is vacuously fine (no container to flag)
+    assert(Multimodal.demuxFramesStrict(Array.emptyByteArray).isEmpty)
+  }
+
   test("sampleIndices: all frames when short, even strides when long") {
     assert(Multimodal.sampleIndices(3, 4) == Seq(0, 1, 2))
     assert(Multimodal.sampleIndices(4, 4) == Seq(0, 1, 2, 3))
