@@ -34,6 +34,9 @@ object IndexBench {
     if (args.headOption.contains("pasbloom")) return passageBloom(
       if (args.length > 1) args(1).toInt else 2000000,
       if (args.length > 2) args(2).toInt else 2000)
+    if (args.headOption.contains("hygiene")) return hygieneGrowth(
+      if (args.length > 1) args(1).toInt else 10000,
+      if (args.length > 2) args(2).toInt else 500)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -322,6 +325,81 @@ object IndexBench {
     val tb = (System.nanoTime() - t0) / 1e9
     println(f"grown-64x proportional batch=$base ingest_s=$tb%.2f " +
       f"per_doc_ms=${tb * 1000.0 / base}%.3f")
+    spark.stop()
+  }
+
+  /** The SUSTAIN curve for the composed hygiene pipeline (q123's
+    * machinery): per-batch `Hygiene.hygieneStep` wall time as the
+    * corpus grows 4x/16x, compacted at each checkpoint.  The corpus
+    * mixes uniques with near-duplicates whose synthetic quality
+    * sometimes beats the original — every measured point exercises
+    * LSH probe + closure delta + DEMOTION-TRANSFER repair + keeper
+    * probe + mutable-BM25 deltas + the flag probe, the full
+    * composition, not just the happy path.
+    * Usage: runMain graft.tools.IndexBench hygiene [baseDocs] [batchDocs]
+    */
+  private def hygieneGrowth(base: Int, nBatch: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Dedup, Hygiene}
+    import graft.ext.Hygiene.HygieneState
+    // every 10th doc (id % 10 == 9, id >= 20) near-copies doc id-19:
+    // 30 shared tokens + a distinct tail → an LSH pair; quality
+    // q = id % 13 means the copy sometimes WINS the re-pick and
+    // demotes the original (the transfer path).  Two common tokens
+    // per doc give the benchmark queries real postings.
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr(
+      "id AS doc_id",
+      ("concat(concat_ws(' ', " +
+        (0 until 30).map(k =>
+          s"concat('w', (CASE WHEN id % 10 = 9 AND id >= 20 " +
+            s"THEN id - 19 ELSE id END) * 30 + $k)").mkString(", ") +
+        "), CASE WHEN id % 10 = 9 AND id >= 20 THEN concat(' dup', id) " +
+        "ELSE '' END, ' common', id % 5, ' shared', id % 3) AS text"))
+    def scoresFor(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("doc_id")).distinct()
+        .selectExpr("doc_id", "CAST(doc_id % 13 AS DOUBLE) AS q")
+    val allDocs = docs(0L, 64L * base) // superset for raw-text lookups
+    def rawTextFor(ids: org.apache.spark.sql.DataFrame) =
+      allDocs.join(org.apache.spark.sql.functions.broadcast(
+        ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    val bench = spark.range(3).selectExpr("concat('q', id) AS query_id",
+      "concat('common', id) AS term")
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"hyggrow_$n").toString
+    val st = HygieneState("hyggrow", dir("pairs"), dir("assign"),
+      dir("surv"), dir("emit"), dir("clean"), dir("flag"))
+    Dedup.writeLshIndex(allDocs.where(lit(false)), "doc_id", "text",
+      st.lshName)
+    graft.sources.Tables.dropWithLocation(spark, s"${st.lshName}_batches")
+    var size = 0L
+    var batchId = 0L
+    def step(n: Long): Double = {
+      val t0 = System.nanoTime()
+      Hygiene.hygieneStep(docs(size, size + n), batchId, "doc_id", "text",
+        scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+        10, 0.0001, minJaccard = 0.5)
+      size += n; batchId += 1
+      (System.nanoTime() - t0) / 1e9
+    }
+    step(base.toLong)
+    def point(label: String): Unit =
+      println(f"$label n=$size%-8d step_s=${step(nBatch.toLong)}%.2f " +
+        f"(batch=$nBatch, keepers=${spark.table(st.pk).count()}%d, " +
+        f"postings=${spark.table(st.bmp).count()}%d)")
+    point("bootstrap")
+    def growTo(target: Long, label: String): Unit = {
+      while (size < target - nBatch)
+        step(math.min(base.toLong, target - nBatch - size))
+      Hygiene.compactHygiene(spark, st)
+      point(label)
+    }
+    growTo(4L * base, "grown-4x ")
+    growTo(16L * base, "grown-16x")
     spark.stop()
   }
 

@@ -414,6 +414,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
   }
 
+  test("mutable BM25 probe: bucket-pruned scans, latest-wins resolve after the prune, no shuffle join") {
+    // the q123 composition's probe — postings carry latest-wins
+    // versions and tombstones, so the probe adds a per-(tok,id)
+    // resolve; the resolve must run AFTER the isin bucket prune
+    // (over matched rows only) and the stored tables must never
+    // enter a shuffle join
+    import org.apache.spark.sql.functions._
+    val st = graft.ext.Hygiene.HygieneState("psspec_hyg",
+      "", "", "", "", "", "")
+    try {
+      graft.ext.IndexLifecycle.writeBatchPartition(
+        spark.range(0, 2000).selectExpr("concat('t', id % 200) AS tok",
+          "id AS id", "CAST(1 + id % 3 AS BIGINT) AS tf",
+          "CAST(30 AS BIGINT) AS len"),
+        st.bmp, 0L, Some(("tok", 16)))
+      graft.ext.IndexLifecycle.writeBatchPartition(
+        spark.range(0, 200).selectExpr("concat('t', id) AS tok",
+          "CAST(10 AS BIGINT) AS df"),
+        st.bmv, 0L, Some(("tok", 16)))
+      graft.ext.IndexLifecycle.writeBatchPartition(
+        spark.range(1).selectExpr("CAST(2000 AS BIGINT) AS n_docs",
+          "CAST(60000 AS BIGINT) AS total_len"),
+        st.bms, 0L, None)
+      val bench = { import spark.implicits._
+        Seq(("qa", "t3"), ("qa", "t7")).toDF("query_id", "term") }
+      val p = plan(graft.ext.Hygiene.bm25TopKFromMutable(spark, st,
+        bench, "query_id", "term", 5, "doc_id"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val hits = sel.findAllMatchIn(p).toList
+      assert(hits.nonEmpty, s"probe scans must show bucket pruning:\n$p")
+      hits.foreach { m =>
+        assert(m.group(1).toInt < m.group(2).toInt,
+          s"probe must read a strict subset of buckets: ${m.matched}\n$p")
+      }
+      assert(countOf(p, "\\bWindow\\b") == 0)
+      assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
+    } finally Seq(st.bmp, st.bmv, st.bms).foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
   test("q96: per-source cap is a bounded agg + broadcast semi-join, no window") {
     val p = plan(PipelineQueries.q96(spark, sf))
     assert(p.contains("partial_collect_top_k"), s"picks must be a k-bounded agg:\n$p")
