@@ -228,6 +228,47 @@ class HygieneSpec extends AnyFunSuite {
     } finally dropState(st)
   }
 
+  test("ownership death and same-batch re-ownership merge to ONE keeper row (tombstone-recreate)") {
+    // doc 1 is G's ONLY holder until its near-dup doc 3 demotes it in
+    // batch 1: the transfer finds no marked kept holder (tombstone),
+    // and doc 3 — arriving in the SAME batch — holds G, so the novel
+    // path re-owns it.  Both decisions land in the same batch
+    // partition, where latest-wins can't order them: the writer must
+    // merge them to one row (the batch's), or the resolve is
+    // nondeterministic.
+    val lDocs = Seq(
+      (1L, s"$G alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7"),
+      (2L, "beta1 beta2 beta3 beta4 beta5 beta6 beta7 beta8"), // no G
+      (3L, s"$G alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7 extra9"),
+      (4L, "delta1 delta2 delta3 delta4 delta5 delta6 delta7 delta8"))
+    val st = mkState("tomb")
+    def lStep(b: Seq[(Long, String)], k: Long): Boolean =
+      Hygiene.hygieneStep(b.toDF("doc_id", "text"), k, "doc_id", "text",
+        scoresFor, "q",
+        ids => lDocs.toDF("doc_id", "text").join(
+          broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
+        st, bench, "query_id", "term", K, Floor, passageN = PassN,
+        minJaccard = MinJac)
+    try {
+      assert(lStep(lDocs.take(2), 0L))
+      assert(lStep(lDocs.slice(2, 3), 1L))
+      assert(lStep(lDocs.drop(3), 2L))
+      // the batch partition must hold ONE row per gram hash
+      val dup = spark.table(st.pk).groupBy(col("h"), col("batch_id"))
+        .count().where(col("count") > 1).count()
+      assert(dup == 0L, s"$dup (h, batch_id) pairs hold multiple rows")
+      // doc 3 re-owns G: its clean text keeps the passage, and the
+      // one-shot twin agrees (kept set = {2, 3, 4}, G unique to 3)
+      val clean = Hygiene.resolveClean(spark, st.cleanDir, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(clean(3L).contains(G), s"doc3 must keep G: ${clean(3L)}")
+      val want = Decontaminate.removeRepeatedPassages(
+        lDocs.drop(1).toDF("doc_id", "text"), "doc_id", "text", PassN)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(clean.view.filterKeys(_ != 1L).toMap == want)
+    } finally dropState(st)
+  }
+
   test("a batch-id gap or non-monotone doc ids are rejected loudly") {
     val st = mkState("gap")
     try {
