@@ -120,9 +120,15 @@ object AnnIndex {
     * |probes| × nProbe — the bounded-collect contract) and become an
     * `isin` LITERAL filter, which is what turns into BUCKET pruning
     * on the cells scan: the probe reads only the buckets that can
-    * hold its candidate cells. */
+    * hold its candidate cells.  The collect is ceiling-guarded
+    * (`maxLiteralCells`): a probe workload large enough to overflow
+    * it touches most cells anyway — the pruning gain is gone — so
+    * the fallback simply skips the literal (full cells scan; the
+    * broadcast candidate join below already restricts the rows,
+    * logged). */
   def annTopKFromIndex(spark: SparkSession, name: String,
-      probeIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+      probeIds: Seq[Long], k: Int, nProbe: Int,
+      maxLiteralCells: Int = 10000): DataFrame = {
     require(k > 0 && nProbe > 0, s"k and nProbe must be positive")
     val cells = spark.table(s"${name}_cells")
     val cent = spark.table(s"${name}_codebook")
@@ -140,11 +146,24 @@ object AnnIndex {
       .where(col("rn") <= nProbe).select("probe_id", "cid", "pv", "pn")
     // the candidate cell ids become literals so the bucketed scan
     // prunes (SelectedBucketsCount) — a bounded collect, like the
-    // BM25 probe's term list
-    val candCids = pcells.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val scored = cells.where(col("cid").isin(candCids: _*))
-      .join(broadcast(pcells), Seq("cid"))
+    // BM25 probe's term list, ceiling-guarded the same way
+    val candProbe = pcells.select(col("cid")).distinct()
+      .limit(maxLiteralCells + 1).collect().map(_.getLong(0)).toSeq
+    val cellsSliced =
+      if (candProbe.size <= maxLiteralCells)
+        cells.where(col("cid").isin(candProbe: _*))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"annTopKFromIndex: candidate cell set exceeds " +
+            s"maxLiteralCells=$maxLiteralCells — skipping the pruning " +
+            "literal (the candidate join below still restricts the rows)")
+        cells
+      }
+    // past the ceiling the candidate frame may be too big to pin a
+    // broadcast hint on — let AQE pick there
+    val scored = cellsSliced
+      .join(if (candProbe.size <= maxLiteralCells) broadcast(pcells)
+            else pcells, Seq("cid"))
       .where(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("neighbor_id"),
         cosineWithNorms(dotD(col("pv"), col("v")), col("pn"), col("nrm"))

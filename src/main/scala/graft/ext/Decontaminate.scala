@@ -237,6 +237,41 @@ object Decontaminate {
   // file per bucket, the scan is sequential columnar I/O — the same
   // reason the LSH index's probe survives at scale.
 
+  /** The amortization contract, as code: recommended batch size (in
+    * GRAMS) for a keeper index of `keeperRows` rows.  The probe join
+    * scans the whole stored table per batch (16 B/row of columnar
+    * (h, keeper) longs — uniform hashes defeat min/max and bloom
+    * skipping, both measured), so per-GRAM ingest cost is
+    * `keeperRows × 16 B / batchGrams / bandwidth` — constant when
+    * batches grow proportionally to the index.  `amortizationFactor`
+    * F bounds the stored-scan overhead at F× the batch's own bytes:
+    * the default 64 matches the measured IndexBench `passage` octave
+    * (0.177 ms/doc flat when batch ∝ index at 64×). */
+  def recommendedBatchGrams(keeperRows: Long,
+      amortizationFactor: Long = 64L): Long = {
+    require(amortizationFactor > 0,
+      s"amortizationFactor must be positive, got $amortizationFactor")
+    math.max(1L, keeperRows / amortizationFactor)
+  }
+
+  /** True when a batch sits more than `slack`× below the recommended
+    * cadence — the regime where per-doc ingest cost is dominated by
+    * the stored-side scan instead of the batch's own work. */
+  def cadenceLagged(batchGrams: Long, keeperRows: Long,
+      slack: Long = 100L): Boolean =
+    batchGrams * slack < recommendedBatchGrams(keeperRows)
+
+  /** Shared opt-in warning for the passage/hygiene ingests. */
+  private[ext] def warnIfCadenceLagged(op: String, batchGrams: Long,
+      keeperRows: Long): Unit =
+    if (cadenceLagged(batchGrams, keeperRows))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: $batchGrams batch grams against $keeperRows keeper rows " +
+          s"is >100x below the amortization cadence (recommended >= " +
+          s"${recommendedBatchGrams(keeperRows)} grams/batch) — per-doc " +
+          "cost is dominated by the stored-side 16 B/row scan; grow " +
+          "batches proportionally to the index (batch ∝ index)")
+
   /** Bootstrap the keeper index from the initial corpus: one row per
     * distinct gram `(h, keeper = min id)`, plus a stats partition
     * carrying the id high-water mark for the monotonicity gate.
@@ -282,7 +317,7 @@ object Decontaminate {
     * error instead of a silently diverged clean log. */
   def ingestPassageBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String, cleanDir: String, n: Int = 8,
-      buckets: Int = 16): Boolean = {
+      buckets: Int = 16, cadenceCheck: Boolean = false): Boolean = {
     val s = batch.sparkSession
     require(batchId >= 0, s"ingest batch ids start at 0, got $batchId")
     val marked = IndexLifecycle.committedIds(s, name)
@@ -315,6 +350,11 @@ object Decontaminate {
     val toked = tokedOf(batch, idCol, textCol)
     val grams = gramsOf(toked, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // opt-in amortization check: the counts are cheap (the grams
+    // frame is persisted; the keeper count is parquet-footer-only)
+    if (cadenceCheck)
+      warnIfCadenceLagged(s"ingestPassageBatch($batchId)", grams.count(),
+        s.table(s"${name}_keepers").where(notSelf).count())
     // one stored probe for both consumers: per distinct batch gram,
     // the within-batch keeper + whether the index already holds it
     val flag = grams.groupBy(col("h")).agg(min(col(idCol)).as("__bk"))

@@ -88,6 +88,36 @@ import org.apache.spark.sql.functions._
   */
 object Hygiene {
 
+  /** Ceiling for the repair paths' driver-side id collects (demoted
+    * docs, transferred owners, changed-doc lists): up to this many
+    * ids collect and drive `isin` LITERAL slices of the stored logs
+    * (parquet row-group skipping — the organic-churn fast path);
+    * past it — a hub/boilerplate document merging many clusters at
+    * once can demote O(stored survivors) in ONE batch — every
+    * consumer dispatches to a DISTRIBUTED join path instead
+    * (left_semi against the id frame, no broadcast hints, AQE picks
+    * the join), trading the pruned scans for shuffles that scale
+    * with the storm instead of blowing the driver.  The established
+    * bounded-or-distributed contract
+    * ([[Components.DefaultMaxDriverCloseEdges]]); `0` forces the
+    * distributed path whenever a set is non-empty (specs use this to
+    * keep it covered).  10^5 ids ≈ a few MB boxed on the driver and
+    * an `InSet` Catalyst can still plan. */
+  val DefaultMaxDriverRepairIds: Int = 100000
+
+  /** Bounded-or-distributed id-set dispatch: collect up to
+    * `limit + 1` rows; `Left(ids)` when the set fits (the seq is then
+    * COMPLETE), `Right(frame)` when it exceeds the ceiling — the
+    * frame is localCheckpoint'd so the storm path's multiple
+    * consumers (joins + count) don't recompute the candidate joins
+    * per use (the probe itself already ran them once — one recompute
+    * total, paid only on storm batches). */
+  private def boundedIds(df: DataFrame,
+      limit: Int): Either[Seq[Any], DataFrame] = {
+    val probe = df.limit(limit + 1).collect().map(_.get(0)).toSeq
+    if (probe.size <= limit) Left(probe) else Right(df.localCheckpoint())
+  }
+
   /** The directories + table-name prefix one hygiene pipeline
     * instance owns.  `name` prefixes the LSH index (`<name>_lsh_*`),
     * the passage tables (`_pk`, `_pm`), the BM25 tables (`_bmp`,
@@ -136,6 +166,16 @@ object Hygiene {
     * @param bench      decontamination benchmark queries
     *                   (qidCol, termCol), one row per query term
     * @param k / floor  decontamination top-k and rounded-score floor
+    * @param maxDriverRepairIds ceiling for the repair paths' driver
+    *                   collects ([[DefaultMaxDriverRepairIds]]);
+    *                   storm batches past it dispatch to distributed
+    *                   join paths — 0 forces them (spec coverage)
+    * @param cadenceCheck opt-in amortization warning: log when the
+    *                   batch's gram count is >100x below the keeper
+    *                   index's recommended cadence
+    *                   ([[Decontaminate.recommendedBatchGrams]]) —
+    *                   costs one footer-only count of the keeper
+    *                   table per batch
     */
   def hygieneStep(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, scoresFor: DataFrame => DataFrame, scoreCol: String,
@@ -144,7 +184,9 @@ object Hygiene {
       floor: Double, passageN: Int = 8, lshN: Int = 3, bands: Int = 8,
       buckets: Int = 16, minJaccard: Double = 0.0,
       k1: Double = 1.2, b: Double = 0.75,
-      layerHook: (String, Long) => Unit = (_, _) => ()): Boolean = {
+      layerHook: (String, Long) => Unit = (_, _) => (),
+      maxDriverRepairIds: Int = DefaultMaxDriverRepairIds,
+      cadenceCheck: Boolean = false): Boolean = {
     val s = batch.sparkSession
     require(batchId >= 0, s"hygiene batch ids start at 0, got $batchId")
     require(batch.schema(idCol).dataType
@@ -182,10 +224,10 @@ object Hygiene {
     layerHook("dedup", batchId)
     // ---- layer 2: passage repair + clean --------------------------------
     passageLayer(s, batch, batchId, idCol, textCol, rawTextFor, st,
-      passageN, buckets)
+      passageN, buckets, maxDriverRepairIds, cadenceCheck)
     layerHook("passage", batchId)
     // ---- layer 3: BM25 index deltas --------------------------------------
-    bm25Layer(s, batchId, idCol, st, buckets)
+    bm25Layer(s, batchId, idCol, st, buckets, maxDriverRepairIds)
     layerHook("bm25", batchId)
     // ---- layer 4: decontamination flag set -------------------------------
     if (!TxLog.isCommitted(s, st.flagDir, batchId)) {
@@ -193,7 +235,17 @@ object Hygiene {
           idCol, k1, b)
         .where(col("score") >= floor)
         .select(col(idCol)).distinct()
-      TxLog.commitBatch(flags.withColumn("batch", lit(batchId)),
+      // EMPTY flag sets must be representable: a sentinel row (null
+      // id) pins this batch's presence in the log, so the latest-
+      // batch resolve ([[resolveHygiene]], and the compaction fold)
+      // sees "this batch's set is empty" instead of silently
+      // inheriting the previous batch's stale non-empty set.  Null
+      // never matches an equi- or anti-join, so the sentinel is
+      // inert even where a reader forgets to drop it.
+      val sentinel = s.range(1)
+        .select(lit(null).cast(flags.schema(idCol).dataType).as(idCol))
+      TxLog.commitBatch(
+        flags.unionByName(sentinel).withColumn("batch", lit(batchId)),
         st.flagDir, batchId)
     }
     layerHook("flags", batchId)
@@ -244,6 +296,20 @@ object Hygiene {
         col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed"))
   }
 
+  /** [[cleanRowsForIds]] for an id FRAME past the driver ceiling —
+    * the storm path: a left_semi join (no hint, AQE picks) replaces
+    * the pushed `isin` literal, trading row-group skipping for a
+    * slice that scales with the storm instead of the plan size. */
+  private def cleanRowsForIdsFrame(s: SparkSession, st: HygieneState,
+      idCol: String, among: DataFrame, ltBatch: Long): DataFrame =
+    cleanLogOr(s, st, idCol).where(col("batch") < lit(ltBatch))
+      .join(among.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("clean_text"), col("n_kept"),
+        col("n_removed")), col("batch")).as("__r"))
+      .select(col(idCol), col("__r.clean_text").as("clean_text"),
+        col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed"))
+
   /** Eviction state among a BOUNDED id frame: the emission log is
     * broadcast-filtered to the candidates BEFORE the latest-wins
     * aggregation, so the per-batch shuffle is O(matched emission
@@ -251,11 +317,13 @@ object Hygiene {
     * full committed log (including the running batch's own
     * emissions). */
   private def evictedAmong(s: SparkSession, st: HygieneState,
-      idCol: String, among: DataFrame, ltBatch: Option[Long]): DataFrame = {
+      idCol: String, among: DataFrame, ltBatch: Option[Long],
+      hint: Boolean = true): DataFrame = {
     val log = TxLog.readCommitted(s, st.emitDir)
     val sliced = ltBatch.fold(log)(b => log.where(col("batch") < lit(b)))
+    val amongIds = among.select(col(idCol))
     graft.ext.Components.resolveEvicted(
-      sliced.join(broadcast(among.select(col(idCol))), Seq(idCol),
+      sliced.join(if (hint) broadcast(amongIds) else amongIds, Seq(idCol),
         "left_semi"),
       idCol, "batch")
   }
@@ -294,21 +362,33 @@ object Hygiene {
   private def passageLayer(s: SparkSession, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String,
       rawTextFor: DataFrame => DataFrame, st: HygieneState, n: Int,
-      buckets: Int): Unit = {
+      buckets: Int, maxDriverRepairIds: Int, cadenceCheck: Boolean): Unit = {
     val emitK = TxLog.readBatch(s, st.emitDir, batchId)
     // demotions: previously-KEPT docs this batch evicts (bounded by
     // touched components).  Membership in the clean log is probed by
-    // BROADCASTING the bounded candidate set into an id-column-only
-    // log scan — the corpus-sized log never resolves or shuffles per
-    // batch.  The evictedAmong anti-join matters: a doc evicted in an
-    // earlier batch can be re-emitted kept=false when its component
-    // is touched again, and repairing it twice would drift the state.
+    // BROADCASTING the candidate set into an id-column-only log scan
+    // — the corpus-sized log never resolves or shuffles per batch
+    // (the candidate broadcasts are id-only rows bounded by the
+    // emission delta — ~8 B/row, the same order as the remap
+    // broadcast the curation layer already requires; the REPAIR
+    // work, which is gram-level and ~100x bigger, is what the
+    // bounded-or-distributed dispatch below guards).  The
+    // evictedAmong anti-join matters: a doc evicted in an earlier
+    // batch can be re-emitted kept=false when its component is
+    // touched again, and repairing it twice would drift the state.
     val demotedCand = emitK.where(!col("kept")).select(col(idCol))
     val demoted = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
       .join(broadcast(
         evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
         Seq(idCol), "left_anti")
-    val dIds = demoted.collect().map(_.get(0)).toSeq // bounded collect
+    // bounded-or-distributed dispatch (the [[Components]] contract):
+    // under the ceiling the COMPLETE demotion set drives the literal/
+    // broadcast fast path below; past it (a hub document demoting
+    // O(stored survivors) in one batch) every consumer joins against
+    // the frame instead — no driver collect, no giant isin literal.
+    val dE = boundedIds(demoted, maxDriverRepairIds)
+    val dStorm = dE.isRight
+    val dEmpty = dE.left.exists(_.isEmpty)
     // admissions: kept emissions not yet cleaned — by the clean-log
     // invariant exactly this batch's admitted docs
     val admittedIds = emitK.where(col("kept")).select(col(idCol))
@@ -323,23 +403,35 @@ object Hygiene {
     // and INCLUDES this batch's emissions — a doc demoted alongside
     // the owner must not inherit.
     val updates: DataFrame =
-      if (dIds.isEmpty)
+      if (dEmpty)
         keepPrior.limit(0)
       else {
-        val owned = keepPrior.where(col("keeper").isin(dIds: _*))
+        val owned0 = dE match {
+          case Left(ids) => keepPrior.where(col("keeper").isin(ids: _*))
+          case Right(df) => keepPrior.join(
+            df.select(col(idCol).as("keeper")), Seq("keeper"), "left_semi")
+        }
+        val owned = owned0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val marksT =
           if (s.catalog.tableExists(st.pm))
             s.table(st.pm).where(col("batch_id") =!= lit(batchId))
           else s.range(0).select(col("id").as("h"), col("id").as(idCol),
             col("id").cast("int").as("pos"))
+        // storm: the dying-gram set is storm-sized — no broadcast
+        // hints (AQE picks); the shuffles scale with the storm, which
+        // is the trade the dispatch exists to make
+        val ownedH = owned.select(col("h"))
         val cands = marksT
-          .join(broadcast(owned.select(col("h"))), Seq("h"), "left_semi")
+          .join(if (dStorm) ownedH else broadcast(ownedH), Seq("h"),
+            "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val evicted = evictedAmong(s, st, idCol,
-          cands.select(col(idCol)).distinct(), ltBatch = None)
+          cands.select(col(idCol)).distinct(), ltBatch = None,
+          hint = !dStorm)
         val newOwners = cands
-          .join(broadcast(evicted), Seq(idCol), "left_anti")
+          .join(if (dStorm) evicted else broadcast(evicted), Seq(idCol),
+            "left_anti")
           .groupBy(col("h")).agg(min(col(idCol)).as("__newOwner"))
         val u = owned.select(col("h"))
           .join(newOwners, Seq("h"), "left")
@@ -354,9 +446,13 @@ object Hygiene {
       // ---- (b) rebuild transferred owners --------------------------------
       val oDocs = updatesP.where(col("keeper").isNotNull)
         .select(col("keeper").as(idCol)).distinct()
-      val oIdList = oDocs.collect().map(_.get(0)).toSeq // bounded collect
+      // same dispatch for the transferred-owner set: bounded by the
+      // dying grams' distinct holders, which a storm makes large
+      val oE = boundedIds(oDocs, maxDriverRepairIds)
+      val oStorm = oE.isRight
+      val oDocsFrame = oE.fold(_ => oDocs, identity)
       val oClean: DataFrame =
-        if (oIdList.isEmpty) {
+        if (oE.left.exists(_.isEmpty)) {
           // zero-row frame with the clean-row schema
           Decontaminate.rebuildClean(
             Decontaminate.tokedOf(batch.limit(0), idCol, textCol),
@@ -370,17 +466,30 @@ object Hygiene {
           // owned all along) plus this batch's transfers — disjoint h
           // sets, since a transferred gram's previous owner was a
           // demoted doc, never the transfer target.
-          val ownRows = keepPrior.where(col("keeper").isin(oIdList: _*))
-            .unionByName(updatesP.where(col("keeper").isin(oIdList: _*)))
-            .select(col("h"), col("keeper").as(idCol))
-          val oMarks = s.table(st.pm)
+          val ownRows = (oE match {
+            case Left(ids) =>
+              keepPrior.where(col("keeper").isin(ids: _*))
+                .unionByName(updatesP.where(col("keeper").isin(ids: _*)))
+            case Right(df) =>
+              val oKeep = df.select(col(idCol).as("keeper"))
+              keepPrior.join(oKeep, Seq("keeper"), "left_semi")
+                .unionByName(
+                  updatesP.join(oKeep, Seq("keeper"), "left_semi"))
+          }).select(col("h"), col("keeper").as(idCol))
+          val oMarksBase = s.table(st.pm)
             .where(col("batch_id") =!= lit(batchId))
-            .where(col(idCol).isin(oIdList: _*))
-            .join(broadcast(ownRows), Seq("h", idCol), "left_anti")
+          val oMarksSliced = oE match {
+            case Left(ids) => oMarksBase.where(col(idCol).isin(ids: _*))
+            case Right(df) =>
+              oMarksBase.join(df, Seq(idCol), "left_semi")
+          }
+          val oMarks = oMarksSliced
+            .join(if (oStorm) ownRows else broadcast(ownRows),
+              Seq("h", idCol), "left_anti")
           val oStarts = oMarks.groupBy(col(idCol))
             .agg(collect_list(col("pos")).as("__starts"))
           Decontaminate.rebuildClean(
-            Decontaminate.tokedOf(rawTextFor(oDocs), idCol, textCol),
+            Decontaminate.tokedOf(rawTextFor(oDocsFrame), idCol, textCol),
             oStarts, idCol, n)
         }
       // ---- (c) clean the admitted docs against the repaired view ---------
@@ -389,15 +498,22 @@ object Hygiene {
       // stored side never exchanges), then overlays this batch's
       // bounded transfer/tombstone set as a broadcast — never a union
       // with the stored table, which would destroy the bucket join.
+      // (Storm: the transfer set is gram-level storm-sized — plain
+      // join, AQE picks.)
       val aToked = Decontaminate.tokedOf(
         batch.join(admitted, Seq(idCol), "left_semi"), idCol, textCol)
       val grams = Decontaminate.gramsOf(aToked, idCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cadenceCheck && s.catalog.tableExists(st.pk))
+        Decontaminate.warnIfCadenceLagged(s"hygieneStep($batchId)",
+          grams.count(),
+          s.table(st.pk).where(col("batch_id") =!= lit(batchId)).count())
+      val overlay = updatesP.select(col("h"), lit(true).as("__u"),
+        col("keeper").isNotNull.as("__uk"))
       val flag = grams.groupBy(col("h")).agg(min(col(idCol)).as("__bk"))
         .join(keepPrior.select(col("h"), lit(true).as("__hp")),
           Seq("h"), "left")
-        .join(broadcast(updatesP.select(col("h"), lit(true).as("__u"),
-          col("keeper").isNotNull.as("__uk"))), Seq("h"), "left")
+        .join(if (dStorm) overlay else broadcast(overlay), Seq("h"), "left")
         .select(col("h"), col("__bk"),
           when(col("__u").isNotNull, col("__uk"))
             .otherwise(col("__hp").isNotNull).as("__hit"))
@@ -429,7 +545,7 @@ object Hygiene {
   }
 
   private def bm25Layer(s: SparkSession, batchId: Long, idCol: String,
-      st: HygieneState, buckets: Int): Unit = {
+      st: HygieneState, buckets: Int, maxDriverRepairIds: Int): Unit = {
     val cleanK = TxLog.readBatch(s, st.cleanDir, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emitK = TxLog.readBatch(s, st.emitDir, batchId)
@@ -437,18 +553,34 @@ object Hygiene {
     // re-emitted kept=false after an earlier eviction must not have
     // its postings/df/stats negated a second time
     val demotedCand = emitK.where(!col("kept")).select(col(idCol))
-    val dList = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
+    val demoted = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
       .join(broadcast(
         evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
         Seq(idCol), "left_anti")
-      .collect().map(_.get(0)).toSeq // bounded collect
     // docs whose postings change: the clean rows this batch
     // re-emitted that EXISTED before (the rebuilt transfer targets —
     // tiny), plus the demotions.  Newly admitted docs have no prior
     // rows, so the prior-text read is a small pushed-literal scan.
-    val oList = cleanedIdsAmong(s, st, idCol, cleanK.select(col(idCol)),
-      batchId).collect().map(_.get(0)).toSeq // bounded collect
-    val changedOld = cleanRowsForIds(s, st, idCol, oList ++ dList, batchId)
+    // Both sets go through the bounded-or-distributed dispatch: a
+    // storm batch's changed-doc lists are O(demoted docs), so past
+    // the ceiling the prior-text slice joins against the frames
+    // instead of collecting them into isin literals.
+    val dE = boundedIds(demoted, maxDriverRepairIds)
+    val changed = cleanedIdsAmong(s, st, idCol, cleanK.select(col(idCol)),
+      batchId)
+    val oE = boundedIds(changed, maxDriverRepairIds)
+    val changedOld = (dE, oE) match {
+      case (Left(d), Left(o)) =>
+        cleanRowsForIds(s, st, idCol, o ++ d, batchId)
+      case _ =>
+        cleanRowsForIdsFrame(s, st, idCol,
+          dE.fold(_ => demoted, identity)
+            .unionByName(oE.fold(_ => changed, identity)), batchId)
+    }
+    // exact sizes for the signed stats delta (a count per storm-side
+    // frame — the bounded sides reuse the already-collected seq)
+    val dCount = dE.fold(_.size.toLong, _.count())
+    val oCount = oE.fold(_.size.toLong, _.count())
     def tfOf(rows: DataFrame): DataFrame = rows
       .select(col(idCol), tokens(col("clean_text")).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("len"),
@@ -484,7 +616,7 @@ object Hygiene {
         coalesce(sum(col("__l").cast("long")), lit(0L))).first().getLong(0)
       val oldLen = dlOf(changedOld).agg(
         coalesce(sum(col("__l").cast("long")), lit(0L))).first().getLong(0)
-      val nDelta = (cleanK.count() - oList.size) - dList.size
+      val nDelta = (cleanK.count() - oCount) - dCount
       IndexLifecycle.writeBatchPartition(
         s.range(1).select(lit(nDelta).as("n_docs"),
           lit(newLen - oldLen).as("total_len")),
@@ -499,30 +631,45 @@ object Hygiene {
     * bit-equal to [[Retrieval.bm25TopK]] over the represented corpus.
     * Query terms become an `isin` literal, so both scans are
     * bucket-pruned; the latest-wins aggregation runs only over the
-    * pruned rows. */
+    * pruned rows.  The term collect is ceiling-guarded
+    * ([[Retrieval.termSlice]]): past `maxLiteralTerms` both scans
+    * fall back to a semi-join against the term frame. */
   def bm25TopKFromMutable(s: SparkSession, st: HygieneState,
       queries: DataFrame, qidCol: String, termCol: String, k: Int,
-      idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      idCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxLiteralTerms: Int = Retrieval.DefaultMaxLiteralTerms): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val termList = queries.select(col(termCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val post = s.table(st.bmp)
-      .where(col("tok").isin(termList: _*))
+    val terms = queries.select(col(termCol).cast("string").as("tok"))
+      .distinct()
+    val probe = Retrieval.termProbe(terms, maxLiteralTerms,
+      "bm25TopKFromMutable")
+    val post = Retrieval.termSlice(s.table(st.bmp), probe, terms,
+        maxLiteralTerms)
       .groupBy(col("tok"), col("id"))
       .agg(max_by(struct(col("tf"), col("len")), col("batch_id")).as("__r"))
       .select(col("tok").as("__tok"), col("id").as(idCol),
         col("__r.tf").as("__tf"), col("__r.len").as("__len"))
       .where(col("__tf") > 0L)
-    val dfc = s.table(st.bmv)
-      .where(col("tok").isin(termList: _*))
+    val dfc = Retrieval.termSlice(s.table(st.bmv), probe, terms,
+        maxLiteralTerms)
       .groupBy(col("tok").as("__tok"))
       .agg(sum(col("df")).as("__df"))
       .where(col("__df") > 0L)
     val stRow = s.table(st.bms)
       .agg(sum(col("n_docs")).as("n"), sum(col("total_len")).as("t")).first()
-    val nDocs = stRow.getLong(0)
-    Retrieval.scoreAndTopK(post, dfc, queries, qidCol, termCol, idCol,
-      k, k1, b, nDocs, stRow.getLong(1).toDouble / nDocs.toDouble)
+    // empty-corpus guard: when every doc is evicted the signed stats
+    // deltas sum to 0 (or null on an empty table) — avgdl would be
+    // NaN and every downstream score comparison silently false.
+    // Return the typed empty result instead (the house empty-log
+    // convention): an empty corpus has no hits.
+    if (stRow.isNullAt(0) || stRow.getLong(0) <= 0L)
+      Retrieval.scoreAndTopK(post.limit(0), dfc.limit(0), queries,
+        qidCol, termCol, idCol, k, k1, b, 1L, 1.0)
+    else {
+      val nDocs = stRow.getLong(0)
+      Retrieval.scoreAndTopK(post, dfc, queries, qidCol, termCol, idCol,
+        k, k1, b, nDocs, stRow.getLong(1).toDouble / nDocs.toDouble)
+    }
   }
 
   /** The resolved clean corpus a consumer reads: latest clean row per
@@ -539,7 +686,13 @@ object Hygiene {
     // latest full flag set by the stored batch column, NOT by live
     // marker ids — compaction folds the markers into the compacted
     // base, so resolving via committedBatchIds would silently read an
-    // empty flag set right after a fold
+    // empty flag set right after a fold.  Every batch commits a
+    // null-id sentinel row alongside its flags (hygieneStep layer 4),
+    // so an EMPTY latest flag set is representable: max(batch) still
+    // lands on the latest batch, whose data rows are then none —
+    // without the sentinel, the previous batch's stale non-empty set
+    // would silently apply.  The sentinel is dropped here (it would
+    // be inert in the anti-join anyway — null matches nothing).
     val flags: DataFrame =
       if (TxLog.committedDirs(s, st.flagDir).isEmpty)
         clean.select(col(idCol)).limit(0)
@@ -547,7 +700,8 @@ object Hygiene {
         val log = TxLog.readCommitted(s, st.flagDir)
         val m = log.agg(max(col("batch"))).first()
         if (m.isNullAt(0)) clean.select(col(idCol)).limit(0)
-        else log.where(col("batch") === lit(m.getLong(0))).select(col(idCol))
+        else log.where(col("batch") === lit(m.getLong(0)))
+          .select(col(idCol)).where(col(idCol).isNotNull)
       }
     clean
       .join(broadcast(evicted), Seq(idCol), "left_anti")
@@ -602,6 +756,11 @@ object Hygiene {
           col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed"))
         .withColumn("batch", lit(c)))
     TxLog.compactWith(s, st.flagDir, (df, c) => {
+      // every batch carries a null-id sentinel row, so max(batch) is
+      // the LATEST batch even when its flag set is empty — the fold
+      // keeps that batch's rows (sentinel included, so the next
+      // resolve still lands on the folded base) and never bakes a
+      // stale earlier set into the compacted base
       val m = df.agg(coalesce(max(col("batch")), lit(0L))).first().getLong(0)
       df.where(col("batch") === lit(m)).withColumn("batch", lit(c))
     })

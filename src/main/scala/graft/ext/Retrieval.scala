@@ -267,6 +267,44 @@ object Retrieval {
       (partitioned + s"${name}_batches").toSeq, partitioned)
   }
 
+  /** Ceiling on the query-term `isin` literal the index probes build
+    * ([[bm25TopKFromIndex]], [[Hygiene.bm25TopKFromMutable]]): under
+    * it, terms collect to the driver and the literal is what enables
+    * bucket pruning; past it the probe falls back to a semi-join
+    * against the distinct-term frame (logged) — correct at any term
+    * count, and nothing of value is lost, because a term set much
+    * larger than the bucket count hits every bucket anyway, so the
+    * literal's pruning gain vanishes exactly where the list outgrows
+    * the plan. */
+  val DefaultMaxLiteralTerms: Int = 10000
+
+  /** Query-term slice of an index table: the bounded-or-fallback
+    * dispatch shared by the postings and vocab scans.  `terms` is the
+    * DISTINCT cast-to-string term frame; `probe` its
+    * `limit(max+1)`-collected prefix. */
+  private[ext] def termSlice(table: DataFrame, probe: Seq[String],
+      terms: DataFrame, maxLiteralTerms: Int): DataFrame =
+    if (probe.size <= maxLiteralTerms)
+      table.where(col("tok").isin(probe: _*))
+    else
+      // no broadcast hint: AQE picks (a just-over-ceiling term frame
+      // still broadcasts; a truly huge one shuffles — both correct)
+      table.join(terms.select(col("tok")), Seq("tok"), "left_semi")
+
+  /** Collect up to `max + 1` distinct terms — the dispatch probe for
+    * [[termSlice]]; logs the fallback once when the set overflows. */
+  private[ext] def termProbe(terms: DataFrame, maxLiteralTerms: Int,
+      op: String): Seq[String] = {
+    val probe = terms.limit(maxLiteralTerms + 1).collect()
+      .map(_.getString(0)).toSeq
+    if (probe.size > maxLiteralTerms)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: query-term set exceeds maxLiteralTerms=$maxLiteralTerms " +
+          "— semi-join fallback (bucket pruning off; a term set this " +
+          "large hits every bucket regardless)")
+    probe
+  }
+
   /** BM25 top-k served from a persisted [[writeBm25Index]] index —
     * result-identical to [[bm25TopK]] over the same corpus
     * (RetrievalSpec pins it; the scoring tail is shared code).
@@ -277,21 +315,25 @@ object Retrieval {
     * postings/vocab scans: the probe reads only the buckets that can
     * hold its terms (`SelectedBucketsCount` in the plan,
     * PlanShapeSpec-pinned) — probe cost is independent of corpus
-    * size. */
+    * size.  The collect is guarded: past `maxLiteralTerms` the scans
+    * fall back to a semi-join against the term frame
+    * ([[termSlice]]), same rows at any workload size. */
   def bm25TopKFromIndex(spark: SparkSession, name: String,
       queries: DataFrame, qidCol: String, termCol: String, k: Int,
-      idCol: String = "id", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
+      maxLiteralTerms: Int = DefaultMaxLiteralTerms): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val termList = queries.select(col(termCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val post = spark.table(s"${name}_postings")
-      .where(col("tok").isin(termList: _*))
+    val terms = queries.select(col(termCol).cast("string").as("tok"))
+      .distinct()
+    val probe = termProbe(terms, maxLiteralTerms, "bm25TopKFromIndex")
+    val post = termSlice(spark.table(s"${name}_postings"), probe, terms,
+        maxLiteralTerms)
       .select(col("tok").as("__tok"), col("id").as(idCol),
         col("tf").as("__tf"), col("len").as("__len"))
     // per-batch df values sum to the corpus df (disjoint batches);
     // the agg is co-located on the bucket key, no exchange
-    val dfc = spark.table(s"${name}_vocab")
-      .where(col("tok").isin(termList: _*))
+    val dfc = termSlice(spark.table(s"${name}_vocab"), probe, terms,
+        maxLiteralTerms)
       .groupBy(col("tok").as("__tok"))
       .agg(sum(col("df")).as("__df"))
     // stats rows are additive longs, one per batch — divide ONCE here

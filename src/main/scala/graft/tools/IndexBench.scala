@@ -360,9 +360,11 @@ object IndexBench {
             s"THEN id - 19 ELSE id END) * 30 + $k)").mkString(", ") +
         "), CASE WHEN id % 10 = 9 AND id >= 20 THEN concat(' dup', id) " +
         "ELSE '' END, ' common', id % 5, ' shared', id % 3) AS text"))
+    var stormBoostLo = Long.MaxValue // storm docs always win the re-pick
     def scoresFor(ids: org.apache.spark.sql.DataFrame) =
       ids.select(col("doc_id")).distinct()
-        .selectExpr("doc_id", "CAST(doc_id % 13 AS DOUBLE) AS q")
+        .selectExpr("doc_id", s"CASE WHEN doc_id >= ${stormBoostLo}L " +
+          "THEN 1000.0 ELSE CAST(doc_id % 13 AS DOUBLE) END AS q")
     val allDocs = docs(0L, 64L * base) // superset for raw-text lookups
     def rawTextFor(ids: org.apache.spark.sql.DataFrame) =
       allDocs.join(org.apache.spark.sql.functions.broadcast(
@@ -400,6 +402,36 @@ object IndexBench {
     }
     growTo(4L * base, "grown-4x ")
     growTo(16L * base, "grown-16x")
+    // ---- adversarial demotion-storm point (round-14) -------------------
+    // One batch of near-copies of nStorm DISTINCT stored survivors
+    // (targets t ≡ 1 mod 10, never organically duplicated), quality-
+    // boosted so every copy wins its re-pick: a hub-shaped batch that
+    // demotes nStorm stored survivors AT ONCE.  Their passages have
+    // no other marked holder, so each transfer is a tombstone +
+    // same-batch re-own — the heaviest repair shape.  Forced through
+    // the DISTRIBUTED repair path (maxDriverRepairIds = 100 <<
+    // nStorm), the driver-safety dispatch the organic curve never
+    // triggers.
+    val nStorm = math.min(4L * nBatch, 2000L)
+    val stormLo = size
+    val stormBatch = spark.range(stormLo, stormLo + nStorm).selectExpr(
+      "id AS doc_id",
+      ("concat(concat_ws(' ', " +
+        (0 until 30).map(k =>
+          s"concat('w', ((id - ${stormLo}L) * 10 + 1) * 30 + $k)")
+          .mkString(", ") +
+        "), ' storm', id, ' common', id % 5, ' shared', id % 3) AS text"))
+    stormBoostLo = stormLo
+    val t0 = System.nanoTime()
+    Hygiene.hygieneStep(stormBatch, batchId, "doc_id", "text",
+      scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+      10, 0.0001, minJaccard = 0.5, maxDriverRepairIds = 100)
+    val stormS = (System.nanoTime() - t0) / 1e9
+    val demoted = graft.sources.TxLog.readBatch(spark, st.emitDir, batchId)
+      .where(!col("kept")).count()
+    size += nStorm; batchId += 1
+    println(f"storm     n=$size%-8d step_s=$stormS%.2f " +
+      f"(batch=$nStorm, demotions=$demoted, join-path forced)")
     spark.stop()
   }
 

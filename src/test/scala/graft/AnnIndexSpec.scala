@@ -40,6 +40,13 @@ class AnnIndexSpec extends AnyFunSuite {
           nProbe = 3)
         .collect().map(_.toSeq).toSet
       assert(want.nonEmpty && got == want)
+      // cell-literal ceiling fallback: past maxLiteralCells the
+      // pruning literal is skipped (the candidate join still
+      // restricts the rows) — same results
+      val gotFb = AnnIndex.annTopKFromIndex(spark, name, probes, k = 5,
+          nProbe = 3, maxLiteralCells = 0)
+        .collect().map(_.toSeq).toSet
+      assert(gotFb == want)
     } finally dropAnn(name)
   }
 

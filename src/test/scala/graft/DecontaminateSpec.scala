@@ -97,7 +97,10 @@ class DecontaminateSpec extends AnyFunSuite {
         clean.toString, 0L)
       def ingest(k: Long, b: Seq[(Long, String)]) =
         Decontaminate.ingestPassageBatch(b.toDF("doc_id", "text"), k,
-          "doc_id", "text", name, clean.toString, n = 5)
+          "doc_id", "text", name, clean.toString, n = 5,
+          // exercise the opt-in amortization check (warn-only; the
+          // result must be untouched by it)
+          cadenceCheck = true)
       assert(ingest(1L, docs.slice(3, 5)) && ingest(2L, docs.drop(5)))
       // replay straddling a compaction: both must no-op at the marker
       assert(!ingest(1L, docs.slice(3, 5)))
@@ -206,6 +209,25 @@ class DecontaminateSpec extends AnyFunSuite {
       assert(state("decspec_pidx_l1a", cA) == state("decspec_pidx_l1b", cB))
     } finally {
       dropIdx("decspec_pidx_l1a"); dropIdx("decspec_pidx_l1b")
+    }
+  }
+
+  test("the amortization cadence contract: recommended batch grams and the lag predicate") {
+    // batch ∝ index: recommended grams = keeperRows / 64 (the
+    // measured IndexBench `passage` octave), floored at 1
+    assert(Decontaminate.recommendedBatchGrams(6400L) == 100L)
+    assert(Decontaminate.recommendedBatchGrams(64L) == 1L)
+    assert(Decontaminate.recommendedBatchGrams(10L) == 1L)
+    assert(Decontaminate.recommendedBatchGrams(0L) == 1L)
+    assert(Decontaminate.recommendedBatchGrams(6400L, 32L) == 200L)
+    // lagged = more than 100x below cadence
+    assert(!Decontaminate.cadenceLagged(1L, 6400L))  // exactly 100x: not lagged
+    assert(Decontaminate.cadenceLagged(1L, 12800L))  // 200x below: lagged
+    assert(!Decontaminate.cadenceLagged(100L, 6400L))
+    // a zero-gram batch is always lagged (recommended floors at 1)
+    assert(Decontaminate.cadenceLagged(0L, 0L))
+    intercept[IllegalArgumentException] {
+      Decontaminate.recommendedBatchGrams(100L, 0L)
     }
   }
 

@@ -40,14 +40,16 @@ class HygieneSpec extends AnyFunSuite {
   private val MinJac = 0.5
 
   private def docsDF = docs.toDF("doc_id", "text")
-  private def scoresFor(ids: DataFrame): DataFrame = {
-    val q = quality.toSeq.toDF("doc_id", "q")
+  private def scoresForOf(qual: Map[Long, Double])(ids: DataFrame): DataFrame = {
+    val q = qual.toSeq.toDF("doc_id", "q")
     ids.select(col("doc_id")).distinct().join(q, Seq("doc_id"))
       .select(col("doc_id"), col("q"))
   }
-  private def rawTextFor(ids: DataFrame): DataFrame =
-    docsDF.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
-      "left_semi")
+  private def rawTextForOf(all: Seq[(Long, String)])(ids: DataFrame): DataFrame =
+    all.toDF("doc_id", "text").join(broadcast(ids.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+  private def scoresFor(ids: DataFrame): DataFrame = scoresForOf(quality)(ids)
+  private def rawTextFor(ids: DataFrame): DataFrame = rawTextForOf(docs)(ids)
 
   private def mkState(tag: String): HygieneState = {
     def dir(n: String) = java.nio.file.Files
@@ -83,34 +85,39 @@ class HygieneSpec extends AnyFunSuite {
       Floor, passageN = PassN, minJaccard = MinJac, layerHook = hook)
 
   // ---- the one-shot twin -------------------------------------------------
-  private lazy val oneShot: (Set[Long], Map[Long, (String, Long, Long)],
+  private def oneShotOf(all: Seq[(Long, String)], qual: Map[Long, Double],
+      benchDf: DataFrame, k: Int, floor: Double, passN: Int,
+      minJac: Double): (Set[Long], Map[Long, (String, Long, Long)],
       Set[Long]) = {
-    val pairs = Dedup.lshPairs(docsDF, "doc_id", "text",
-      minJaccard = MinJac)
+    val allDf = all.toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(allDf, "doc_id", "text",
+      minJaccard = minJac)
     val nodes = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val comp = Components.connectedComponents(pairs, "id_a", "id_b",
       nodes, "doc_id")
-    val surv = comp.join(scoresFor(comp), Seq("doc_id"))
+    val surv = comp.join(scoresForOf(qual)(comp), Seq("doc_id"))
       .groupBy("component")
       .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
         .as("survivor_id"))
     val losers = comp.join(surv, "component")
       .where(col("doc_id") =!= col("survivor_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val kept = docsDF.where(!col("doc_id").isin(losers.toSeq: _*))
+    val kept = allDf.where(!col("doc_id").isin(losers.toSeq: _*))
     val cleaned = Decontaminate.removeRepeatedPassages(kept, "doc_id",
-        "text", PassN).collect()
+        "text", passN).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
       .toMap
     val cleanedDf = cleaned.toSeq
       .map { case (id, (t, nk, nr)) => (id, t) }.toDF("doc_id", "text")
-    val flags = Retrieval.bm25TopK(cleanedDf, "doc_id", "text", bench,
-        "query_id", "term", K)
-      .where(col("score") >= Floor)
+    val flags = Retrieval.bm25TopK(cleanedDf, "doc_id", "text", benchDf,
+        "query_id", "term", k)
+      .where(col("score") >= floor)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     (losers, cleaned, flags)
   }
+  private lazy val oneShot: (Set[Long], Map[Long, (String, Long, Long)],
+      Set[Long]) = oneShotOf(docs, quality, bench, K, Floor, PassN, MinJac)
 
   private def resolved(st: HygieneState): Map[Long, (String, Long, Long)] =
     Hygiene.resolveHygiene(spark, st, "doc_id").collect()
@@ -133,9 +140,12 @@ class HygieneSpec extends AnyFunSuite {
         !losers.contains(id) && !flags.contains(id)).toMap
       assert(resolved(st) == want)
       // the flag log's latest batch equals the one-shot flag set
+      // (dropping the per-batch null-id sentinel row that makes
+      // empty flag sets representable)
       val got = TxLog.readBatch(spark, st.flagDir,
           TxLog.committedBatchIds(spark, st.flagDir).max)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+        .select("doc_id").where(col("doc_id").isNotNull)
+        .collect().map(_.getLong(0)).toSet
       assert(got == flags, s"flags: got $got want $flags")
     } finally dropState(st)
   }
@@ -179,6 +189,12 @@ class HygieneSpec extends AnyFunSuite {
       val idx = Hygiene.bm25TopKFromMutable(spark, st, bench, "query_id",
         "term", K, "doc_id").collect().map(_.toSeq).toSet
       assert(idx == raw, s"probe drift:\nidx=$idx\nraw=$raw")
+      // term-ceiling fallback: past maxLiteralTerms the scans
+      // semi-join against the term frame instead — same rows
+      val idxFb = Hygiene.bm25TopKFromMutable(spark, st, bench, "query_id",
+          "term", K, "doc_id", maxLiteralTerms = 0)
+        .collect().map(_.toSeq).toSet
+      assert(idxFb == raw, s"fallback drift:\nidx=$idxFb\nraw=$raw")
     } finally dropState(st)
   }
 
@@ -266,6 +282,136 @@ class HygieneSpec extends AnyFunSuite {
         lDocs.drop(1).toDF("doc_id", "text"), "doc_id", "text", PassN)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(clean.view.filterKeys(_ != 1L).toMap == want)
+    } finally dropState(st)
+  }
+
+  // ---- demotion storm: the hub-document skew case ------------------------
+  // Batch 1's three hub docs are each a near-identical better-quality
+  // twin of a stored passage OWNER, so ONE batch demotes three stored
+  // survivors {1,3,5} — past the test ceiling of 2, forcing every
+  // repair collect (demotions, transferred owners, changed-doc lists)
+  // through the distributed join path.  The hubs also re-hold their
+  // twins' non-shared grams, covering tombstone-recreate under the
+  // storm path.  Ownership of GA/GB/GC must transfer to the marked
+  // kept holders {2,4,6}.
+  private val GA = "ga1 ga2 ga3 ga4 ga5"
+  private val GB = "gb1 gb2 gb3 gb4 gb5"
+  private val GC = "gc1 gc2 gc3 gc4 gc5"
+  private val stormDocs = Seq(
+    (1L, s"$GA alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7"),
+    (2L, s"beta1 beta2 $GA beta3 beta4 beta5 beta6 beta7"),
+    (3L, s"$GB gamma1 gamma2 gamma3 gamma4 gamma5 gamma6 gamma7"),
+    (4L, s"delta1 delta2 $GB delta3 delta4 delta5 delta6 delta7"),
+    (5L, s"$GC eps1 eps2 eps3 eps4 eps5 eps6 eps7"),
+    (6L, s"zeta1 zeta2 $GC zeta3 zeta4 zeta5 zeta6 zeta7"),
+    (7L, s"$GA alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7 hub7"),
+    (8L, s"$GB gamma1 gamma2 gamma3 gamma4 gamma5 gamma6 gamma7 hub8"),
+    (9L, s"$GC eps1 eps2 eps3 eps4 eps5 eps6 eps7 hub9"))
+  private val stormQuality = Map(1L -> 0.5, 2L -> 0.6, 3L -> 0.5,
+    4L -> 0.6, 5L -> 0.5, 6L -> 0.6, 7L -> 0.9, 8L -> 0.9, 9L -> 0.9)
+
+  test("a demotion storm past the ceiling takes the join path, bit-equal " +
+      "to the literal path and the one-shot") {
+    val stormBench = Seq(("qa", "beta3"), ("qb", "alpha2"))
+      .toDF("query_id", "term")
+    def run(tag: String, maxIds: Int): Map[Long, (String, Long, Long)] = {
+      val st = mkState(tag)
+      try {
+        Seq(stormDocs.take(6), stormDocs.drop(6)).zipWithIndex.foreach {
+          case (b, k) =>
+            assert(Hygiene.hygieneStep(b.toDF("doc_id", "text"), k.toLong,
+              "doc_id", "text", scoresForOf(stormQuality), "q",
+              rawTextForOf(stormDocs), st, stormBench, "query_id", "term",
+              K, Floor, passageN = PassN, minJaccard = MinJac,
+              maxDriverRepairIds = maxIds))
+        }
+        resolved(st)
+      } finally dropState(st)
+    }
+    val viaJoin = run("stormJ", 2) // 3 demotions > 2 → distributed path
+    val viaLit = run("stormL", Hygiene.DefaultMaxDriverRepairIds)
+    val (losers, cleaned, flags) = oneShotOf(stormDocs, stormQuality,
+      stormBench, K, Floor, PassN, MinJac)
+    assert(losers == Set(1L, 3L, 5L),
+      s"fixture must demote docs 1,3,5 in one batch, got $losers — " +
+        "adjust texts/minJaccard if the LSH pairing changed")
+    val want = cleaned.view.filterKeys(id =>
+      !losers.contains(id) && !flags.contains(id)).toMap
+    assert(viaJoin == want, "storm (join path) diverged from one-shot")
+    assert(viaLit == viaJoin, "literal and join paths diverged")
+  }
+
+  test("a latest batch whose flag set shrinks to ZERO clears the flags " +
+      "(empty sets are representable)") {
+    // batch 0: doc 1 is the only zzz holder — high idf, flagged.
+    // batch 1: six more zzz docs arrive — df rises, idf collapses,
+    // every score drops below the floor, so the latest flag set is
+    // EMPTY.  Without the per-batch sentinel, batch 0's stale set
+    // would silently apply and doc 1 would stay wrongly excluded.
+    val eDocs = Seq(
+      (1L, "zzz w1 w2 w3 w4 w5"),
+      (2L, "y1 y2 y3 y4 y5 y6")) ++
+      (3L to 8L).map(i => (i, s"zzz f${i}1 f${i}2 f${i}3 f${i}4 f${i}5"))
+    val eQual = eDocs.map { case (id, _) => id -> 0.5 }.toMap
+    val eBench = Seq(("qz", "zzz")).toDF("query_id", "term")
+    val eFloor = 0.3
+    val st = mkState("eflag")
+    try {
+      Seq(eDocs.take(2), eDocs.drop(2)).zipWithIndex.foreach {
+        case (b, k) =>
+          assert(Hygiene.hygieneStep(b.toDF("doc_id", "text"), k.toLong,
+            "doc_id", "text", scoresForOf(eQual), "q",
+            rawTextForOf(eDocs), st, eBench, "query_id", "term", K,
+            eFloor, passageN = PassN, minJaccard = MinJac))
+      }
+      // fixture guard: batch 0 DID flag doc 1; the latest set IS empty
+      val flag0 = TxLog.readBatch(spark, st.flagDir, 0L)
+        .where(col("doc_id").isNotNull)
+        .collect().map(_.getLong(0)).toSet
+      assert(flag0 == Set(1L), s"batch 0 must flag doc 1, got $flag0 — " +
+        "retune eFloor if the scores moved")
+      val flag1 = TxLog.readBatch(spark, st.flagDir, 1L)
+        .where(col("doc_id").isNotNull)
+        .collect().map(_.getLong(0)).toSet
+      assert(flag1.isEmpty, s"batch 1's flag set must be empty, got $flag1")
+      val (losers, cleaned, flags) = oneShotOf(eDocs, eQual, eBench, K,
+        eFloor, PassN, MinJac)
+      assert(flags.isEmpty && losers.isEmpty)
+      val got = resolved(st)
+      assert(got.contains(1L),
+        "doc 1 must resolve — a stale batch-0 flag is hiding it")
+      assert(got == cleaned, "resolved state diverged from one-shot")
+      // the compaction fold must keep the EMPTY latest set, not bake
+      // in batch 0's stale one
+      Hygiene.compactHygiene(spark, st)
+      assert(resolved(st) == cleaned,
+        "the flag fold baked a stale non-empty set into the base")
+    } finally dropState(st)
+  }
+
+  test("mutable BM25 probe over an EMPTY represented corpus returns the " +
+      "typed empty result (no NaN avgdl)") {
+    import graft.ext.IndexLifecycle
+    val st = mkState("empty0")
+    try {
+      // a posting added in batch 0 and tombstoned in batch 1; signed
+      // df/stats deltas net to zero — the all-docs-evicted shape
+      def bmpRow(tf: Long) = spark.range(1).select(lit("beta3").as("tok"),
+        lit(1L).as("id"), lit(tf).as("tf"), lit(6L).as("len"))
+      def bmvRow(df: Long) = spark.range(1).select(lit("beta3").as("tok"),
+        lit(df).as("df"))
+      def bmsRow(n: Long, t: Long) = spark.range(1)
+        .select(lit(n).as("n_docs"), lit(t).as("total_len"))
+      IndexLifecycle.writeBatchPartition(bmpRow(1L), st.bmp, 0L, Some(("tok", 4)))
+      IndexLifecycle.writeBatchPartition(bmpRow(0L), st.bmp, 1L, Some(("tok", 4)))
+      IndexLifecycle.writeBatchPartition(bmvRow(1L), st.bmv, 0L, Some(("tok", 4)))
+      IndexLifecycle.writeBatchPartition(bmvRow(-1L), st.bmv, 1L, Some(("tok", 4)))
+      IndexLifecycle.writeBatchPartition(bmsRow(1L, 6L), st.bms, 0L, None)
+      IndexLifecycle.writeBatchPartition(bmsRow(-1L, -6L), st.bms, 1L, None)
+      val out = Hygiene.bm25TopKFromMutable(spark, st, bench, "query_id",
+        "term", K, "doc_id")
+      assert(out.columns.toSeq == Seq("query_id", "doc_id", "score", "rank"))
+      assert(out.count() == 0L, "an empty corpus has no hits")
     } finally dropState(st)
   }
 

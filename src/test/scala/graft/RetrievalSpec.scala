@@ -99,6 +99,13 @@ class RetrievalSpec extends AnyFunSuite {
           "term", k = 6, idCol = "doc_id")
         .collect().map(_.toSeq).toSet
       assert(raw.nonEmpty && idx == raw)
+      // term-ceiling fallback: past maxLiteralTerms the postings and
+      // vocab scans semi-join against the term frame (bucket pruning
+      // off) — same rows at any workload size
+      val idxFb = Retrieval.bm25TopKFromIndex(spark, name, queries, "qid",
+          "term", k = 6, idCol = "doc_id", maxLiteralTerms = 0)
+        .collect().map(_.toSeq).toSet
+      assert(idxFb == raw)
     } finally Seq("_postings", "_vocab", "_stats").foreach(sfx =>
       graft.sources.Tables.dropWithLocation(spark, s"$name$sfx"))
   }
