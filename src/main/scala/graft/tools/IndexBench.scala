@@ -375,11 +375,32 @@ object IndexBench {
       java.nio.file.Files.createTempDirectory(s"hyggrow_$n").toString
     val st = HygieneState("hyggrow", dir("pairs"), dir("assign"),
       dir("surv"), dir("emit"), dir("clean"), dir("flag"))
+    // a crashed/killed earlier run leaves its managed-table locations
+    // behind — drop them (metadata AND location) or the first write
+    // dies with LOCATION_ALREADY_EXISTS
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
     Dedup.writeLshIndex(allDocs.where(lit(false)), "doc_id", "text",
       st.lshName)
     graft.sources.Tables.dropWithLocation(spark, s"${st.lshName}_batches")
     var size = 0L
     var batchId = 0L
+    // per-step Spark JOB count: small batches are latency-floored by
+    // the composition's fixed action count, not data volume — measure
+    // it so the floor is a number, not a guess (round-14 ask)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+    var lastJobs = 0L
+    def stepJobs(): Long = {
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
+      val now = jobCount.get(); val d = now - lastJobs; lastJobs = now; d
+    }
     def step(n: Long): Double = {
       val t0 = System.nanoTime()
       Hygiene.hygieneStep(docs(size, size + n), batchId, "doc_id", "text",
@@ -389,10 +410,14 @@ object IndexBench {
       (System.nanoTime() - t0) / 1e9
     }
     step(base.toLong)
-    def point(label: String): Unit =
-      println(f"$label n=$size%-8d step_s=${step(nBatch.toLong)}%.2f " +
-        f"(batch=$nBatch, keepers=${spark.table(st.pk).count()}%d, " +
+    def point(label: String): Unit = {
+      stepJobs() // reset the counter window to this step alone
+      val t = step(nBatch.toLong)
+      println(f"$label n=$size%-8d step_s=$t%.2f " +
+        f"(batch=$nBatch, jobs=${stepJobs()}%d, " +
+        f"keepers=${spark.table(st.pk).count()}%d, " +
         f"postings=${spark.table(st.bmp).count()}%d)")
+    }
     point("bootstrap")
     def growTo(target: Long, label: String): Unit = {
       while (size < target - nBatch)
@@ -422,16 +447,19 @@ object IndexBench {
           .mkString(", ") +
         "), ' storm', id, ' common', id % 5, ' shared', id % 3) AS text"))
     stormBoostLo = stormLo
+    stepJobs()
     val t0 = System.nanoTime()
     Hygiene.hygieneStep(stormBatch, batchId, "doc_id", "text",
       scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
       10, 0.0001, minJaccard = 0.5, maxDriverRepairIds = 100)
     val stormS = (System.nanoTime() - t0) / 1e9
+    val stormJobs = stepJobs()
     val demoted = graft.sources.TxLog.readBatch(spark, st.emitDir, batchId)
       .where(!col("kept")).count()
     size += nStorm; batchId += 1
     println(f"storm     n=$size%-8d step_s=$stormS%.2f " +
-      f"(batch=$nStorm, demotions=$demoted, join-path forced)")
+      f"(batch=$nStorm, jobs=$stormJobs%d, demotions=$demoted, " +
+      "join-path forced)")
     spark.stop()
   }
 
