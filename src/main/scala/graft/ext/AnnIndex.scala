@@ -130,6 +130,11 @@ object AnnIndex {
       probeIds: Seq[Long], k: Int, nProbe: Int,
       maxLiteralCells: Int = 10000): DataFrame = {
     require(k > 0 && nProbe > 0, s"k and nProbe must be positive")
+    // contract check, not a clamp: Int.MaxValue "disables" nothing —
+    // the + 1 would overflow negative and reach Spark as limit(<0)
+    require(maxLiteralCells >= 0 && maxLiteralCells < Int.MaxValue,
+      s"maxLiteralCells must be in [0, Int.MaxValue): got $maxLiteralCells " +
+        "(0 forces the full-scan fallback; there is no 'unlimited' value)")
     val cells = spark.table(s"${name}_cells")
     val cent = spark.table(s"${name}_codebook")
     // probes rank centroids and keep their nProbe nearest cells —

@@ -261,16 +261,24 @@ object Decontaminate {
       slack: Long = 100L): Boolean =
     batchGrams * slack < recommendedBatchGrams(keeperRows)
 
+  /** Count of cadence warnings fired this JVM — the test seam that
+    * lets StreamingSpec assert an under-cadence streamed batch
+    * actually warned (log output is not assertable portably). */
+  private[graft] val cadenceWarnCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Shared opt-in warning for the passage/hygiene ingests. */
   private[ext] def warnIfCadenceLagged(op: String, batchGrams: Long,
       keeperRows: Long): Unit =
-    if (cadenceLagged(batchGrams, keeperRows))
+    if (cadenceLagged(batchGrams, keeperRows)) {
+      cadenceWarnCount.incrementAndGet()
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$op: $batchGrams batch grams against $keeperRows keeper rows " +
           s"is >100x below the amortization cadence (recommended >= " +
           s"${recommendedBatchGrams(keeperRows)} grams/batch) — per-doc " +
           "cost is dominated by the stored-side 16 B/row scan; grow " +
           "batches proportionally to the index (batch ∝ index)")
+    }
 
   /** Bootstrap the keeper index from the initial corpus: one row per
     * distinct gram `(h, keeper = min id)`, plus a stats partition

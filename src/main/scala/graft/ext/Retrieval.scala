@@ -295,6 +295,11 @@ object Retrieval {
     * [[termSlice]]; logs the fallback once when the set overflows. */
   private[ext] def termProbe(terms: DataFrame, maxLiteralTerms: Int,
       op: String): Seq[String] = {
+    // contract check, not a clamp: Int.MaxValue "disables" nothing —
+    // the + 1 would overflow negative and reach Spark as limit(<0)
+    require(maxLiteralTerms >= 0 && maxLiteralTerms < Int.MaxValue,
+      s"maxLiteralTerms must be in [0, Int.MaxValue): got $maxLiteralTerms " +
+        "(0 forces the semi-join fallback; there is no 'unlimited' value)")
     val probe = terms.limit(maxLiteralTerms + 1).collect()
       .map(_.getString(0)).toSeq
     if (probe.size > maxLiteralTerms)

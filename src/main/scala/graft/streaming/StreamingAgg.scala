@@ -468,16 +468,23 @@ object StreamingAgg {
     * first-arrival contract; a violating batch fails the query
     * loudly).  The index must already be bootstrapped
     * ([[graft.ext.Decontaminate.writePassageIndex]]).  `batchIdBase`
-    * is the [[curationSink]] restart convention. */
+    * is the [[curationSink]] restart convention.  `cadenceCheck`
+    * defaults ON here (unlike the batch ingest): a stream is exactly
+    * the deployment that runs under-sized batches for months without
+    * anyone re-reading the amortization contract, and the check's
+    * cost — one footer-only count per batch — is noise against the
+    * ingest's own job count. */
   def passageIndexSink(docs: DataFrame, idCol: String, textCol: String,
       name: String, cleanDir: String, n: Int = 8, buckets: Int = 16,
-      batchIdBase: Long = 0L, checkpointDir: Option[String] = None)
+      batchIdBase: Long = 0L, checkpointDir: Option[String] = None,
+      cadenceCheck: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream.outputMode(OutputMode.Append)
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.ext.Decontaminate.ingestPassageBatch(batch.toDF(),
-        batchIdBase + batchId, idCol, textCol, name, cleanDir, n, buckets)
+        batchIdBase + batchId, idCol, textCol, name, cleanDir, n, buckets,
+        cadenceCheck = cadenceCheck)
       ()
     }.start()
   }
@@ -495,7 +502,10 @@ object StreamingAgg {
     * convention: without a checkpoint, epoch 0 must not alias a
     * marked batch SILENTLY while carrying different documents — the
     * step's marker would drop them — so the base must sit above every
-    * marked id. */
+    * marked id.  `cadenceCheck` defaults ON here (the batch-driven
+    * [[graft.ext.Hygiene.hygieneStep]] defaults it off): a stream is
+    * the deployment that runs under-sized batches unattended, and
+    * the check is one footer-only count against ~150 jobs/step. */
   def hygieneSink(docs: DataFrame, idCol: String, textCol: String,
       scoresFor: DataFrame => DataFrame, scoreCol: String,
       rawTextFor: DataFrame => DataFrame,
@@ -503,7 +513,8 @@ object StreamingAgg {
       qidCol: String, termCol: String, k: Int, floor: Double,
       passageN: Int = 8, lshN: Int = 3, bands: Int = 8,
       buckets: Int = 16, minJaccard: Double = 0.0,
-      batchIdBase: Long = 0L, checkpointDir: Option[String] = None)
+      batchIdBase: Long = 0L, checkpointDir: Option[String] = None,
+      cadenceCheck: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpointDir.isEmpty) {
       val marked = graft.ext.IndexLifecycle
@@ -521,7 +532,7 @@ object StreamingAgg {
       graft.ext.Hygiene.hygieneStep(batch.toDF(), batchIdBase + epochId,
         idCol, textCol, scoresFor, scoreCol, rawTextFor, st, bench,
         qidCol, termCol, k, floor, passageN, lshN, bands, buckets,
-        minJaccard)
+        minJaccard, cadenceCheck = cadenceCheck)
       ()
     }.start()
   }
@@ -640,13 +651,24 @@ object StreamingAgg {
     * `TxLog.readBatch`, so mid-protocol compaction must keep the
     * in-flight batch separable (compact with `keepRecent` ≥ 1, or
     * only between fully-completed batches — the q103 cadence). */
+  /** @param dropPairIds single-column frame of PURGED doc ids whose
+    *   pairs must not enter the closure ([[graft.ext.Hygiene]]'s
+    *   purge registry): the LSH index may still hold a purged
+    *   document's signatures until the erasing compaction, so the
+    *   batch probe can emit pairs against it — consumed unfiltered,
+    *   such a pair would re-admit the purged id as a graph node and
+    *   could bridge two live clusters the one-shot-minus-purged
+    *   corpus keeps apart.  The filter runs on the BATCH's O(batch)
+    *   pair increment against the (purge-rate × compaction-cadence)-
+    *   bounded registry — broadcast anti-joins, never a log scan. */
   private[graft] def curationStep(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, scoresFor: DataFrame => DataFrame,
       scoreCol: String, name: String, pairsDir: String, assignDir: String,
       survivorDir: String, emitDir: Option[String] = None,
       n: Int = 3, bands: Int = 8, buckets: Int = 16,
       minJaccard: Double = 0.0,
-      layerHook: (String, Long) => Unit = (_, _) => ()): Unit = {
+      layerHook: (String, Long) => Unit = (_, _) => (),
+      dropPairIds: Option[DataFrame] = None): Unit = {
     import graft.ext.{Components, Dedup}
     import graft.sources.TxLog
     val s = batch.sparkSession
@@ -670,7 +692,11 @@ object StreamingAgg {
       name, pairsDir, n, bands, buckets, minJaccard)
     layerHook("pairs", batchId)
     if (!TxLog.isCommitted(s, assignDir, batchId)) {
-      val pairs = TxLog.readBatch(s, pairsDir, batchId)
+      val pairsRaw = TxLog.readBatch(s, pairsDir, batchId)
+      val pairs = dropPairIds.fold(pairsRaw)(p =>
+        pairsRaw
+          .join(broadcast(p.toDF("id_a")), Seq("id_a"), "left_anti")
+          .join(broadcast(p.toDF("id_b")), Seq("id_b"), "left_anti"))
       // bootstrap: an empty log means this is the first batch —
       // every endpoint enters the closure as its own root
       val prior =

@@ -509,4 +509,41 @@ class StreamingSpec extends AnyFunSuite {
             s"(${crashed(log).size} vs ${control(log).size} rows)")
     }
   }
+
+  test("passageIndexSink warns (default-on) when a streamed batch runs " +
+      "under the amortization cadence; the batch ingest stays opt-in") {
+    import graft.ext.Decontaminate
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val name = "cadence_spec_idx"
+    val base = java.nio.file.Files.createTempDirectory("cadence_spec").toString
+    Decontaminate.writePassageIndex(docs, "doc_id", "text", name)
+    try {
+      val maxId = docs.agg(max(col("doc_id"))).as[Long].head()
+      // fixture guard: a 2-gram batch against this index IS lagged
+      val keeperRows = spark.table(s"${name}_keepers").count()
+      assert(Decontaminate.cadenceLagged(2L, keeperRows),
+        s"fixture: $keeperRows keeper rows must dwarf a 2-gram batch")
+      val tiny = (maxId + 1L,
+        "t1 t2 t3 t4 t5 t6 t7 t8 t9") // 9 tokens → 2 grams at n = 8
+      val before = Decontaminate.cadenceWarnCount.get()
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingAgg.passageIndexSink(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", name, s"$base/clean")
+      try { in.addData(Seq(tiny)); q.processAllAvailable() } finally q.stop()
+      assert(Decontaminate.cadenceWarnCount.get() > before,
+        "the streamed sink must fire the cadence warning by default")
+      // the batch-driven ingest keeps cadenceCheck opt-in (default
+      // false): same under-cadence shape, no warning
+      val mid = Decontaminate.cadenceWarnCount.get()
+      assert(Decontaminate.ingestPassageBatch(
+        Seq((maxId + 2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+          .toDF("doc_id", "text"),
+        1L, "doc_id", "text", name, s"$base/clean"))
+      assert(Decontaminate.cadenceWarnCount.get() == mid,
+        "the batch ingest must not warn unless cadenceCheck is passed")
+    } finally Seq(s"${name}_keepers", s"${name}_pstats", s"${name}_batches")
+      .foreach(graft.sources.Tables.dropWithLocation(spark, _))
+  }
 }
