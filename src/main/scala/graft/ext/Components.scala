@@ -382,7 +382,7 @@ object Components {
     * [[incrementalSurvivors]] (in-memory table form) and
     * [[survivorDelta]] (append-only log form) so the pick rule can
     * never drift between them. */
-  private def repickTouched(assignments: DataFrame, touched: DataFrame,
+  private[ext] def repickTouched(assignments: DataFrame, touched: DataFrame,
       scores: DataFrame, nodeCol: String, scoreCol: String): DataFrame =
     assignments
       .select(col(nodeCol), col("component"))

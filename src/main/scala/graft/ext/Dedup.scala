@@ -658,7 +658,16 @@ object Dedup {
     * runbook.  Requires a quiesced index (no concurrent ingest): call
     * it from the single maintenance owner, between batches — the same
     * cadence as the TxLog folds. */
-  def compactLshIndex(spark: SparkSession, name: String): Unit = {
+  /** @param dropIds single-column frame (`id`) of PURGED doc ids
+    *   whose signature rows the fold must ERASE — the LSH leg of the
+    *   hygiene right-to-erasure compaction
+    *   ([[Hygiene.compactHygiene]]): the folded base anti-joins them
+    *   out of both `_shingles` and `_bands`.  Only the folded slice
+    *   is erased; an unmarked in-flight partition passes through
+    *   untouched (there are none under the erasing caller's quiesced
+    *   contract, and touching it would break its replay-replace). */
+  def compactLshIndex(spark: SparkSession, name: String,
+      dropIds: Option[DataFrame] = None): Unit = {
     recoverLshCompaction(spark, name)
     val tbls = Seq(s"${name}_shingles", s"${name}_bands")
     if (!tbls.forall(spark.catalog.tableExists)) return
@@ -680,7 +689,10 @@ object Dedup {
       // ids are the same murmur3-pmod hash, so each task holds exactly
       // one bucket and the consolidated partition lands as one file
       // per bucket instead of one per (task × bucket)
-      val folded = live.where(col("batch_id").isin(foldable: _*))
+      val foldedRaw = live.where(col("batch_id").isin(foldable: _*))
+      val folded = dropIds.fold(foldedRaw)(p =>
+          foldedRaw.join(broadcast(p.select(col("id"))), Seq("id"),
+            "left_anti"))
         .withColumn("batch_id", lit(compactedBatchId))
       val rest = live.where(!col("batch_id").isin(foldable: _*))
       val stage = s"${tbl}__cstage"

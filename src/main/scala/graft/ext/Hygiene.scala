@@ -133,8 +133,15 @@ object Hygiene {
     def bmv: String = s"${name}_bmv"
     def bms: String = s"${name}_bms"
     def hstats: String = s"${name}_hstats"
+    /** The purge LEDGER: ids [[Purge.purgeDocs]] has retracted whose
+      * physical rows still await the next erasing [[compactHygiene]].
+      * Between purge and compaction it masks the LSH probe's pair
+      * increment (a stored signature of a purged doc may still
+      * collide); the erasing fold anti-joins every store against it
+      * and then folds the ledger itself to empty. */
+    def purged: String = s"${name}_purged"
     def allTables: Seq[String] =
-      Seq(pk, pm, bmp, bmv, bms, hstats, s"${name}_batches")
+      Seq(pk, pm, bmp, bmv, bms, hstats, purged, s"${name}_batches")
   }
 
   /** ONE batch of the composed pipeline.  Returns false (a no-op,
@@ -217,10 +224,19 @@ object Hygiene {
           "keeper-ship is first-arrival, so ingest order must be id order")
     }
     // ---- layer 1: the dedup/curation protocol (self-gated) -------------
+    // Between a purge and its erasing compaction the LSH index still
+    // holds the purged docs' signatures, so the batch probe can emit
+    // pairs against them — the ledger masks those from the closure
+    // (O(batch) broadcast anti-joins; the ledger is purge-sized).
+    val purgeLedger =
+      if (s.catalog.tableExists(st.purged))
+        Some(s.table(st.purged).select(col(idCol)))
+      else None
     graft.streaming.StreamingAgg.curationStep(batch, batchId, idCol,
       textCol, scoresFor, scoreCol, st.lshName, st.pairsDir, st.assignDir,
       st.survDir, emitDir = Some(st.emitDir), n = lshN, bands = bands,
-      buckets = buckets, minJaccard = minJaccard)
+      buckets = buckets, minJaccard = minJaccard,
+      dropPairIds = purgeLedger)
     layerHook("dedup", batchId)
     // ---- layer 2: passage repair + clean --------------------------------
     passageLayer(s, batch, batchId, idCol, textCol, rawTextFor, st,
@@ -230,6 +246,27 @@ object Hygiene {
     bm25Layer(s, batchId, idCol, st, buckets, maxDriverRepairIds)
     layerHook("bm25", batchId)
     // ---- layer 4: decontamination flag set -------------------------------
+    flagsLayer(s, st, bench, qidCol, termCol, k, floor, idCol, k1, b,
+      batchId)
+    layerHook("flags", batchId)
+    // high-water mark + step marker land last
+    IndexLifecycle.writeBatchPartition(
+      s.range(1).select(lit(ids.getLong(2)).as("n_docs"),
+        lit(ids.getLong(1)).as("max_id")),
+      st.hstats, batchId, None)
+    IndexLifecycle.markBatch(s, st.name, batchId)
+    true
+  }
+
+  /** The decontamination flag-set commit a step (or a purge) ends its
+    * index maintenance with: one bucket-pruned probe of the maintained
+    * mutable BM25 index for the benchmark queries; the CURRENT flag
+    * set (bounded by |queries| × k) commits to `flagDir` as the
+    * batch's rows.  Self-gated at the TxLog marker. */
+  private[ext] def flagsLayer(s: SparkSession, st: HygieneState,
+      bench: DataFrame, qidCol: String, termCol: String, k: Int,
+      floor: Double, idCol: String, k1: Double, b: Double,
+      batchId: Long): Unit =
     if (!TxLog.isCommitted(s, st.flagDir, batchId)) {
       val flags = bm25TopKFromMutable(s, st, bench, qidCol, termCol, k,
           idCol, k1, b)
@@ -248,19 +285,10 @@ object Hygiene {
         flags.unionByName(sentinel).withColumn("batch", lit(batchId)),
         st.flagDir, batchId)
     }
-    layerHook("flags", batchId)
-    // high-water mark + step marker land last
-    IndexLifecycle.writeBatchPartition(
-      s.range(1).select(lit(ids.getLong(2)).as("n_docs"),
-        lit(ids.getLong(1)).as("max_id")),
-      st.hstats, batchId, None)
-    IndexLifecycle.markBatch(s, st.name, batchId)
-    true
-  }
 
   /** The raw clean log, or a typed empty frame before the first
     * commit. */
-  private def cleanLogOr(s: SparkSession, st: HygieneState,
+  private[ext] def cleanLogOr(s: SparkSession, st: HygieneState,
       idCol: String): DataFrame =
     if (TxLog.committedDirs(s, st.cleanDir).isEmpty)
       s.range(0).select(col("id").as(idCol), lit("").as("clean_text"),
@@ -272,12 +300,16 @@ object Hygiene {
     * clean row below `ltBatch` — a broadcast membership probe over an
     * id-column-only log scan: the corpus-sized log is never resolved,
     * shuffled, or text-read per batch. */
-  private def cleanedIdsAmong(s: SparkSession, st: HygieneState,
-      idCol: String, among: DataFrame, ltBatch: Long): DataFrame =
+  private[ext] def cleanedIdsAmong(s: SparkSession, st: HygieneState,
+      idCol: String, among: DataFrame, ltBatch: Long,
+      hint: Boolean = true): DataFrame = {
+    val amongIds = among.select(col(idCol))
     cleanLogOr(s, st, idCol).where(col("batch") < lit(ltBatch))
       .select(col(idCol))
-      .join(broadcast(among.select(col(idCol))), Seq(idCol), "left_semi")
+      .join(if (hint) broadcast(amongIds) else amongIds, Seq(idCol),
+        "left_semi")
       .distinct()
+  }
 
   /** Latest-wins prior clean rows for a SMALL driver-side id set —
     * the `isin` literal pushes to the parquet scan (row-group
@@ -316,7 +348,7 @@ object Hygiene {
     * rows), not O(accumulated churn).  `ltBatch` = None reads the
     * full committed log (including the running batch's own
     * emissions). */
-  private def evictedAmong(s: SparkSession, st: HygieneState,
+  private[ext] def evictedAmong(s: SparkSession, st: HygieneState,
       idCol: String, among: DataFrame, ltBatch: Option[Long],
       hint: Boolean = true): DataFrame = {
     val log = TxLog.readCommitted(s, st.emitDir)
@@ -330,7 +362,7 @@ object Hygiene {
 
   /** Latest-wins resolution of the keeper table, tombstones dropped.
     * Bucket-local (the table is h-bucketed): no exchange. */
-  private def resolvedKeepers(s: SparkSession, st: HygieneState,
+  private[ext] def resolvedKeepers(s: SparkSession, st: HygieneState,
       excludeBatch: Long): DataFrame =
     if (!s.catalog.tableExists(st.pk))
       s.range(0).select(col("id").as("h"), col("id").as("keeper"))
@@ -544,8 +576,21 @@ object Hygiene {
     } finally updatesP.unpersist()
   }
 
-  private def bm25Layer(s: SparkSession, batchId: Long, idCol: String,
-      st: HygieneState, buckets: Int, maxDriverRepairIds: Int): Unit = {
+  /** BM25 index deltas for everything batch `batchId` changed — reads
+    * the batch's OWN emission and clean commits back, so it serves
+    * both [[hygieneStep]] and [[Purge.purgeDocs]] (whose retractions
+    * are exactly a demotion's shape: prior postings → tf=0
+    * tombstones, signed df/stats decrements). */
+  /** @param reAdmitted docs whose clean rows predate this batch but
+    *   whose INDEX state is absent (postings retracted when they were
+    *   demoted) — [[Purge.purgeDocs]]'s re-promoted docs.  They must
+    *   be treated as NEW (full postings/df/stats additions), not as
+    *   changed docs, or their old rows would be retracted a second
+    *   time and the signed df/n_docs sums would drift.  The monotone
+    *   ingest path never re-admits, so [[hygieneStep]] passes None. */
+  private[ext] def bm25Layer(s: SparkSession, batchId: Long, idCol: String,
+      st: HygieneState, buckets: Int, maxDriverRepairIds: Int,
+      reAdmitted: Option[DataFrame] = None): Unit = {
     val cleanK = TxLog.readBatch(s, st.cleanDir, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emitK = TxLog.readBatch(s, st.emitDir, batchId)
@@ -566,8 +611,10 @@ object Hygiene {
     // the ceiling the prior-text slice joins against the frames
     // instead of collecting them into isin literals.
     val dE = boundedIds(demoted, maxDriverRepairIds)
-    val changed = cleanedIdsAmong(s, st, idCol, cleanK.select(col(idCol)),
+    val changed0 = cleanedIdsAmong(s, st, idCol, cleanK.select(col(idCol)),
       batchId)
+    val changed = reAdmitted.fold(changed0)(p =>
+      changed0.join(p.select(col(idCol)), Seq(idCol), "left_anti"))
     val oE = boundedIds(changed, maxDriverRepairIds)
     val changedOld = (dE, oE) match {
       case (Left(d), Left(o)) =>
@@ -726,7 +773,8 @@ object Hygiene {
     * Crash-safe via the staged-swap protocol; re-running compaction
     * is the recovery ([[recoverHygieneCompaction]] runs first). */
   def compactHygiene(s: SparkSession, st: HygieneState,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      graceMs: Long = TxLog.defaultVacuumGraceMs): Unit = {
     recoverHygieneCompaction(s, st)
     val marked = IndexLifecycle.committedIds(s, st.name)
     val subMax = Seq(st.pairsDir, st.assignDir, st.survDir, st.emitDir,
@@ -737,33 +785,58 @@ object Hygiene {
         s"compactHygiene: batch $m is committed in a sub-log but not " +
           "step-marked — an in-flight batch must replay through " +
           "hygieneStep before maintenance runs"))
+    // ---- the ERASING part of the fold: every store anti-joins the
+    // purge ledger, so rows of purged docs are PHYSICALLY dropped
+    // from the folded bases (until now they were only retracted —
+    // evicted / tombstoned / relabeled).  The ledger itself folds to
+    // empty LAST, after every store's erase has landed, so a crash
+    // anywhere re-runs with the ledger intact (each erase is an
+    // idempotent anti-join).  The folded TxLog staged files are
+    // deleted by the compaction's own vacuum — pass `graceMs = 0`
+    // from a quiesced maintenance window to reclaim them immediately
+    // (the full right-to-erasure runbook: SCALE.md).
+    val purgedIds: Option[DataFrame] =
+      if (s.catalog.tableExists(st.purged)) {
+        val l = s.table(st.purged).select(col(idCol)).distinct()
+          .localCheckpoint()
+        if (l.isEmpty) None else Some(l)
+      } else None
+    def erase(df: DataFrame, c: String): DataFrame =
+      purgedIds.fold(df)(p => df.join(
+        broadcast(p.select(col(idCol).as(c))), Seq(c), "left_anti"))
     import graft.ext.Components
-    TxLog.compact(s, st.pairsDir)
+    TxLog.compactWith(s, st.pairsDir,
+      (df, _) => erase(erase(df, "id_a"), "id_b"), graceMs = graceMs)
     TxLog.compactWith(s, st.assignDir, (df, c) =>
-      Components.resolveAssignments(df, idCol, "batch")
-        .withColumn("batch", lit(c)))
+      erase(Components.resolveAssignments(df, idCol, "batch"), idCol)
+        .withColumn("batch", lit(c)), graceMs = graceMs)
     TxLog.compactWith(s, st.survDir, (df, c) =>
-      Components.resolveSurvivors(df, "batch").withColumn("batch", lit(c)))
+      Components.resolveSurvivors(df, "batch").withColumn("batch", lit(c)),
+      graceMs = graceMs)
     TxLog.compactWith(s, st.emitDir, (df, c) =>
-      df.groupBy(col(idCol))
-        .agg(max_by(col("kept"), col("batch")).as("kept"))
-        .withColumn("batch", lit(c)))
+      erase(df.groupBy(col(idCol))
+        .agg(max_by(col("kept"), col("batch")).as("kept")), idCol)
+        .withColumn("batch", lit(c)), graceMs = graceMs)
     TxLog.compactWith(s, st.cleanDir, (df, c) =>
-      df.groupBy(col(idCol))
+      erase(df.groupBy(col(idCol))
         .agg(max_by(struct(col("clean_text"), col("n_kept"),
           col("n_removed")), col("batch")).as("__r"))
         .select(col(idCol), col("__r.clean_text").as("clean_text"),
-          col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed"))
-        .withColumn("batch", lit(c)))
+          col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed")),
+        idCol)
+        .withColumn("batch", lit(c)), graceMs = graceMs)
     TxLog.compactWith(s, st.flagDir, (df, c) => {
       // every batch carries a null-id sentinel row, so max(batch) is
       // the LATEST batch even when its flag set is empty — the fold
       // keeps that batch's rows (sentinel included, so the next
       // resolve still lands on the folded base) and never bakes a
-      // stale earlier set into the compacted base
+      // stale earlier set into the compacted base.  The erase is a
+      // belt (a purged doc has no postings left to score); the null
+      // sentinel survives it — null matches no anti-join key.
       val m = df.agg(coalesce(max(col("batch")), lit(0L))).first().getLong(0)
-      df.where(col("batch") === lit(m)).withColumn("batch", lit(c))
-    })
+      erase(df.where(col("batch") === lit(m)), idCol)
+        .withColumn("batch", lit(c))
+    }, graceMs = graceMs)
     val committed = IndexLifecycle.committedIds(s, st.name)
     if (s.catalog.tableExists(st.pk))
       IndexLifecycle.swapFold(s, st.pk, committed, (df, base) =>
@@ -772,8 +845,8 @@ object Hygiene {
           .where(col("keeper").isNotNull)
           .withColumn("batch_id", base))
     if (s.catalog.tableExists(st.pm))
-      IndexLifecycle.swapFold(s, st.pm, committed,
-        (df, base) => df.withColumn("batch_id", base))
+      IndexLifecycle.swapFold(s, st.pm, committed, (df, base) =>
+        erase(df, idCol).withColumn("batch_id", base))
     if (s.catalog.tableExists(st.bmp))
       IndexLifecycle.swapFold(s, st.bmp, committed, (df, base) =>
         df.groupBy(col("tok"), col("id"))
@@ -799,14 +872,24 @@ object Hygiene {
           .withColumn("batch_id", base))
     IndexLifecycle.foldMarkerTable(s, st.name)
     Dedup.compactLshIndexMinor(s, st.lshName)
-    Dedup.compactLshIndex(s, st.lshName)
+    Dedup.compactLshIndex(s, st.lshName, dropIds =
+      purgedIds.map(_.select(col(idCol).as("id"))))
+    // the ledger folds to empty LAST: every erase above has landed,
+    // no store references the purged ids any more, and the monotone
+    // ingest contract means a purged (≤ high-water) id can never
+    // re-arrive — so the ledger has nothing left to mask.  A crash
+    // before this point re-runs compaction with the ledger intact.
+    if (s.catalog.tableExists(st.purged))
+      IndexLifecycle.swapFold(s, st.purged, committed, (df, base) =>
+        df.limit(0).withColumn("batch_id", base))
   }
 
   /** Finish any staged swap a crash interrupted, and re-sync partition
     * metadata — compaction runs it first, so "re-run compaction" is
     * the whole recovery runbook. */
   def recoverHygieneCompaction(s: SparkSession, st: HygieneState): Boolean = {
-    val partitioned = Set(st.pk, st.pm, st.bmp, st.bmv, st.bms, st.hstats)
+    val partitioned = Set(st.pk, st.pm, st.bmp, st.bmv, st.bms, st.hstats,
+      st.purged)
     val a = IndexLifecycle.recoverSwaps(s,
       (partitioned + s"${st.name}_batches").toSeq, partitioned)
     val b = Dedup.recoverLshCompaction(s, st.lshName)

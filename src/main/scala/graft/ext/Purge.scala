@@ -1,0 +1,473 @@
+package graft.ext
+
+import graft.ext.Hygiene.HygieneState
+import graft.sources.TxLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Hard-delete / takedown PURGE for the composed hygiene pipeline —
+  * the one lifecycle operation demotion (q123) does not cover: given
+  * a set of document ids, retract every trace of them from the
+  * pipeline's derived state NOW, and have the next erasing
+  * [[Hygiene.compactHygiene]] physically drop their raw rows from
+  * every store, proven by a require()-able certificate
+  * ([[assertPurged]]).
+  *
+  * Purge is strictly harder than demotion because removing a document
+  * is NOT monotone in any of the pipeline's invariants:
+  *
+  *   - the duplicate graph loses a NODE, so components can SPLIT
+  *     (a purged doc may have been the only bridge between two
+  *     near-dup groups) — the incremental closure only ever merges,
+  *     so the affected components are re-closed here from the pair
+  *     log restricted to their live members;
+  *   - a purged survivor PROMOTES the best remaining member of its
+  *     cluster — a previously-evicted doc enters the kept set, which
+  *     the ingest path's monotone-id keeper invariant never allows:
+  *     the promoted doc must be cleaned fresh, and where it holds a
+  *     shared gram with a SMALLER id than the gram's current owner it
+  *     STEALS ownership (the one-shot `min(id) per gram` over the new
+  *     kept set demands it), so the stolen-from owner is rebuilt with
+  *     NEW marks — the reverse of the demotion cascade;
+  *   - a purged gram OWNER's grams transfer exactly like a demotion
+  *     ([[Hygiene]]'s cascade), except the candidate set must also
+  *     include the promoted docs (they are kept holders the marks log
+  *     has never seen);
+  *   - BM25 postings/df/stats retract through the existing signed
+  *     deltas ([[Hygiene.bm25Layer]] — a purge batch's emission and
+  *     clean commits have exactly a demotion's shape to it), and the
+  *     decontamination flag set is re-probed.
+  *
+  * The oracle contract (gate q124): after a mid-stream purge plus the
+  * erasing compaction, the resolved pipeline state is hash-equal to
+  * the one-shot q122 pipeline over corpus-minus-purged.
+  *
+  * Two-phase erasure: [[purgeDocs]] is the RETRACTION — after it, no
+  * resolved read (clean corpus, BM25 probe, survivor table, flag set)
+  * reflects the purged docs, but their physical rows still sit in the
+  * stores (latest-wins logs never rewrite in place).  The ids land in
+  * the purge LEDGER (`<name>_purged`), which (a) masks the LSH
+  * probe's pair increment until the signatures are gone (a stored
+  * band of a purged doc can still collide with an arriving batch) and
+  * (b) drives the ERASURE: [[Hygiene.compactHygiene]] anti-joins every
+  * store's fold against it, folds the ledger itself to empty last,
+  * and its vacuum deletes the superseded files (pass `graceMs = 0`
+  * from a quiesced window for immediate reclaim).  [[assertPurged]]
+  * then verifies zero occurrences across all eleven stores.
+  *
+  * Batch protocol: a purge consumes ONE batch id in the pipeline's
+  * contiguous sequence (it commits to the same logs and must order
+  * against ingest batches for latest-wins resolution), so it runs on
+  * a QUIESCED loop between batches — the [[Hygiene.compactHygiene]]
+  * contract.  Replay-safe at every layer: the whole call no-ops at
+  * the step marker; below it each log commit self-gates and each
+  * index partition is recomputed deterministically from prior state
+  * excluding the batch's own rows.  Scale shape: every join is
+  * O(affected components' members + purged docs' gram spread), the
+  * corpus-sized stores are only probed bucket-locally or scanned once
+  * per store — a takedown is storm-shaped by construction, so all id
+  * joins take the distributed path (no driver literals).
+  *
+  * The reference has no purge (its engine folds immutable inputs,
+  * `/root/reference/src/Control/MapReduce/Core.hs` has no deletion);
+  * this operator exists for the production corpus the 100 TB design
+  * targets, where right-to-erasure requests arrive in week one.
+  */
+object Purge {
+
+  /** Retract `ids` from every derived view of the pipeline and record
+    * them in the purge ledger for the next erasing compaction.
+    * Returns false (a no-op, before any compute) when `batchId` is
+    * already step-marked.
+    *
+    * Layer order, each independently replay-safe:
+    *   1. ledger partition (the erasure work list);
+    *   2. assignment repair: re-close affected components over the
+    *      pair log restricted to their LIVE members (splits land
+    *      here), purged ids self-root (inert singletons until the
+    *      ledger erases them);
+    *   3. survivor repair: re-pick every affected component from its
+    *      live members, tombstone labels that died with their purged
+    *      min-id member;
+    *   4. emission delta: kept=false for every purged doc ever
+    *      emitted, (id, kept = is-survivor) for every live member of
+    *      an affected component — PROMOTIONS (evicted docs whose
+    *      survivor was purged) surface here as kept=true;
+    *   5. passage repair: ownership transfer for dying grams
+    *      (candidates = marked kept holders ∪ promoted holders),
+    *      ownership STEALS where a promoted id undercuts a live
+    *      keeper, rebuilds for both transfer targets and stolen-from
+    *      owners, fresh cleaning of the promoted docs;
+    *   6. BM25 deltas ([[Hygiene.bm25Layer]] over the purge batch's
+    *      own commits) and the re-probed flag set.
+    *
+    * Contracts (require()d): a quiesced loop (contiguous next batch
+    * id); every purged id at or below the ingested high-water mark —
+    * above it an id could still arrive later (monotone ingest) and
+    * silently escape the purge.  Ids never ingested are tolerated
+    * (nothing to erase; the monotone contract keeps them out forever).
+    *
+    * @param ids one column (`idCol`) of doc ids to purge
+    * @param scoresFor / rawTextFor the [[Hygiene.hygieneStep]]
+    *   lookups — scores for survivor re-picks (live members only),
+    *   raw text for promoted docs and rebuilt owners (never purged
+    *   ids) */
+  def purgeDocs(ids: DataFrame, batchId: Long, idCol: String,
+      textCol: String, scoresFor: DataFrame => DataFrame, scoreCol: String,
+      rawTextFor: DataFrame => DataFrame, st: HygieneState,
+      bench: DataFrame, qidCol: String, termCol: String, k: Int,
+      floor: Double, passageN: Int = 8, buckets: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDriverRepairIds: Int = Hygiene.DefaultMaxDriverRepairIds,
+      layerHook: (String, Long) => Unit = (_, _) => ()): Boolean = {
+    val s = ids.sparkSession
+    require(batchId >= 0, s"purge batch ids start at 0, got $batchId")
+    require(ids.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"purgeDocs requires a numeric id column; '$idCol' is " +
+        s"${ids.schema(idCol).dataType}")
+    val marked = IndexLifecycle.committedIds(s, st.name)
+    if (marked.contains(batchId)) return false
+    val realMarked = marked.filter(_ >= 0L)
+    require(realMarked.nonEmpty,
+      "purgeDocs on a pipeline with no ingested batch — nothing to purge")
+    require(batchId == realMarked.max + 1L,
+      s"purgeDocs($batchId): batch ids must be contiguous — highest " +
+        s"marked id is ${realMarked.max}; a purge orders against ingest " +
+        "batches in the same latest-wins sequence, so it must run on a " +
+        "quiesced loop between them")
+    val idsD = ids.select(col(idCol)).distinct().localCheckpoint()
+    val mx = idsD.agg(coalesce(max(col(idCol)).cast("long"),
+      lit(Long.MinValue))).first().getLong(0)
+    if (s.catalog.tableExists(st.hstats)) {
+      val hw = s.table(st.hstats).where(col("batch_id") =!= lit(batchId))
+        .agg(coalesce(max(col("max_id")), lit(Long.MinValue)))
+        .first().getLong(0)
+      require(mx <= hw,
+        s"purgeDocs($batchId): max purge id $mx exceeds the ingested " +
+          s"high-water mark $hw — under the monotone ingest contract an " +
+          "id above the high-water can still arrive and would silently " +
+          "escape the purge; purge after it lands (or never)")
+    }
+    // ---- layer 0: the ledger (the erasure work list) --------------------
+    IndexLifecycle.writeBatchPartition(idsD, st.purged, batchId, None)
+    layerHook("ledger", batchId)
+    // shared prior views, all excluding this batch's own commits so a
+    // replay recomputes them identically
+    val aPrior = Components.resolveAssignments(
+        TxLog.readCommitted(s, st.assignDir)
+          .where(col("batch") < lit(batchId)), idCol, "batch")
+      .localCheckpoint()
+    val affected = aPrior.join(idsD, Seq(idCol), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    val mPrime = aPrior.join(affected, Seq("component"), "left_semi")
+      .join(idsD, Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint()
+    // ---- layer 1: assignment repair (splits land here) ------------------
+    if (!TxLog.isCommitted(s, st.assignDir, batchId)) {
+      val pairs0 =
+        if (TxLog.committedDirs(s, st.pairsDir).isEmpty)
+          aPrior.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
+        else TxLog.readCommitted(s, st.pairsDir)
+      // pairs among the affected components' LIVE members: a pair
+      // touching any purged id (this purge's or an earlier one's) has
+      // an endpoint outside mPrime and drops out here — the purged
+      // node cannot bridge live docs any more
+      val pairs = pairs0
+        .join(mPrime.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+        .join(mPrime.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      val relabeled = Components.connectedComponents(pairs, "id_a", "id_b",
+        mPrime, idCol)
+      val changed = relabeled
+        .join(aPrior.select(col(idCol), col("component").as("__old")),
+          Seq(idCol), "left")
+        .where(col("component") =!= col("__old"))
+        .select(col(idCol), col("component"))
+      // purged ids self-root: inert singleton components (no pair can
+      // reach them — the ledger masks new pairs, this layer's member
+      // restriction masks old ones) that the erasing fold drops
+      val selfRoots = aPrior.join(idsD, Seq(idCol), "left_semi")
+        .select(col(idCol), col(idCol).as("component"))
+      TxLog.commitBatch(
+        changed.unionByName(selfRoots).withColumn("batch", lit(batchId)),
+        st.assignDir, batchId)
+    }
+    layerHook("assign", batchId)
+    // the resolved assignment AFTER this batch, restricted to the
+    // affected live members — the view the survivor and emission
+    // layers share
+    def newLabels(): DataFrame = Components.resolveAssignments(
+        TxLog.readCommitted(s, st.assignDir), idCol, "batch")
+      .join(mPrime, Seq(idCol), "left_semi")
+    // ---- layer 2: survivor repair ----------------------------------------
+    if (!TxLog.isCommitted(s, st.survDir, batchId)) {
+      val labels = newLabels().localCheckpoint()
+      val newComps = labels.select(col("component")).distinct()
+      val repick = Components.repickTouched(labels, newComps,
+        scoresFor(mPrime), idCol, scoreCol)
+      // dead labels: affected components that survive nowhere — their
+      // label was a purged id (a live min-id member always keeps its
+      // label).  Gated on labels the survivor log actually picked.
+      val priorComponents =
+        if (TxLog.committedDirs(s, st.survDir).nonEmpty)
+          TxLog.readCommitted(s, st.survDir)
+            .where(col("batch") < lit(batchId)).select(col("component"))
+        else labels.select(col("component")).limit(0)
+      val dead = affected.join(newComps, Seq("component"), "left_anti")
+        .join(priorComponents, Seq("component"), "left_semi")
+      val idT = aPrior.schema(aPrior.schema.fieldIndex(idCol)).dataType
+      TxLog.commitBatch(
+        repick.unionByName(dead.select(col("component"),
+            lit(null).cast(idT).as("survivor_id"), lit(0L).as("n_members")))
+          .withColumn("batch", lit(batchId)),
+        st.survDir, batchId)
+    }
+    layerHook("survivors", batchId)
+    // ---- layer 3: emission delta (promotions surface here) --------------
+    if (!TxLog.isCommitted(s, st.emitDir, batchId)) {
+      val repicks = TxLog.readBatch(s, st.survDir, batchId)
+        .where(col("survivor_id").isNotNull)
+        .select(col("component"), col("survivor_id"))
+      val memberEmit = newLabels().join(repicks, Seq("component"))
+        .select(col(idCol), (col(idCol) === col("survivor_id")).as("kept"))
+      // every purged doc ever emitted flips to kept=false — evicted
+      // for every resolved read until the erasing fold drops its rows
+      val purgedEmit = TxLog.readCommitted(s, st.emitDir)
+        .select(col(idCol))
+        .join(idsD, Seq(idCol), "left_semi").distinct()
+        .select(col(idCol), lit(false).as("kept"))
+      TxLog.commitBatch(
+        memberEmit.unionByName(purgedEmit).withColumn("batch", lit(batchId)),
+        st.emitDir, batchId)
+    }
+    layerHook("emit", batchId)
+    // the PROMOTED set: affected members emitted kept=true whose
+    // latest PRE-purge emission said evicted.  This deliberately
+    // includes docs cleaned in an EARLIER kept era (kept → demoted →
+    // re-promoted here): their stale clean row must be superseded by
+    // a fresh cleaning, and their BM25 state is ABSENT (retracted at
+    // demotion), so the index layer must treat them as new, not
+    // changed
+    val emitK = TxLog.readBatch(s, st.emitDir, batchId)
+    val admittedIds = emitK.where(col("kept")).select(col(idCol))
+    val promoted = admittedIds.join(
+        Hygiene.evictedAmong(s, st, idCol, admittedIds,
+          ltBatch = Some(batchId), hint = false), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    // ---- layer 4: passage repair (transfer + steal + promote) -----------
+    passagePurgeLayer(s, batchId, idCol, textCol, rawTextFor, st,
+      promoted, passageN, buckets)
+    layerHook("passage", batchId)
+    // ---- layer 5: BM25 retraction + flag re-probe ------------------------
+    Hygiene.bm25Layer(s, batchId, idCol, st, buckets, maxDriverRepairIds,
+      reAdmitted = Some(promoted))
+    layerHook("bm25", batchId)
+    Hygiene.flagsLayer(s, st, bench, qidCol, termCol, k, floor, idCol,
+      k1, b, batchId)
+    layerHook("flags", batchId)
+    // a purge ingests nothing: the high-water mark must not move
+    IndexLifecycle.writeBatchPartition(
+      s.range(1).select(lit(0L).as("n_docs"),
+        lit(Long.MinValue).as("max_id")),
+      st.hstats, batchId, None)
+    IndexLifecycle.markBatch(s, st.name, batchId)
+    true
+  }
+
+  /** The purge twin of [[Hygiene]]'s passage layer.  Differences from
+    * the ingest path, all forced by non-monotone ids (promoted docs
+    * re-enter the kept set with OLD ids):
+    *   - transfer candidates for a dying gram = marked kept holders
+    *     (the demotion cascade's set) ∪ promoted holders (kept
+    *     holders the marks log has never seen);
+    *   - a promoted holder with a smaller id than a LIVE keeper
+    *     STEALS the gram (`min(id) per gram` over the new kept set),
+    *     and the stolen-from owner is rebuilt with NEW marks — whose
+    *     positions come from its raw grams, since an owner was never
+    *     marked;
+    *   - promoted docs clean against the POST-repair keeper view
+    *     (prior keepers overlaid with this batch's transfers/steals,
+    *     novel grams owned by the smallest promoted holder).
+    * All id joins are distributed (no driver literals): a takedown is
+    * storm-shaped by construction, and purge cadence is maintenance
+    * cadence — the literal fast path exists for per-batch organic
+    * churn, not for this. */
+  private def passagePurgeLayer(s: SparkSession, batchId: Long,
+      idCol: String, textCol: String, rawTextFor: DataFrame => DataFrame,
+      st: HygieneState, promoted: DataFrame, n: Int, buckets: Int): Unit = {
+    val emitK = TxLog.readBatch(s, st.emitDir, batchId)
+    // the purged docs whose derived state exists: cleaned, and not
+    // already retracted by an earlier demotion (first-demotion-only,
+    // the ingest path's exact guard)
+    val demotedCand = emitK.where(!col("kept")).select(col(idCol))
+    val demoted = Hygiene.cleanedIdsAmong(s, st, idCol, demotedCand,
+        batchId, hint = false)
+      .join(Hygiene.evictedAmong(s, st, idCol, demotedCand,
+        ltBatch = Some(batchId), hint = false), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val keepPrior = Hygiene.resolvedKeepers(s, st, excludeBatch = batchId)
+    val pToked = Decontaminate.tokedOf(rawTextFor(promoted), idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pGrams = Decontaminate.gramsOf(pToked, idCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pMin = pGrams.groupBy(col("h")).agg(min(col(idCol)).as("__pmin"))
+    val marksT =
+      if (s.catalog.tableExists(st.pm))
+        s.table(st.pm).where(col("batch_id") =!= lit(batchId))
+      else s.range(0).select(col("id").as("h"), col("id").as(idCol),
+        col("id").cast("int").as("pos"))
+    // (a) dying grams: keeper purged → min(marked live holder,
+    // smallest promoted holder), or a tombstone when neither exists
+    val owned = keepPrior.join(demoted.select(col(idCol).as("keeper")),
+        Seq("keeper"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = marksT.join(owned.select(col("h")), Seq("h"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eviction probe INCLUDES this batch's emissions: a purged marked
+    // holder must not inherit (it is evicted as of this batch)
+    val evictedC = Hygiene.evictedAmong(s, st, idCol,
+      cands.select(col(idCol)).distinct(), ltBatch = None, hint = false)
+    val mMin = cands.join(evictedC, Seq(idCol), "left_anti")
+      .groupBy(col("h")).agg(min(col(idCol)).as("__mmin"))
+    val dying = owned.select(col("h"))
+      .join(mMin, Seq("h"), "left")
+      .join(pMin, Seq("h"), "left")
+      .select(col("h"), least(col("__mmin"), col("__pmin")).as("keeper"))
+    // (b) steals: a promoted holder undercuts a LIVE keeper — the
+    // one-shot min(id) over the new kept set demands the swap
+    val steals = keepPrior
+      .join(demoted.select(col(idCol).as("keeper")), Seq("keeper"),
+        "left_anti")
+      .join(pMin, Seq("h"))
+      .where(col("__pmin") < col("keeper"))
+      .select(col("h"), col("keeper").as("__loser"), col("__pmin"))
+      .localCheckpoint()
+    val updates = dying
+      .unionByName(steals.select(col("h"), col("__pmin").as("keeper")))
+      .localCheckpoint()
+    val novel = pMin.join(keepPrior.select(col("h")), Seq("h"), "left_anti")
+      .select(col("h"), col("__pmin").as("keeper"))
+    // (c) rebuild set R: transfer targets that were already cleaned
+    // (promoted targets are cleaned fresh below) ∪ stolen-from owners
+    val gainers = updates.where(col("keeper").isNotNull)
+      .select(col("keeper").as(idCol)).distinct()
+      .join(promoted, Seq(idCol), "left_anti")
+    val losers = steals.select(col("__loser").as(idCol)).distinct()
+    val rDocs = gainers.unionByName(losers).distinct().localCheckpoint()
+    val rToked = Decontaminate.tokedOf(rawTextFor(rDocs), idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rGrams = Decontaminate.gramsOf(rToked, idCol, n)
+    // a stolen-from owner's NEW marks: its raw-gram positions of the
+    // stolen hashes (an owner was never marked, so the marks log
+    // cannot supply them)
+    val lMarks = rGrams.join(
+        steals.select(col("h"), col("__loser").as(idCol)),
+        Seq("h", idCol), "left_semi")
+      .select(col("h"), col(idCol), col("__pos").cast("int").as("pos"))
+      .localCheckpoint()
+    // grams R still owns after this batch: prior ownership minus the
+    // stolen hashes, plus this batch's transfers won
+    val ownR = keepPrior
+      .join(rDocs.select(col(idCol).as("keeper")), Seq("keeper"),
+        "left_semi")
+      .join(steals.select(col("h")), Seq("h"), "left_anti")
+      .unionByName(updates.where(col("keeper").isNotNull)
+        .join(rDocs.select(col(idCol).as("keeper")), Seq("keeper"),
+          "left_semi"))
+      .select(col("h"), col("keeper").as(idCol))
+    val baseMarks = marksT.join(rDocs, Seq(idCol), "left_semi")
+      .select(col("h"), col(idCol), col("pos"))
+    val effMarks = baseMarks.unionByName(lMarks)
+      .join(ownR, Seq("h", idCol), "left_anti")
+    val rStarts = effMarks.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    val rClean = Decontaminate.rebuildClean(rToked, rStarts, idCol, n)
+    // (d) promoted docs clean against the POST-repair keeper view:
+    // prior keepers overlaid with this batch's updates; a gram none
+    // of them covers is novel and owned by the smallest promoted
+    // holder (__pmin)
+    val fView = pGrams.select(col("h")).distinct()
+      .join(keepPrior.select(col("h"), col("keeper").as("__kp")),
+        Seq("h"), "left")
+      .join(updates.select(col("h"), col("keeper").as("__ku"),
+        lit(true).as("__u")), Seq("h"), "left")
+      .join(pMin, Seq("h"))
+      .select(col("h"), coalesce(
+        when(col("__u").isNotNull, col("__ku")).otherwise(col("__kp")),
+        col("__pmin")).as("__fk"))
+    val pMarks = pGrams.join(fView, Seq("h"))
+      .where(col("__fk") =!= col(idCol))
+      .select(col("h"), col(idCol), col("__pos").cast("int").as("pos"))
+      .localCheckpoint()
+    val pStarts = pMarks.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    val pClean = Decontaminate.rebuildClean(pToked, pStarts, idCol, n)
+    try {
+      TxLog.commitBatch(
+        pClean.unionByName(rClean).withColumn("batch", lit(batchId)),
+        st.cleanDir, batchId)
+      // one row per h per partition: dying/steal hashes live in
+      // keepPrior and are disjoint from each other (a dying keeper is
+      // demoted, a stolen one is not); novel hashes are neither
+      IndexLifecycle.writeBatchPartition(updates.unionByName(novel),
+        st.pk, batchId, Some(("h", buckets)))
+      IndexLifecycle.writeBatchPartition(pMarks.unionByName(lMarks),
+        st.pm, batchId, Some(("h", buckets)))
+    } finally
+      Seq(pToked, pGrams, owned, cands, rToked).foreach(_.unpersist())
+  }
+
+  /** Per-store occurrence counts of `ids` across every store and log
+    * of the pipeline instance — the data behind the purge
+    * certificate.  Run AFTER the erasing [[Hygiene.compactHygiene]]:
+    * between purge and compaction the physical rows are still present
+    * by design (retracted, awaiting the fold).  The final entry
+    * checks the ledger itself folded to empty. */
+  def purgedOccurrences(s: SparkSession, st: HygieneState, ids: DataFrame,
+      idCol: String): Seq[(String, Long)] = {
+    val p = ids.select(col(idCol)).distinct().localCheckpoint()
+    def inCol(df: DataFrame, c: String): Long =
+      df.select(col(c).as(idCol)).where(col(idCol).isNotNull)
+        .join(broadcast(p), Seq(idCol), "left_semi").count()
+    def logOr(dir: String): Option[DataFrame] =
+      if (TxLog.committedDirs(s, dir).isEmpty) None
+      else Some(TxLog.readCommitted(s, dir))
+    def tblOr(t: String): Option[DataFrame] =
+      if (s.catalog.tableExists(t)) Some(s.table(t)) else None
+    Seq[(String, Option[Long])](
+      "pairs.id_a" -> logOr(st.pairsDir).map(inCol(_, "id_a")),
+      "pairs.id_b" -> logOr(st.pairsDir).map(inCol(_, "id_b")),
+      "assignments.id" -> logOr(st.assignDir).map(inCol(_, idCol)),
+      "assignments.component" ->
+        logOr(st.assignDir).map(inCol(_, "component")),
+      "survivors.component" -> logOr(st.survDir).map(inCol(_, "component")),
+      "survivors.survivor_id" ->
+        logOr(st.survDir).map(inCol(_, "survivor_id")),
+      "emissions.id" -> logOr(st.emitDir).map(inCol(_, idCol)),
+      "clean.id" -> logOr(st.cleanDir).map(inCol(_, idCol)),
+      "flags.id" -> logOr(st.flagDir).map(inCol(_, idCol)),
+      "keepers.keeper" -> tblOr(st.pk).map(inCol(_, "keeper")),
+      "marks.id" -> tblOr(st.pm).map(inCol(_, idCol)),
+      "bm25_postings.id" -> tblOr(st.bmp).map(inCol(_, "id")),
+      "lsh_shingles.id" ->
+        tblOr(s"${st.lshName}_shingles").map(inCol(_, "id")),
+      "lsh_bands.id" -> tblOr(s"${st.lshName}_bands").map(inCol(_, "id")),
+      "purge_ledger.id" -> tblOr(st.purged).map(inCol(_, idCol))
+    ).map { case (nm, c) => (nm, c.getOrElse(0L)) }
+  }
+
+  /** The ERASURE CERTIFICATE: require that no store or log of the
+    * pipeline holds any of `ids` — call after the erasing
+    * [[Hygiene.compactHygiene]] to prove the takedown is physically
+    * complete.  Fails loudly naming every store still holding rows. */
+  def assertPurged(s: SparkSession, st: HygieneState, ids: DataFrame,
+      idCol: String): Unit = {
+    val bad = purgedOccurrences(s, st, ids, idCol).filter(_._2 > 0L)
+    require(bad.isEmpty,
+      "purge certificate FAILED — purged ids still present in: " +
+        bad.map { case (nm, c) => s"$nm ($c rows)" }.mkString(", ") +
+        ". The erasing Hygiene.compactHygiene must run (quiesced) " +
+        "after purgeDocs; if it did, a store's erase fold missed rows.")
+  }
+}
