@@ -101,9 +101,23 @@ object Hygiene {
     * bounded-or-distributed contract
     * ([[Components.DefaultMaxDriverCloseEdges]]); `0` forces the
     * distributed path whenever a set is non-empty (specs use this to
-    * keep it covered).  10^5 ids ≈ a few MB boxed on the driver and
-    * an `InSet` Catalyst can still plan. */
-  val DefaultMaxDriverRepairIds: Int = 100000
+    * keep it covered).
+    *
+    * Default SIZED BY MEASUREMENT (IndexBench `repairids`, round 15,
+    * 2M-row clean-log-shaped table, ids spread across row groups —
+    * the honest storm shape): boxed ids ~26 B each (0.2 MB at 10^4,
+    * ~5 MB at 2x10^5 — never the binding constraint); isin/InSet
+    * PLAN-BUILD time is the real cost, 0.19 s at 10^4 but 1.6 s at
+    * 10^5 and 7.2 s at 4x10^5 — at 10^5 the plan build alone exceeds
+    * the whole distributed semi-join (0.35 s flat at every size).
+    * The literal path's row-group-skipping advantage is LOCALITY-
+    * dependent (organic demotions are recent, clustered ids; spread
+    * sets hit every row group), so the ceiling sits where the
+    * literal's worst case is still cheap (≤ ~0.3 s extra) and its
+    * clustered best case can win: 10^4.  (Was 10^5 through round 14
+    * on the unmeasured "Catalyst can still plan" argument — true,
+    * but planning alone already loses to the join there.) */
+  val DefaultMaxDriverRepairIds: Int = 10000
 
   /** Bounded-or-distributed id-set dispatch: collect up to
     * `limit + 1` rows; `Left(ids)` when the set fits (the seq is then
@@ -122,7 +136,10 @@ object Hygiene {
     * instance owns.  `name` prefixes the LSH index (`<name>_lsh_*`),
     * the passage tables (`_pk`, `_pm`), the BM25 tables (`_bmp`,
     * `_bmv`, `_bms`), the high-water stats (`_hstats`) and the step
-    * marker (`_batches`); the five logs are TxLog directories. */
+    * marker (`_batches`); the five logs are TxLog directories.
+    * `flagDir`'s rows carry one NULL-ID SENTINEL per batch (empty
+    * flag sets must be representable) — read it through
+    * [[Hygiene.latestFlags]], never raw. */
   final case class HygieneState(name: String, pairsDir: String,
       assignDir: String, survDir: String, emitDir: String,
       cleanDir: String, flagDir: String) {
@@ -182,7 +199,14 @@ object Hygiene {
     *                   index's recommended cadence
     *                   ([[Decontaminate.recommendedBatchGrams]]) —
     *                   costs one footer-only count of the keeper
-    *                   table per batch
+    *                   table per batch.  Measured on the ADMITTED
+    *                   (post-dedup) grams, not the raw batch: the
+    *                   keeper probe only ever scans for admitted
+    *                   docs, so admitted grams are the cost the
+    *                   cadence contract amortizes — but it means a
+    *                   heavily-deduplicated batch can warn even when
+    *                   the raw arrival rate meets the cadence (size
+    *                   batches on EXPECTED admissions)
     */
   def hygieneStep(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, scoresFor: DataFrame => DataFrame, scoreCol: String,
@@ -238,12 +262,26 @@ object Hygiene {
       buckets = buckets, minJaccard = minJaccard,
       dropPairIds = purgeLedger)
     layerHook("dedup", batchId)
+    // the batch's DEMOTION view, derived ONCE for layers 2 and 3
+    // (round-15 fusion — the two layers used to run the identical
+    // first-demotion-only probe + bounded dispatch independently):
+    // previously-KEPT docs this batch evicts, dispatched through the
+    // bounded-or-distributed ceiling.  Derived from layer 1's own
+    // emission commit, so it is replay-deterministic.
+    val emitK = TxLog.readBatch(s, st.emitDir, batchId)
+    val demotedCand = emitK.where(!col("kept")).select(col(idCol))
+    val demoted = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
+      .join(broadcast(
+        evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
+        Seq(idCol), "left_anti")
+    val dE = boundedIds(demoted, maxDriverRepairIds)
     // ---- layer 2: passage repair + clean --------------------------------
     passageLayer(s, batch, batchId, idCol, textCol, rawTextFor, st,
-      passageN, buckets, maxDriverRepairIds, cadenceCheck)
+      passageN, buckets, maxDriverRepairIds, cadenceCheck, emitK, dE)
     layerHook("passage", batchId)
     // ---- layer 3: BM25 index deltas --------------------------------------
-    bm25Layer(s, batchId, idCol, st, buckets, maxDriverRepairIds)
+    bm25Layer(s, batchId, idCol, st, buckets, maxDriverRepairIds,
+      demotedView = Some((demoted, dE)))
     layerHook("bm25", batchId)
     // ---- layer 4: decontamination flag set -------------------------------
     flagsLayer(s, st, bench, qidCol, termCol, k, floor, idCol, k1, b,
@@ -391,34 +429,27 @@ object Hygiene {
         col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed"))
   }
 
+  /** @param emitK the batch's own emission commit
+    * @param dE the batch's demotion set through the bounded-or-
+    *   distributed dispatch, derived ONCE in [[hygieneStep]] and
+    *   shared with [[bm25Layer]] (round-15 fusion): previously-KEPT
+    *   docs this batch evicts (bounded by touched components),
+    *   first-demotion-only (a doc evicted in an earlier batch can be
+    *   re-emitted kept=false when its component is touched again,
+    *   and repairing it twice would drift the state).  Membership in
+    *   the clean log is probed by BROADCASTING the candidate set
+    *   into an id-column-only log scan — the corpus-sized log never
+    *   resolves or shuffles per batch; the REPAIR work, gram-level
+    *   and ~100x bigger, is what the dispatch guards: under the
+    *   ceiling the COMPLETE demotion set drives the literal/
+    *   broadcast fast path, past it (a hub document demoting
+    *   O(stored survivors) in one batch) every consumer joins
+    *   against the frame instead. */
   private def passageLayer(s: SparkSession, batch: DataFrame,
       batchId: Long, idCol: String, textCol: String,
       rawTextFor: DataFrame => DataFrame, st: HygieneState, n: Int,
-      buckets: Int, maxDriverRepairIds: Int, cadenceCheck: Boolean): Unit = {
-    val emitK = TxLog.readBatch(s, st.emitDir, batchId)
-    // demotions: previously-KEPT docs this batch evicts (bounded by
-    // touched components).  Membership in the clean log is probed by
-    // BROADCASTING the candidate set into an id-column-only log scan
-    // — the corpus-sized log never resolves or shuffles per batch
-    // (the candidate broadcasts are id-only rows bounded by the
-    // emission delta — ~8 B/row, the same order as the remap
-    // broadcast the curation layer already requires; the REPAIR
-    // work, which is gram-level and ~100x bigger, is what the
-    // bounded-or-distributed dispatch below guards).  The
-    // evictedAmong anti-join matters: a doc evicted in an earlier
-    // batch can be re-emitted kept=false when its component is
-    // touched again, and repairing it twice would drift the state.
-    val demotedCand = emitK.where(!col("kept")).select(col(idCol))
-    val demoted = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
-      .join(broadcast(
-        evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
-        Seq(idCol), "left_anti")
-    // bounded-or-distributed dispatch (the [[Components]] contract):
-    // under the ceiling the COMPLETE demotion set drives the literal/
-    // broadcast fast path below; past it (a hub document demoting
-    // O(stored survivors) in one batch) every consumer joins against
-    // the frame instead — no driver collect, no giant isin literal.
-    val dE = boundedIds(demoted, maxDriverRepairIds)
+      buckets: Int, maxDriverRepairIds: Int, cadenceCheck: Boolean,
+      emitK: DataFrame, dE: Either[Seq[Any], DataFrame]): Unit = {
     val dStorm = dE.isRight
     val dEmpty = dE.left.exists(_.isEmpty)
     // admissions: kept emissions not yet cleaned — by the clean-log
@@ -587,21 +618,30 @@ object Hygiene {
     *   be treated as NEW (full postings/df/stats additions), not as
     *   changed docs, or their old rows would be retracted a second
     *   time and the signed df/n_docs sums would drift.  The monotone
-    *   ingest path never re-admits, so [[hygieneStep]] passes None. */
+    *   ingest path never re-admits, so [[hygieneStep]] passes None.
+    * @param demotedView the (frame, bounded-dispatch) demotion view
+    *   when the caller already derived it ([[hygieneStep]]'s fused
+    *   layer-2/3 share); None derives the same first-demotion-only
+    *   view here ([[Purge.purgeDocs]]'s path) */
   private[ext] def bm25Layer(s: SparkSession, batchId: Long, idCol: String,
       st: HygieneState, buckets: Int, maxDriverRepairIds: Int,
-      reAdmitted: Option[DataFrame] = None): Unit = {
+      reAdmitted: Option[DataFrame] = None,
+      demotedView: Option[(DataFrame, Either[Seq[Any], DataFrame])] = None)
+      : Unit = {
     val cleanK = TxLog.readBatch(s, st.cleanDir, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val emitK = TxLog.readBatch(s, st.emitDir, batchId)
     // same first-demotion-only view as the passage layer: a doc
     // re-emitted kept=false after an earlier eviction must not have
     // its postings/df/stats negated a second time
-    val demotedCand = emitK.where(!col("kept")).select(col(idCol))
-    val demoted = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
-      .join(broadcast(
-        evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
-        Seq(idCol), "left_anti")
+    val (demoted, dE) = demotedView.getOrElse {
+      val emitK = TxLog.readBatch(s, st.emitDir, batchId)
+      val demotedCand = emitK.where(!col("kept")).select(col(idCol))
+      val d = cleanedIdsAmong(s, st, idCol, demotedCand, batchId)
+        .join(broadcast(
+          evictedAmong(s, st, idCol, demotedCand, ltBatch = Some(batchId))),
+          Seq(idCol), "left_anti")
+      (d, boundedIds(d, maxDriverRepairIds))
+    }
     // docs whose postings change: the clean rows this batch
     // re-emitted that EXISTED before (the rebuilt transfer targets —
     // tiny), plus the demotions.  Newly admitted docs have no prior
@@ -610,7 +650,6 @@ object Hygiene {
     // storm batch's changed-doc lists are O(demoted docs), so past
     // the ceiling the prior-text slice joins against the frames
     // instead of collecting them into isin literals.
-    val dE = boundedIds(demoted, maxDriverRepairIds)
     val changed0 = cleanedIdsAmong(s, st, idCol, cleanK.select(col(idCol)),
       batchId)
     val changed = reAdmitted.fold(changed0)(p =>
@@ -719,40 +758,51 @@ object Hygiene {
     }
   }
 
+  /** THE flag-log read: the latest batch's flagged ids.  Every
+    * consumer of `flagDir` must come through here (or replicate its
+    * two invariants), because the log's row format carries two traps:
+    *
+    *   - resolution is by the stored `batch` COLUMN, never by live
+    *     marker ids — compaction folds the markers into the compacted
+    *     base, so resolving via committedBatchIds would silently read
+    *     an empty flag set right after a fold;
+    *   - every batch commits a NULL-ID SENTINEL row alongside its
+    *     flags ([[flagsLayer]]), making an EMPTY latest flag set
+    *     representable (max(batch) still lands on the latest batch,
+    *     whose data rows are then none); the sentinel is dropped
+    *     here.  It is inert in equi/anti-joins (null matches
+    *     nothing), but a direct `.getLong(0)`-style reader that
+    *     bypassed this accessor would see one null row per batch.
+    *
+    * Returns a single-column (`idCol`) frame, bounded by |queries| ×
+    * k; empty before the first commit. */
+  def latestFlags(s: SparkSession, st: HygieneState,
+      idCol: String): DataFrame =
+    if (TxLog.committedDirs(s, st.flagDir).isEmpty)
+      s.range(0).select(col("id").as(idCol))
+    else {
+      val log = TxLog.readCommitted(s, st.flagDir)
+      val m = log.agg(max(col("batch"))).first()
+      if (m.isNullAt(0)) log.select(col(idCol)).limit(0)
+      else log.where(col("batch") === lit(m.getLong(0)))
+        .select(col(idCol)).where(col(idCol).isNotNull)
+    }
+
   /** The resolved clean corpus a consumer reads: latest clean row per
     * doc, evicted docs filtered (broadcast anti-join — the loser set
     * is bounded by churn), flagged docs filtered (broadcast anti-join
-    * — the flag set is bounded by |queries| × k).  Returns (idCol,
-    * clean_text, n_kept, n_removed) — feed it the same quality gate /
-    * split the one-shot pipeline ends with. */
+    * — the flag set is bounded by |queries| × k, read through
+    * [[latestFlags]]).  Returns (idCol, clean_text, n_kept,
+    * n_removed) — feed it the same quality gate / split the one-shot
+    * pipeline ends with. */
   def resolveHygiene(s: SparkSession, st: HygieneState,
       idCol: String): DataFrame = {
     val clean = resolveClean(s, st.cleanDir, idCol)
     val evicted = graft.ext.Components.resolveEvicted(
       TxLog.readCommitted(s, st.emitDir), idCol, "batch")
-    // latest full flag set by the stored batch column, NOT by live
-    // marker ids — compaction folds the markers into the compacted
-    // base, so resolving via committedBatchIds would silently read an
-    // empty flag set right after a fold.  Every batch commits a
-    // null-id sentinel row alongside its flags (hygieneStep layer 4),
-    // so an EMPTY latest flag set is representable: max(batch) still
-    // lands on the latest batch, whose data rows are then none —
-    // without the sentinel, the previous batch's stale non-empty set
-    // would silently apply.  The sentinel is dropped here (it would
-    // be inert in the anti-join anyway — null matches nothing).
-    val flags: DataFrame =
-      if (TxLog.committedDirs(s, st.flagDir).isEmpty)
-        clean.select(col(idCol)).limit(0)
-      else {
-        val log = TxLog.readCommitted(s, st.flagDir)
-        val m = log.agg(max(col("batch"))).first()
-        if (m.isNullAt(0)) clean.select(col(idCol)).limit(0)
-        else log.where(col("batch") === lit(m.getLong(0)))
-          .select(col(idCol)).where(col(idCol).isNotNull)
-      }
     clean
       .join(broadcast(evicted), Seq(idCol), "left_anti")
-      .join(broadcast(flags), Seq(idCol), "left_anti")
+      .join(broadcast(latestFlags(s, st, idCol)), Seq(idCol), "left_anti")
   }
 
   /** Fold every log and index table of a pipeline instance — the
@@ -772,9 +822,28 @@ object Hygiene {
     * the batch's `batch < k` prior-state views would see folded rows.
     * Crash-safe via the staged-swap protocol; re-running compaction
     * is the recovery ([[recoverHygieneCompaction]] runs first). */
+  /** Invalidate this session's cached relations for every table of
+    * the pipeline instance.  A foreachBatch stream writes through a
+    * CLONED SparkSession, so the DRIVING session's per-session
+    * relation cache (file listings — including the step-marker
+    * table's contents) can be stale by whole batches once it has
+    * read a table before a streamed epoch appended to it.  Every
+    * maintenance entry point that runs in the driving session after
+    * streamed epochs ([[compactHygiene]], [[Purge.purgeDocs]]) must
+    * refresh first, or it would fold/repair against a partial view —
+    * the marker require would (loudly) reject a batch the stream
+    * fully committed, and the data folds would (silently) drop its
+    * partitions. */
+  private[ext] def refreshInstanceTables(s: SparkSession,
+      st: HygieneState): Unit =
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches"))
+      .foreach(t => if (s.catalog.tableExists(t)) s.catalog.refreshTable(t))
+
   def compactHygiene(s: SparkSession, st: HygieneState,
       idCol: String = "doc_id",
       graceMs: Long = TxLog.defaultVacuumGraceMs): Unit = {
+    refreshInstanceTables(s, st)
     recoverHygieneCompaction(s, st)
     val marked = IndexLifecycle.committedIds(s, st.name)
     val subMax = Seq(st.pairsDir, st.assignDir, st.survDir, st.emitDir,

@@ -127,6 +127,10 @@ object Purge {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"purgeDocs requires a numeric id column; '$idCol' is " +
         s"${ids.schema(idCol).dataType}")
+    // the purge usually runs right after streamed epochs, whose
+    // cloned-session writes this session's relation cache has not
+    // seen — refresh before any read ([[Hygiene.refreshInstanceTables]])
+    Hygiene.refreshInstanceTables(s, st)
     val marked = IndexLifecycle.committedIds(s, st.name)
     if (marked.contains(batchId)) return false
     val realMarked = marked.filter(_ >= 0L)

@@ -3478,6 +3478,123 @@ object PipelineQueries {
   // must equal the one-shot five-stage pipeline — q122's oracle
   def q123Sql: String = q122Sql
 
+  // ---- Q124: TAKEDOWN — a mid-stream purge, erased and certified --------
+  // The lifecycle op q123 lacks: after two streamed epochs, every doc
+  // with doc_id % 17 == 3 among the ingested two-thirds is PURGED
+  // (Purge.purgeDocs — survivor re-picks with promotions, component
+  // splits, gram-ownership transfer/steal repairs, signed BM25
+  // retraction, flag re-probe), a third epoch streams onto the
+  // purged state (the ledger masking any pair against a purged doc's
+  // stale LSH signature), the erasing compaction physically drops
+  // the purged rows from all eleven stores (graceMs = 0: the
+  // superseded files are reclaimed in-call), and the certificate
+  // require()s zero occurrences everywhere.  The resolved state then
+  // feeds q122's consumer tail and must hash-equal the ONE-SHOT
+  // pipeline over corpus-minus-purged — right-to-erasure with the
+  // composition's bit-equality discipline.
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.ext.{Hygiene, Purge}
+    import graft.ext.Hygiene.HygieneState
+    val docs = tbl(s, dir, "documents")
+    val st = HygieneState("q124_hyg", scratchDir("q124_pairs"),
+      scratchDir("q124_assign"), scratchDir("q124_surv"),
+      scratchDir("q124_emit"), scratchDir("q124_clean"),
+      scratchDir("q124_flag"))
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text",
+      st.lshName)
+    graft.sources.Tables.dropWithLocation(s, s"${st.lshName}_batches")
+    def scoresFor(ids: DataFrame): DataFrame =
+      withQuality(docs.join(broadcast(ids.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi"), col("doc_id"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    def rawTextFor(ids: DataFrame): DataFrame =
+      docs.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi").select(col("doc_id"), col("text"))
+    val bench = DecontamQueries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val n = rows.length
+    require(n >= 3, s"q124 needs at least 3 documents, got $n")
+    val b = (n + 2) / 3
+    val batches = rows.grouped(b).toIndexedSeq
+    // the takedown set: doc_id % 17 == 3 among the first two epochs
+    // (ids at or below the ingested high-water, the purge contract) —
+    // the oracle excludes exactly the same set
+    val cutId = rows(math.min(2 * b, n) - 1)._1
+    val purged = rows.map(_._1).filter(id => id % 17 == 3 && id <= cutId)
+    val purgedDf = purged.toSeq.toDF("doc_id").localCheckpoint()
+    def runStream(feed: Seq[IndexedSeq[(Long, String)]], base: Long): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAgg.hygieneSink(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+        DecontamK, DecontamFloor, passageN = PassageN,
+        minJaccard = ClusterMinJaccard, batchIdBase = base)
+      try feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runStream(batches.take(2).map(_.toIndexedSeq), 0L) // batches 0, 1
+    require(Purge.purgeDocs(purgedDf, 2L, "doc_id", "text", scoresFor _,
+      "q", rawTextFor _, st, bench, "query_id", "term", DecontamK,
+      DecontamFloor, passageN = PassageN), "the purge batch must run")
+    // final epoch streams onto the purged state (batch 3)
+    runStream(batches.drop(2).map(_.toIndexedSeq), 3L)
+    // the erasing fold: physically drop the purged rows everywhere,
+    // reclaim the superseded files in-call (quiesced, so grace 0 is
+    // safe), then CERTIFY zero occurrences across all stores
+    Hygiene.compactHygiene(s, st, graceMs = 0L)
+    Purge.assertPurged(s, st, purgedDf, "doc_id")
+    val resolved = Hygiene.resolveHygiene(s, st, "doc_id")
+      .localCheckpoint() // cut before the state tables drop below
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    // q122's exact consumer tail over the resolved corpus
+    val gated = withQuality(
+      resolved.select(col("doc_id"), col("n_removed"),
+        col("clean_text").as("text")),
+      col("doc_id"), col("n_removed"))
+      .where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(gated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_removed")).as("sum_removed"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+  // oracle: q122's one-shot SQL over corpus-minus-purged — the base
+  // table is shadowed by a filtered CTE computing the same takedown
+  // set (id % 17 == 3 within the first 2*ceil(n/3) ids).  The
+  // shared-CTE OPENING tag is stripped (the dangling END marker is an
+  // inert comment): the inherited pair chain now reads documents_p, a
+  // CTE of THIS statement, so it can neither reuse a materialization
+  // of q122's full-corpus chain nor be materialized standalone — the
+  // oracle always runs raw and self-contained
+  val q124Sql: String = {
+    val body = q122Sql.stripPrefix("WITH RECURSIVE ")
+      .replace("FROM documents", "FROM documents_p")
+      .replace("/*SHARED lsh EXPORTS pairs*/", "")
+    s"""WITH RECURSIVE cutq124 AS (
+       |  SELECT max(doc_id) AS cid FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn <= 2 * ((SELECT count(*) + 2 FROM documents) // 3)),
+       |documents_p AS (
+       |  SELECT d.* FROM documents d, cutq124 c
+       |  WHERE NOT (d.doc_id % 17 = 3 AND d.doc_id <= c.cid)),
+       |$body""".stripMargin
+  }
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -4306,6 +4423,7 @@ object PipelineQueries {
     "q121_streamed_passage" -> (q121 _),
     "q122_hygiene_pipeline" -> (q122 _),
     "q123_streamed_hygiene" -> (q123 _),
+    "q124_purge_takedown" -> (q124 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4428,6 +4546,7 @@ object PipelineQueries {
     "q121_streamed_passage" -> q121Sql,
     "q122_hygiene_pipeline" -> q122Sql,
     "q123_streamed_hygiene" -> q123Sql,
+    "q124_purge_takedown" -> q124Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

@@ -37,6 +37,8 @@ object IndexBench {
     if (args.headOption.contains("hygiene")) return hygieneGrowth(
       if (args.length > 1) args(1).toInt else 10000,
       if (args.length > 2) args(2).toInt else 500)
+    if (args.headOption.contains("repairids")) return repairIdsBoundary(
+      if (args.length > 1) args(1).toInt else 2000000)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -512,6 +514,62 @@ object IndexBench {
     // warm the page cache symmetrically, then measure each twice
     Seq("plain", "bloom").foreach { v =>
       measure(s"$dir/$v", s"$v-warmup"); measure(s"$dir/$v", s"$v      ")
+    }
+    spark.stop()
+  }
+
+  /** Justify (or right-size) `Hygiene.DefaultMaxDriverRepairIds`
+    * with numbers (round-15 ask): at the ceiling's magnitude, what do
+    * the literal fast path's three cost terms actually measure —
+    * driver heap for the boxed id seq, plan build time for the
+    * `isin`/InSet predicate, and the pushed-literal scan's wall —
+    * and where does the distributed left_semi path cross over?
+    * The probed table mimics the clean log (id + ~200-char text,
+    * `rows` rows, parquet), the slice shape `cleanRowsForIds` probes.
+    * Usage: runMain graft.tools.IndexBench repairids [rows]
+    */
+  private def repairIdsBoundary(rows: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("repairids").toString
+    spark.range(rows.toLong).select(col("id"),
+      concat_ws(" ",
+        (0 to 5).map(k => md5(concat(col("id"), lit(s"_$k")))): _*).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val log = spark.read.parquet(dir)
+    def median3(f: => Any): Double = {
+      f // warmup
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    }
+    for (m <- Seq(10000, 100000, 200000, 400000)) {
+      // ids spread across the table (row-group skipping gets no free
+      // contiguity win — the honest shape of a demotion set)
+      val stride = math.max(1L, rows.toLong / m)
+      System.gc()
+      val heap0 = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory)
+      val ids: Seq[Any] = (0 until m).map(i => (i * stride): java.lang.Long)
+      System.gc()
+      val heapMb = ((Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) - heap0) / 1e6
+      val planS = median3 {
+        log.where(col("id").isin(ids: _*)).queryExecution.executedPlan
+      }
+      val litS = median3 {
+        log.where(col("id").isin(ids: _*))
+          .agg(count(lit(1)), sum(length(col("text")))).collect()
+      }
+      val idsDf = spark.range(m.toLong).select((col("id") * stride).as("id"))
+      val joinS = median3 {
+        log.join(idsDf, Seq("id"), "left_semi")
+          .agg(count(lit(1)), sum(length(col("text")))).collect()
+      }
+      println(f"m=$m%-7d boxed=~$heapMb%.1f MB plan=$planS%.3f s " +
+        f"literal_scan=$litS%.2f s semi_join=$joinS%.2f s")
     }
     spark.stop()
   }
