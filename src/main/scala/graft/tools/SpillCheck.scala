@@ -52,7 +52,11 @@ object SpillCheck {
     // per-batch path (latest-wins keeper resolve, ownership-transfer
     // aggregation, mutable-BM25 full-outer delta join, nine-store
     // mid-loop fold) under the same forced-spill knobs
-    "q123_streamed_hygiene")
+    "q123_streamed_hygiene",
+    // round-15: the purge lifecycle — component re-closure over the
+    // restricted pair log, promotion/steal repair joins, the erasing
+    // eleven-store fold and the certificate scans under pressure
+    "q124_purge_takedown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
