@@ -48,7 +48,9 @@ object AnnIndex {
       name: String, nCentroids: Int, kmeansIters: Int,
       buckets: Int = 16): Unit = {
     val s = emb.sparkSession
-    Seq("_cells", "_codebook", "_batches").foreach(sfx =>
+    // _purged too: a rebuilt index carries no purge debt — a stale
+    // ledger from a prior instance would mask fresh ingests
+    Seq("_cells", "_codebook", "_batches", "_purged").foreach(sfx =>
       graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
     val cents = Similarity.kmeansCodebook(emb, nCentroids, kmeansIters,
       idCol, vecCol)
@@ -97,17 +99,29 @@ object AnnIndex {
     recoverAnnCompaction(spark, name)
     val cells = s"${name}_cells"
     if (!spark.catalog.tableExists(cells)) return
-    IndexLifecycle.swapFold(spark, cells,
-      IndexLifecycle.committedIds(spark, name),
-      (df, base) => df.withColumn("batch_id", base))
+    val committed = IndexLifecycle.committedIds(spark, name)
+    // the ERASING leg: purged vectors' rows (probe-masked since their
+    // [[graft.ext.Purge.purgeAnnIndex]]) are physically dropped from
+    // the folded base; cells are disjoint rows so nothing else moves.
+    // The ledger folds to empty LAST.
+    val purged = IndexLifecycle.purgedIds(spark, name)
+      .map(_.localCheckpoint())
+    IndexLifecycle.swapFold(spark, cells, committed,
+      (df, base) => purged.fold(df)(p =>
+          df.join(broadcast(p), Seq("id"), "left_anti"))
+        .withColumn("batch_id", base))
     IndexLifecycle.foldMarkerTable(spark, name)
+    IndexLifecycle.foldLedgerEmpty(spark, name, committed)
   }
 
   /** Finish a compaction swap a crash interrupted (idempotent;
     * returns true if any repair ran). */
-  def recoverAnnCompaction(spark: SparkSession, name: String): Boolean =
+  def recoverAnnCompaction(spark: SparkSession, name: String): Boolean = {
+    val partitioned = Set(s"${name}_cells",
+      IndexLifecycle.purgedTable(name))
     IndexLifecycle.recoverSwaps(spark,
-      Seq(s"${name}_cells", s"${name}_batches"), Set(s"${name}_cells"))
+      (partitioned + s"${name}_batches").toSeq, partitioned)
+  }
 
   /** IVF top-k served from the persisted index — result-identical to
     * [[Similarity.ivfTopK]] over the same corpus and codebook
@@ -135,7 +149,13 @@ object AnnIndex {
     require(maxLiteralCells >= 0 && maxLiteralCells < Int.MaxValue,
       s"maxLiteralCells must be in [0, Int.MaxValue): got $maxLiteralCells " +
         "(0 forces the full-scan fallback; there is no 'unlimited' value)")
-    val cells = spark.table(s"${name}_cells")
+    // purge mask: purged vectors (retracted, rows not yet erased by
+    // the compaction) neither serve as probes nor surface as
+    // neighbors — one broadcast anti-join on the shared scan; absent
+    // a ledger table the bucket-pruned plan is untouched
+    val cellsRaw = spark.table(s"${name}_cells")
+    val cells = IndexLifecycle.purgedIds(spark, name)
+      .fold(cellsRaw)(p => cellsRaw.join(broadcast(p), Seq("id"), "left_anti"))
     val cent = spark.table(s"${name}_codebook")
     // probes rank centroids and keep their nProbe nearest cells —
     // bounded at |probes| × nCentroids rows (the ivfTopK shape)
@@ -205,8 +225,13 @@ object AnnIndex {
       // codebook is tiny by construction), prunes the stored scan
       val touched = b.select(col("cid")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      val stored = s.table(s"${name}_cells")
+      // purge mask: a stored signature of a purged vector must not
+      // pair with the arriving batch (same contract as the LSH probe)
+      val storedRaw = s.table(s"${name}_cells")
         .where(col("cid").isin(touched: _*))
+      val stored = IndexLifecycle.purgedIds(s, name)
+        .fold(storedRaw)(p =>
+          storedRaw.join(broadcast(p), Seq("id"), "left_anti"))
       val cross = stored.join(broadcast(b), Seq("cid"))
         .where(cosineWithNorms(dotD(col("bv"), col("v")),
           col("bn"), col("nrm")) >= minCos)

@@ -379,8 +379,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandedOf(newSh, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxBands = spark.table(s"${name}_bands")
-    val idxSh = spark.table(s"${name}_shingles")
+    // purge mask: between a [[graft.ext.Purge.purgeLshIndex]] and the
+    // erasing compaction the index still holds purged docs'
+    // signatures — a stored band of a purged doc must not pair with
+    // the arriving batch (the [[graft.ext.Hygiene]] ledger-mask
+    // contract, here against the family's own ledger).  Broadcast
+    // anti-joins, ledger is takedown-churn-sized; absent a ledger
+    // table the probe plan is untouched.
+    val mask: DataFrame => DataFrame = df =>
+      IndexLifecycle.purgedIds(spark, name).fold(df)(p =>
+        df.join(broadcast(p), Seq("id"), "left_anti"))
+    val idxBands = mask(spark.table(s"${name}_bands"))
+    val idxSh = mask(spark.table(s"${name}_shingles"))
     // batch↔index candidates: the stored side is bucketed by bh, so
     // only the new bands shuffle into the probe
     val vsIndex = newBands.select(col("band_id"), col("bh"), col("id").as("id_x"))
@@ -666,12 +676,29 @@ object Dedup {
     *   is erased; an unmarked in-flight partition passes through
     *   untouched (there are none under the erasing caller's quiesced
     *   contract, and touching it would break its replay-replace). */
+  /** @param pairsTables batch_id-partitioned PAIR tables (the
+    *   [[ingestBatchIntoIndex]] `pairsTable` outputs) to erase in the
+    *   same fold: their foldable slice anti-joins the combined drop
+    *   set on BOTH endpoints and consolidates under
+    *   [[compactedBatchId]].  Recovery is inline (a crash between a
+    *   pair table's drop and rename is finished at the next call),
+    *   so "re-run the same compaction call" stays the whole runbook. */
   def compactLshIndex(spark: SparkSession, name: String,
-      dropIds: Option[DataFrame] = None): Unit = {
+      dropIds: Option[DataFrame] = None,
+      pairsTables: Seq[String] = Nil): Unit = {
     recoverLshCompaction(spark, name)
     val tbls = Seq(s"${name}_shingles", s"${name}_bands")
     if (!tbls.forall(spark.catalog.tableExists)) return
     val committed: Set[Long] = committedBatchIds(spark, name)
+    // the family's OWN purge ledger ([[graft.ext.Purge.purgeLshIndex]])
+    // joins the caller-supplied drop set — either alone erases
+    val ledger = IndexLifecycle.purgedIds(spark, name)
+      .map(_.localCheckpoint())
+    val allDrop: Option[DataFrame] = (dropIds, ledger) match {
+      case (Some(a), Some(b)) => Some(a.select(col("id"))
+        .unionByName(b).distinct().localCheckpoint())
+      case (a, b) => a.map(_.select(col("id"))).orElse(b)
+    }
     for (tbl <- tbls) {
       // every negative id is a SYSTEM partition (bootstrap, a prior
       // major base, or a minor-fold generation) — real ingest ids are
@@ -690,10 +717,12 @@ object Dedup {
       // one bucket and the consolidated partition lands as one file
       // per bucket instead of one per (task × bucket)
       val foldedRaw = live.where(col("batch_id").isin(foldable: _*))
-      val folded = dropIds.fold(foldedRaw)(p =>
-          foldedRaw.join(broadcast(p.select(col("id"))), Seq("id"),
-            "left_anti"))
+      // re-select the live column order: the anti-join moves its key
+      // first, and post-compaction appends insertInto POSITIONALLY
+      val folded = allDrop.fold(foldedRaw)(p =>
+          foldedRaw.join(broadcast(p), Seq("id"), "left_anti"))
         .withColumn("batch_id", lit(compactedBatchId))
+        .select(live.columns.map(col).toIndexedSeq: _*)
       val rest = live.where(!col("batch_id").isin(foldable: _*))
       val stage = s"${tbl}__cstage"
       graft.sources.Tables.dropWithLocation(spark, stage)
@@ -705,7 +734,49 @@ object Dedup {
       graft.sources.Tables.dropWithLocation(spark, tbl)
       renameWithPartitions(spark, stage, tbl)
     }
+    // pair tables: plain batch_id-partitioned — fold the foldable
+    // slice (erased on both endpoints) to the base, pass unmarked
+    // partitions through, staged-swap like the index tables
+    for (pt <- pairsTables) {
+      val stage = s"${pt}__cstage"
+      // inline recovery: finish a swap a crash left between drop and
+      // rename (only this call writes these tables)
+      if (spark.catalog.tableExists(stage) &&
+          !spark.catalog.tableExists(pt))
+        renameWithPartitions(spark, stage, pt)
+      if (spark.catalog.tableExists(pt)) {
+        spark.sql(s"MSCK REPAIR TABLE `$pt` SYNC PARTITIONS")
+        val live = spark.table(pt)
+        val system = live.select("batch_id").distinct()
+          .collect().map(_.getLong(0)).filter(_ < 0L)
+        val foldable = (committed ++ system + compactedBatchId).toSeq
+        val inFold = col("batch_id").isin(foldable: _*)
+        val erased = allDrop.fold(live.where(inFold))(p =>
+          live.where(inFold)
+            .join(broadcast(p.select(col("id").as("id_a"))),
+              Seq("id_a"), "left_anti")
+            .join(broadcast(p.select(col("id").as("id_b"))),
+              Seq("id_b"), "left_anti"))
+        graft.sources.Tables.dropWithLocation(spark, stage)
+        // consolidate files without single-threading the rewrite: a
+        // pair table can be large, so coalesce to the shuffle width
+        // (no exchange), not to 1 like the tiny stats/marker folds.
+        // Column order re-selected: the endpoint anti-joins move
+        // their keys first, and appends insertInto positionally.
+        erased.withColumn("batch_id", lit(compactedBatchId))
+          .select(live.columns.map(col).toIndexedSeq: _*)
+          .unionByName(live.where(!inFold))
+          .coalesce(spark.sessionState.conf.numShufflePartitions)
+          .write.partitionBy("batch_id")
+          .format("parquet").saveAsTable(stage)
+        graft.sources.Tables.dropWithLocation(spark, pt)
+        renameWithPartitions(spark, stage, pt)
+      }
+    }
     foldBatchesTable(spark, name)
+    // the family ledger folds to empty LAST — every erase above
+    // (index tables + pair tables) has landed
+    IndexLifecycle.foldLedgerEmpty(spark, name, committed)
   }
 
   /** The ids `<name>_batches` marks committed (empty when the table
@@ -751,9 +822,11 @@ object Dedup {
     * Idempotent; returns true if any repair ran.  Both fold entry
     * points run it first, so re-running compaction is the recovery. */
   def recoverLshCompaction(spark: SparkSession, name: String): Boolean = {
-    val partitioned = Set(s"${name}_shingles", s"${name}_bands")
+    val partitioned = Set(s"${name}_shingles", s"${name}_bands",
+      IndexLifecycle.purgedTable(name))
     val swaps = for {
-      tbl <- Seq(s"${name}_shingles", s"${name}_bands", s"${name}_batches")
+      tbl <- Seq(s"${name}_shingles", s"${name}_bands",
+        IndexLifecycle.purgedTable(name), s"${name}_batches")
       stage = s"${tbl}__cstage"
       if spark.catalog.tableExists(stage) && !spark.catalog.tableExists(tbl)
     } yield {

@@ -149,6 +149,13 @@ object Hygiene {
     def bmp: String = s"${name}_bmp"
     def bmv: String = s"${name}_bmv"
     def bms: String = s"${name}_bms"
+    /** Per-batch (n_docs, max_id) rows, both sum/max-additive:
+      * `max(max_id)` is the monotone-ingest high-water mark;
+      * `sum(n_docs)` is the LIVE ingested doc count — ingest batches
+      * write +|batch|, a [[Purge.purgeDocs]] batch writes the
+      * negative erasure delta (and max_id = MinValue, so the
+      * high-water never moves).  It still counts evicted/flagged
+      * docs (retracted, not erased); only physical purges subtract. */
     def hstats: String = s"${name}_hstats"
     /** The purge LEDGER: ids [[Purge.purgeDocs]] has retracted whose
       * physical rows still await the next erasing [[compactHygiene]].
@@ -777,9 +784,14 @@ object Hygiene {
     * Returns a single-column (`idCol`) frame, bounded by |queries| ×
     * k; empty before the first commit. */
   def latestFlags(s: SparkSession, st: HygieneState,
-      idCol: String): DataFrame =
+      idCol: String, idType: Option[org.apache.spark.sql.types.DataType] =
+        None): DataFrame =
     if (TxLog.committedDirs(s, st.flagDir).isEmpty)
-      s.range(0).select(col("id").as(idCol))
+      // pre-first-commit there is no log to derive the id type from;
+      // callers that know it (resolveHygiene passes the clean frame's)
+      // supply it so the anti-join matches on the EXACT type instead
+      // of leaning on implicit numeric coercion from this long
+      s.range(0).select(idType.fold(col("id"))(col("id").cast).as(idCol))
     else {
       val log = TxLog.readCommitted(s, st.flagDir)
       val m = log.agg(max(col("batch"))).first()
@@ -802,7 +814,8 @@ object Hygiene {
       TxLog.readCommitted(s, st.emitDir), idCol, "batch")
     clean
       .join(broadcast(evicted), Seq(idCol), "left_anti")
-      .join(broadcast(latestFlags(s, st, idCol)), Seq(idCol), "left_anti")
+      .join(broadcast(latestFlags(s, st, idCol,
+        Some(clean.schema(idCol).dataType))), Seq(idCol), "left_anti")
   }
 
   /** Fold every log and index table of a pipeline instance — the

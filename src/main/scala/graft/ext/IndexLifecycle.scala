@@ -108,7 +108,13 @@ object IndexLifecycle {
     val inFold = col("batch_id").isin(foldableIds(spark, tbl, committed): _*)
     val spec = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+    // re-select the LIVE column order: a build that joins (e.g. an
+    // erasing anti-join, which moves its key first) must not change
+    // the staged table's column ORDER — later ingests append with
+    // positional insertInto, so an order drift here would silently
+    // write columns crosswise on the first post-compaction batch
     val folded = build(live.where(inFold), lit(compactedBatchId))
+      .select(live.columns.map(col).toIndexedSeq: _*)
     val staged = folded.unionByName(live.where(!inFold))
     val stage = s"${tbl}__cstage"
     graft.sources.Tables.dropWithLocation(spark, stage)
@@ -133,6 +139,38 @@ object IndexLifecycle {
       graft.sources.Tables.dropWithLocation(spark, s"${name}_batches")
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `${name}_batches`")
     }
+
+  /** The purge LEDGER table of a standalone index family
+    * (`<name>_purged`): one canonical `id` column, `batch_id`-
+    * partitioned like every family table.  [[graft.ext.Purge]]'s
+    * per-family purge lands retracted ids here; until the family's
+    * erasing compaction physically drops their rows, every probe
+    * masks against it ([[purgedIds]]); the compaction folds it to
+    * empty LAST ([[foldLedgerEmpty]]). */
+  def purgedTable(name: String): String = s"${name}_purged"
+
+  /** Distinct ids awaiting erasure for index family `name`, as a
+    * one-column (`id`) frame — None when the family has never been
+    * purged (no ledger table), so un-purged deployments keep their
+    * exact probe plans.  The frame is bounded by takedown churn
+    * between compactions (and EMPTY — one zero-row base partition —
+    * right after an erasing compaction), so probes broadcast it. */
+  def purgedIds(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(purgedTable(name)))
+      Some(spark.table(purgedTable(name)).select(col("id")).distinct())
+    else None
+
+  /** Fold the family's ledger to an empty base — the LAST step of an
+    * erasing compaction, after every store's erase has landed: a
+    * crash anywhere earlier re-runs with the ledger intact (each
+    * erase is an idempotent anti-join), and the family's disjoint-id
+    * ingest contract (a purged id is never re-ingested) means the
+    * emptied ledger has nothing left to mask. */
+  def foldLedgerEmpty(spark: SparkSession, name: String,
+      committed: Set[Long]): Unit =
+    if (spark.catalog.tableExists(purgedTable(name)))
+      swapFold(spark, purgedTable(name), committed,
+        (df, base) => df.limit(0).withColumn("batch_id", base))
 
   /** Finish any swap a crash interrupted between the live-table drop
     * and the stage rename.  `partitioned` names the tables that need

@@ -270,9 +270,21 @@ object Purge {
     Hygiene.flagsLayer(s, st, bench, qidCol, termCol, k, floor, idCol,
       k1, b, batchId)
     layerHook("flags", batchId)
-    // a purge ingests nothing: the high-water mark must not move
+    // a purge ingests nothing (the high-water mark must not move:
+    // max_id = MinValue) but it ERASES: n_docs carries the negative
+    // delta −|purged ∩ ingested, not already purged| so the folded
+    // sum(n_docs) stays the LIVE ingested count instead of silently
+    // drifting to "ever ingested" after the first takedown.
+    // Membership is the resolved pre-batch assignment log (every
+    // ingested doc is assigned at its ingest batch); earlier purges'
+    // ids are excluded via the ledger MINUS this batch's own
+    // partition, so a crash-replay recomputes the same count.
+    val priorLedger = s.table(st.purged)
+      .where(col("batch_id") =!= lit(batchId)).select(col(idCol))
+    val nErased = idsD.join(priorLedger, Seq(idCol), "left_anti")
+      .join(aPrior, Seq(idCol), "left_semi").count()
     IndexLifecycle.writeBatchPartition(
-      s.range(1).select(lit(0L).as("n_docs"),
+      s.range(1).select(lit(-nErased).as("n_docs"),
         lit(Long.MinValue).as("max_id")),
       st.hstats, batchId, None)
     IndexLifecycle.markBatch(s, st.name, batchId)
@@ -466,12 +478,235 @@ object Purge {
     * [[Hygiene.compactHygiene]] to prove the takedown is physically
     * complete.  Fails loudly naming every store still holding rows. */
   def assertPurged(s: SparkSession, st: HygieneState, ids: DataFrame,
-      idCol: String): Unit = {
-    val bad = purgedOccurrences(s, st, ids, idCol).filter(_._2 > 0L)
+      idCol: String): Unit =
+    requireNoOccurrences(purgedOccurrences(s, st, ids, idCol),
+      "Hygiene.compactHygiene", "purgeDocs")
+
+  // ======================================================================
+  // Standalone index families — the same two-phase takedown for
+  // deployments that use the BM25 / IVF-ANN / LSH index lifecycles
+  // DIRECTLY (q108–q115, q72/q73/q80) rather than through the hygiene
+  // composition.  Shape per family:
+  //   1. RETRACTION (`purge*Index`): land the ids in the family's
+  //      `<name>_purged` ledger as one marker-gated batch; from that
+  //      moment every probe masks them (and, for BM25, the corpus
+  //      statistics are corrected by SIGNED delta partitions the
+  //      probe's existing sums net out).  Marker-gated + dynamic
+  //      partition overwrite = the family's standard replay-replace.
+  //   2. ERASURE: the family's own compaction (`compactBm25Index` /
+  //      `compactAnnIndex` / `compactLshIndex`) anti-joins the folded
+  //      base against the ledger, then folds the ledger to empty
+  //      LAST; `assert*Purged` proves zero occurrences.
+  // Contracts shared with the hygiene purge: quiesced single-writer
+  // maintenance window; a purged id is NEVER re-ingested (the
+  // families' disjoint-id ingest contract makes that the caller's
+  // invariant already).  All id joins are distributed-or-broadcast on
+  // the churn-sized ledger — takedowns are storm-shaped, nothing
+  // collects corpus-sized state.
+  // ======================================================================
+
+  /** Retract documents from a standalone [[Retrieval.writeBm25Index]]
+    * index.  Takes the DOCS (id + text) rather than bare ids because
+    * the retraction is the INVERSE of [[Retrieval.appendBm25Batch]]:
+    * the same per-batch aggregation, negated —
+    *   - `_vocab` gains a partition of NEGATIVE df per term of the
+    *     purged docs (the probe's `sum(df)` nets it out);
+    *   - `_stats` gains one negative (n_docs, total_len) row (the
+    *     probe's sums over both are already signed-safe longs);
+    *   - `_postings` rows are NOT negated — the probe is not
+    *     sum-shaped over postings, so the ledger MASKS them until the
+    *     erasing [[Retrieval.compactBm25Index]] drops them.
+    * Contract: `docs` must be exactly the ingested rows (same id,
+    * same text — immutable-document contract); require()d as far as
+    * it is checkable: every purged doc that tokenizes non-empty must
+    * have stored postings (a zero-token doc leaves no postings, so
+    * its membership is the caller's contract alone).  Ids already in
+    * the ledger are tolerated and skipped (their deltas landed with
+    * their own purge batch).  Returns false before any write when
+    * `batchId` is already marked. */
+  def purgeBm25Index(docs: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String): Boolean = {
+    import graft.functions.ColFns.tokens
+    val s = docs.sparkSession
+    require(batchId >= 0, s"purge batch ids start at 0, got $batchId")
+    refreshFamily(s, Seq(s"${name}_postings", s"${name}_vocab",
+      s"${name}_stats", s"${name}_batches",
+      IndexLifecycle.purgedTable(name)))
+    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    val ledgerT = IndexLifecycle.purgedTable(name)
+    // ids whose deltas landed with an EARLIER purge batch — excluded
+    // from this batch's deltas; this batch's own ledger partition is
+    // excluded so a crash-replay recomputes the identical frame
+    val prior =
+      if (s.catalog.tableExists(ledgerT))
+        s.table(ledgerT).where(col("batch_id") =!= lit(batchId))
+          .select(col("id").as(idCol))
+      else docs.select(col(idCol)).limit(0)
+    val fresh = docs.select(col(idCol), col(textCol))
+      .join(broadcast(prior), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // membership check (as far as postings can witness it): every
+    // fresh purged doc with ≥ 1 token must be indexed — purging a
+    // never-ingested doc would corrupt N/avgdl/df for everyone else
+    val unindexed = fresh
+      .where(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"))
+      .join(s.table(s"${name}_postings").select(col("id")),
+        Seq("id"), "left_anti").count()
+    require(unindexed == 0L,
+      s"purgeBm25Index($name): $unindexed purged doc(s) have no stored " +
+        "postings — either they were never ingested (their stats were " +
+        "never added, so they must not be subtracted) or the supplied " +
+        "text differs from the ingested text")
+    // the negated ingest aggregation ([[Retrieval]]'s writeBm25Tables
+    // shape): one pass over the purged docs' tokens, O(batch)
+    val tf = fresh
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("len"),
+        explode(col("__toks")).as("tok"))
+      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+    IndexLifecycle.writeBatchPartition(
+      docs.select(col(idCol).as("id")).distinct(), ledgerT, batchId, None)
+    IndexLifecycle.writeBatchPartition(
+      tf.groupBy(col("tok")).agg((-count(lit(1))).as("df")),
+      s"${name}_vocab", batchId, None)
+    IndexLifecycle.writeBatchPartition(
+      fresh.select(size(tokens(col(textCol))).as("__l"))
+        .agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("__l").cast("long")), lit(0L))).as("total_len")),
+      s"${name}_stats", batchId, None)
+    IndexLifecycle.markBatch(s, name, batchId)
+    true
+  }
+
+  /** Retract vectors from a standalone [[AnnIndex.writeAnnIndex]]
+    * index: the ledger partition alone is the whole retraction —
+    * cells are disjoint rows with no derived aggregates, so the probe
+    * mask (purged vectors neither probe nor surface as neighbors) and
+    * the erasing [[AnnIndex.compactAnnIndex]] carry everything.  The
+    * frozen codebook is NOT retrained (the family's frozen-quantizer
+    * contract: the quantizer is a trained artifact, not corpus
+    * state).  Returns false when `batchId` is already marked. */
+  def purgeAnnIndex(s: SparkSession, name: String, ids: DataFrame,
+      idCol: String, batchId: Long): Boolean = {
+    require(batchId >= 0, s"purge batch ids start at 0, got $batchId")
+    refreshFamily(s, Seq(s"${name}_cells", s"${name}_batches",
+      IndexLifecycle.purgedTable(name)))
+    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    IndexLifecycle.writeBatchPartition(
+      ids.select(col(idCol).as("id")).distinct(),
+      IndexLifecycle.purgedTable(name), batchId, None)
+    IndexLifecycle.markBatch(s, name, batchId)
+    true
+  }
+
+  /** Retract documents from a standalone [[Dedup.writeLshIndex]]
+    * index: the ledger partition is the retraction — from this batch
+    * on, [[Dedup.lshPairsAgainstIndex]] (and every ingest built on
+    * it) masks the purged docs' stored signatures out of its
+    * candidate generation, and the next
+    * [[Dedup.compactLshIndex]] erases their `_shingles`/`_bands` rows
+    * plus (via its `pairsTables` parameter) every stored pair row
+    * touching them.  Returns false when `batchId` is already
+    * marked. */
+  def purgeLshIndex(s: SparkSession, name: String, ids: DataFrame,
+      idCol: String, batchId: Long): Boolean = {
+    require(batchId >= 0, s"purge batch ids start at 0, got $batchId")
+    refreshFamily(s, Seq(s"${name}_shingles", s"${name}_bands",
+      s"${name}_batches", IndexLifecycle.purgedTable(name)))
+    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    IndexLifecycle.writeBatchPartition(
+      ids.select(col(idCol).as("id")).distinct(),
+      IndexLifecycle.purgedTable(name), batchId, None)
+    IndexLifecycle.markBatch(s, name, batchId)
+    true
+  }
+
+  /** Per-store occurrence counts behind [[assertBm25Purged]] (vocab/
+    * stats hold no ids — their purge correctness is the signed-sum
+    * arithmetic, gated by probe-equality, not occurrence counts). */
+  def bm25PurgedOccurrences(s: SparkSession, name: String,
+      ids: DataFrame, idCol: String): Seq[(String, Long)] =
+    familyOccurrences(s, ids, idCol, Seq(
+      s"${name}_postings" -> Seq("id"),
+      IndexLifecycle.purgedTable(name) -> Seq("id")))
+
+  /** Certificate for a purged BM25 index: zero stored postings of the
+    * ids, ledger emptied.  Run after the erasing
+    * [[Retrieval.compactBm25Index]]. */
+  def assertBm25Purged(s: SparkSession, name: String, ids: DataFrame,
+      idCol: String): Unit =
+    requireNoOccurrences(bm25PurgedOccurrences(s, name, ids, idCol),
+      "Retrieval.compactBm25Index", s"purgeBm25Index($name)")
+
+  /** Per-store occurrence counts behind [[assertAnnPurged]]. */
+  def annPurgedOccurrences(s: SparkSession, name: String,
+      ids: DataFrame, idCol: String): Seq[(String, Long)] =
+    familyOccurrences(s, ids, idCol, Seq(
+      s"${name}_cells" -> Seq("id"),
+      IndexLifecycle.purgedTable(name) -> Seq("id")))
+
+  /** Certificate for a purged ANN index: zero stored cells of the
+    * ids, ledger emptied.  Run after the erasing
+    * [[AnnIndex.compactAnnIndex]]. */
+  def assertAnnPurged(s: SparkSession, name: String, ids: DataFrame,
+      idCol: String): Unit =
+    requireNoOccurrences(annPurgedOccurrences(s, name, ids, idCol),
+      "AnnIndex.compactAnnIndex", s"purgeAnnIndex($name)")
+
+  /** Per-store occurrence counts behind [[assertLshPurged]] —
+    * `pairsTables` names the pair outputs the deployment keeps (the
+    * same list handed to [[Dedup.compactLshIndex]]). */
+  def lshPurgedOccurrences(s: SparkSession, name: String,
+      ids: DataFrame, idCol: String,
+      pairsTables: Seq[String] = Nil): Seq[(String, Long)] =
+    familyOccurrences(s, ids, idCol,
+      Seq(s"${name}_shingles" -> Seq("id"),
+          s"${name}_bands" -> Seq("id")) ++
+        pairsTables.map(_ -> Seq("id_a", "id_b")) :+
+        (IndexLifecycle.purgedTable(name) -> Seq("id")))
+
+  /** Certificate for a purged LSH index (+ its pair tables): zero
+    * stored signatures or pair endpoints of the ids, ledger emptied.
+    * Run after the erasing [[Dedup.compactLshIndex]] (called with the
+    * same `pairsTables`). */
+  def assertLshPurged(s: SparkSession, name: String, ids: DataFrame,
+      idCol: String, pairsTables: Seq[String] = Nil): Unit =
+    requireNoOccurrences(
+      lshPurgedOccurrences(s, name, ids, idCol, pairsTables),
+      "Dedup.compactLshIndex", s"purgeLshIndex($name)")
+
+  /** Count `ids` occurrences per (table, column) — absent tables
+    * count 0 (a family variant that never created them). */
+  private def familyOccurrences(s: SparkSession, ids: DataFrame,
+      idCol: String, stores: Seq[(String, Seq[String])]): Seq[(String, Long)] = {
+    val p = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    for ((tbl, cols) <- stores; c <- cols) yield {
+      val n =
+        if (!s.catalog.tableExists(tbl)) 0L
+        else s.table(tbl).select(col(c).as("id"))
+          .where(col("id").isNotNull)
+          .join(broadcast(p), Seq("id"), "left_semi").count()
+      (s"$tbl.$c", n)
+    }
+  }
+
+  private def requireNoOccurrences(occ: Seq[(String, Long)],
+      compaction: String, purgeOp: String): Unit = {
+    val bad = occ.filter(_._2 > 0L)
     require(bad.isEmpty,
       "purge certificate FAILED — purged ids still present in: " +
         bad.map { case (nm, c) => s"$nm ($c rows)" }.mkString(", ") +
-        ". The erasing Hygiene.compactHygiene must run (quiesced) " +
-        "after purgeDocs; if it did, a store's erase fold missed rows.")
+        s". The erasing $compaction must run (quiesced) after " +
+        s"$purgeOp; if it did, a store's erase fold missed rows.")
   }
+
+  /** Invalidate this session's cached relations for the family's
+    * tables — the standalone twin of
+    * [[Hygiene.refreshInstanceTables]]: a purge typically runs right
+    * after streamed sink epochs, whose cloned-session writes the
+    * driving session's relation cache has not seen. */
+  private def refreshFamily(s: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach(t =>
+      if (s.catalog.tableExists(t)) s.catalog.refreshTable(t))
 }

@@ -106,8 +106,10 @@ object Retrieval {
       name: String, buckets: Int = 16): Unit = {
     requireNumericId(docs, idCol, "writeBm25Index")
     val s = docs.sparkSession
-    Seq("_postings", "_vocab", "_stats", "_batches").foreach(sfx =>
-      graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
+    // _purged too: a rebuilt index carries no purge debt — a stale
+    // ledger from a prior instance would mask fresh ingests
+    Seq("_postings", "_vocab", "_stats", "_batches", "_purged").foreach(
+      sfx => graft.sources.Tables.dropWithLocation(s, s"$name$sfx"))
     writeBm25Tables(docs, idCol, textCol, name, buckets, bootstrapBatchId)
   }
 
@@ -236,13 +238,24 @@ object Retrieval {
     val stats = s"${name}_stats"
     if (!Seq(post, vocab, stats).forall(spark.catalog.tableExists)) return
     val committed = IndexLifecycle.committedIds(spark, name)
-    // postings: disjoint rows — relabel only
+    // the ERASING leg: purged docs' posting rows (until now only
+    // masked at probe time) are physically dropped from the folded
+    // base; the vocab fold nets the purge's signed df deltas out and
+    // drops zeroed terms (a no-op absent purges — per-batch df is
+    // ≥ 1); the stats fold already sums the signed deltas.  The
+    // ledger itself folds to empty LAST, below.
+    val purged = IndexLifecycle.purgedIds(spark, name)
+      .map(_.localCheckpoint())
+    // postings: disjoint rows — relabel (and erase purged ids)
     IndexLifecycle.swapFold(spark, post, committed,
-      (df, base) => df.withColumn("batch_id", base))
+      (df, base) => purged.fold(df)(p =>
+          df.join(broadcast(p), Seq("id"), "left_anti"))
+        .withColumn("batch_id", base))
     // vocab: df sums across disjoint batches — fold to one row per term
     IndexLifecycle.swapFold(spark, vocab, committed,
       (df, base) => df.groupBy(col("tok"))
-        .agg(sum(col("df")).as("df")).withColumn("batch_id", base))
+        .agg(sum(col("df")).as("df")).where(col("df") =!= 0L)
+        .withColumn("batch_id", base))
     // stats: additive longs — fold to one row
     IndexLifecycle.swapFold(spark, stats, committed,
       (df, base) => df
@@ -252,6 +265,9 @@ object Retrieval {
     // the marker table folds to one file, preserving EVERY id — the
     // seen gate is what keeps folded partitions replay-safe
     IndexLifecycle.foldMarkerTable(spark, name)
+    // ledger last: every erase above landed, nothing references the
+    // purged ids any more ([[IndexLifecycle.foldLedgerEmpty]])
+    IndexLifecycle.foldLedgerEmpty(spark, name, committed)
   }
 
   /** Finish a [[compactBm25Index]] swap a crash interrupted between
@@ -261,8 +277,8 @@ object Retrieval {
     * ran.  Compaction runs it first, so "re-run compaction" is the
     * whole recovery runbook. */
   def recoverBm25Compaction(spark: SparkSession, name: String): Boolean = {
-    val partitioned =
-      Set(s"${name}_postings", s"${name}_vocab", s"${name}_stats")
+    val partitioned = Set(s"${name}_postings", s"${name}_vocab",
+      s"${name}_stats", IndexLifecycle.purgedTable(name))
     IndexLifecycle.recoverSwaps(spark,
       (partitioned + s"${name}_batches").toSeq, partitioned)
   }
@@ -331,8 +347,17 @@ object Retrieval {
     val terms = queries.select(col(termCol).cast("string").as("tok"))
       .distinct()
     val probe = termProbe(terms, maxLiteralTerms, "bm25TopKFromIndex")
-    val post = termSlice(spark.table(s"${name}_postings"), probe, terms,
-        maxLiteralTerms)
+    // purge mask: between a [[graft.ext.Purge.purgeBm25Index]] and
+    // the erasing compaction, purged docs' posting rows are still
+    // physically present — drop them here (broadcast anti-join, the
+    // ledger is takedown-churn-sized).  df/N/avgdl need no mask: the
+    // purge landed SIGNED vocab/stats delta partitions and the sums
+    // below already net them out.  Absent a ledger table the plan is
+    // untouched (the bucket-pruned shape PlanShapeSpec pins).
+    val postRaw = termSlice(spark.table(s"${name}_postings"), probe, terms,
+      maxLiteralTerms)
+    val post = IndexLifecycle.purgedIds(spark, name)
+      .fold(postRaw)(p => postRaw.join(broadcast(p), Seq("id"), "left_anti"))
       .select(col("tok").as("__tok"), col("id").as(idCol),
         col("tf").as("__tf"), col("len").as("__len"))
     // per-batch df values sum to the corpus df (disjoint batches);

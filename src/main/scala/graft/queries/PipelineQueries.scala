@@ -1824,7 +1824,12 @@ object PipelineQueries {
         "text", queries, "query_id", "term", Bm25K, Bm25K1, Bm25B)
       .orderBy("query_id", "rank")
   }
-  val q105Sql: String = {
+  /** The q105 oracle parameterized on the corpus relation —
+    * `"documents"` reproduces q105Sql byte-for-byte; q125 passes a
+    * filtered CTE (corpus-minus-purged) so the purge gate's oracle is
+    * the SAME scoring chain over the smaller corpus (the generator-
+    * parameterization convention, not post-hoc string surgery). */
+  private def q105SqlOver(corpus: String): String = {
     val qvals = Bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
       .mkString(", ")
@@ -1834,7 +1839,7 @@ object PipelineQueries {
     val k1p1 = (Bm25K1 + 1.0).toString
     val oneMb = (1.0 - Bm25B).toString
     s"""WITH q(query_id, term) AS (VALUES $qvals),
-       |t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t0 AS (SELECT doc_id, $toksSql AS toks FROM $corpus),
        |st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t0),
        |tok AS (SELECT doc_id, len(toks) AS l, unnest(toks) AS tok FROM t0),
        |tf AS (SELECT doc_id, tok, count(*) AS tf, max(l) AS l FROM tok
@@ -1853,6 +1858,7 @@ object PipelineQueries {
        |  CAST(rnk AS BIGINT) AS rank
        |FROM rk WHERE rnk <= $Bm25K ORDER BY query_id, rank""".stripMargin
   }
+  val q105Sql: String = q105SqlOver("documents")
 
   // ---- Q108: the SAME retrieval, served from a PERSISTED index ----------
   // q105 scores off the raw corpus; this one builds the production
@@ -3584,6 +3590,23 @@ object PipelineQueries {
     val body = q122Sql.stripPrefix("WITH RECURSIVE ")
       .replace("FROM documents", "FROM documents_p")
       .replace("/*SHARED lsh EXPORTS pairs*/", "")
+    // surgery guard: the rewrite above is only complete while every
+    // corpus reference in the q122 chain uses the exact `FROM
+    // documents` form.  A future edit introducing `JOIN documents`, a
+    // comma-join, or any other bare reference would silently leave
+    // the oracle reading the UNFILTERED corpus — detected only as an
+    // opaque gate-hash mismatch — so fail at class-init instead:
+    // after the rewrite, no bare `documents` token may remain (the
+    // \b boundary does not match `documents_p`), and exactly one
+    // SHARED opening marker must have been stripped.
+    val bare = """\bdocuments\b""".r.findAllIn(body).size
+    require(bare == 0,
+      s"q124Sql: $bare corpus reference(s) in the q122 chain escaped " +
+        "the documents -> documents_p rewrite (a non-`FROM documents` " +
+        "reference form was introduced); fix the rewrite or the chain")
+    require(!body.contains("/*SHARED "),
+      "q124Sql: a SHARED opening marker survived the strip — the " +
+        "oracle would be materialized against the full corpus")
     s"""WITH RECURSIVE cutq124 AS (
        |  SELECT max(doc_id) AS cid FROM (
        |    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
@@ -3594,6 +3617,174 @@ object PipelineQueries {
        |  WHERE NOT (d.doc_id % 17 = 3 AND d.doc_id <= c.cid)),
        |$body""".stripMargin
   }
+
+  // ---- Q125: takedown purge of a STANDALONE BM25 index ------------------
+  // q124 proves the purge lifecycle for the hygiene composition; this
+  // proves it for a deployment using the retrieval index DIRECTLY
+  // (the q108–q111 shape).  Build the index incrementally (bootstrap
+  // + two marker-gated batches), purge every doc_id % 13 == 5 as one
+  // marker-gated retraction batch (replay require()d a no-op), probe
+  // the RETRACTED index (postings masked by the ledger, N/avgdl/df
+  // corrected by the purge's signed vocab/stats delta partitions),
+  // then run the erasing compaction, require() the certificate (zero
+  // stored postings, ledger emptied), probe again — and require() the
+  // masked and the erased probe bit-identical.  Oracle: the one-shot
+  // q105 scoring chain over corpus-minus-purged.
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{Purge, Retrieval}
+    val queries = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val name = "q125_bm25_prg"
+    Seq(s"${name}_postings", s"${name}_vocab", s"${name}_stats",
+      s"${name}_batches", s"${name}_purged").foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val docs = tbl(s, dir, "documents")
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Retrieval.writeBm25Index(docs.where(col("doc_id") <= c1), "doc_id",
+      "text", name)
+    require(Retrieval.ingestBm25Batch(
+      docs.where(col("doc_id") > c1 && col("doc_id") <= c2), 0L,
+      "doc_id", "text", name), "fresh batch 0 must land")
+    require(Retrieval.ingestBm25Batch(docs.where(col("doc_id") > c2), 1L,
+      "doc_id", "text", name), "fresh batch 1 must land")
+    val purged = docs.where(col("doc_id") % 13 === 5)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    require(Purge.purgeBm25Index(purged, 2L, "doc_id", "text", name),
+      "the purge batch must land")
+    require(!Purge.purgeBm25Index(purged, 2L, "doc_id", "text", name),
+      "a purge replay must no-op at the marker")
+    def probe(): DataFrame = Retrieval.bm25TopKFromIndex(s, name, queries,
+        "query_id", "term", Bm25K, idCol = "doc_id", k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank").localCheckpoint()
+    val masked = probe() // retracted-but-not-erased: the mask path
+    Retrieval.compactBm25Index(s, name)
+    Purge.assertBm25Purged(s, name, purged.select("doc_id"), "doc_id")
+    val erased = probe()
+    require(masked.except(erased).isEmpty && erased.except(masked).isEmpty,
+      "q125: the ledger-masked probe and the post-erasure probe must " +
+        "be bit-identical — the two phases serve the same corpus")
+    erased
+  }
+  val q125Sql: String =
+    s"""WITH documents_p AS (
+       |  SELECT * FROM documents WHERE doc_id % 13 <> 5),
+       |${q105SqlOver("documents_p").stripPrefix("WITH ")}""".stripMargin
+
+  // ---- Q126: takedown purge of a STANDALONE IVF-ANN index ---------------
+  // The vector-side twin of q125 (the q113–q115 deployment shape):
+  // build the index (codebook trained on the full bootstrap corpus
+  // and FROZEN — a purge does not retrain the quantizer), purge every
+  // vec_id % 13 == 7 (replay require()d a no-op), probe the retracted
+  // index (cells masked), erase + certificate, probe again,
+  // require() both probes bit-identical.  Oracle: q37's IVF replay
+  // with the SAME full-corpus codebook chain (shared CTE — frozen
+  // quantizer means the training set is NOT corpus-minus-purged),
+  // excluding purged vectors from the candidate cells.
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{AnnIndex, Purge}
+    val name = "q126_ann_prg"
+    Seq(s"${name}_cells", s"${name}_codebook", s"${name}_batches",
+      s"${name}_purged").foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val emb = tbl(s, dir, "embeddings")
+    AnnIndex.writeAnnIndex(emb, "vec_id", "embedding", name,
+      IvfCentroids, IvfKmeansIters)
+    val purged = emb.where(col("vec_id") % 13 === 7)
+      .select(col("vec_id")).localCheckpoint()
+    require(Purge.purgeAnnIndex(s, name, purged, "vec_id", 0L),
+      "the purge batch must land")
+    require(!Purge.purgeAnnIndex(s, name, purged, "vec_id", 0L),
+      "a purge replay must no-op at the marker")
+    def probe(): DataFrame = AnnIndex.annTopKFromIndex(s, name,
+        Seq(1L, 2L, 3L, 4L, 5L), k = 3, nProbe = IvfProbe)
+      .orderBy("vec_id", "neighbor_id").localCheckpoint()
+    val masked = probe()
+    AnnIndex.compactAnnIndex(s, name)
+    Purge.assertAnnPurged(s, name, purged, "vec_id")
+    val erased = probe()
+    require(masked.except(erased).isEmpty && erased.except(masked).isEmpty,
+      "q126: the ledger-masked probe and the post-erasure probe must " +
+        "be bit-identical — the two phases serve the same corpus")
+    erased
+  }
+  val q126Sql: String =
+    s"""WITH $kmeansAsgCtes,
+       |pcells AS (SELECT vec_id AS probe_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, cid ASC) AS rn FROM ac
+       |         WHERE vec_id IN (1,2,3,4,5)) WHERE rn <= $IvfProbe),
+       |sc AS (SELECT pc.probe_id AS vec_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.v", "e.v")}/(p.nrm*e.nrm) AS cos
+       |       FROM pcells pc
+       |       JOIN asg a ON a.cid = pc.cid AND a.vec_id <> pc.probe_id
+       |         AND a.vec_id % 13 <> 7
+       |       JOIN nn p ON p.vec_id = pc.probe_id
+       |       JOIN nn e ON e.vec_id = a.vec_id),
+       |rk AS (SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |SELECT vec_id, neighbor_id, round(cos,6) AS sim FROM rk WHERE rn <= 3
+       |ORDER BY vec_id, neighbor_id""".stripMargin
+
+  // ---- Q127: takedown purge of a STANDALONE LSH dedup index -------------
+  // The near-dup-side member (the q72/q73/q80 deployment shape), with
+  // the pair OUTPUT covered too: ingest the corpus as three
+  // marker-gated batches (empty bootstrap, so the pairs table
+  // accumulates every within-corpus pair), purge every
+  // doc_id % 17 == 3 among the first two thirds (replay require()d a
+  // no-op), then ingest the THIRD batch onto the retracted index —
+  // the stored signatures of purged docs are still physically present
+  // and the probe's ledger mask must keep them out of the new batch's
+  // candidates.  Erasing compaction (index tables + the pairs table,
+  // both endpoints) + certificate, then emit the resolved pair set.
+  // Oracle: the one-shot full-corpus LSH chain (SHARED — signatures
+  // are per-document, so removing docs never changes another doc's
+  // bands) restricted to pairs with BOTH endpoints live.
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Purge
+    val name = "q127_lsh_prg"
+    val pairsT = "q127_lsh_pairs"
+    Seq(s"${name}_shingles", s"${name}_bands", s"${name}_batches",
+      s"${name}_purged", pairsT).foreach(t =>
+      graft.sources.Tables.dropWithLocation(s, t))
+    val docs = tbl(s, dir, "documents")
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).first()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def ingest(n: Long, df: DataFrame): Boolean =
+      Dedup.ingestBatchIntoIndex(df, n, "doc_id", "text", name, pairsT)
+    require(ingest(0L, docs.where(col("doc_id") <= c1)), "batch 0 lands")
+    require(ingest(1L, docs.where(col("doc_id") > c1 && col("doc_id") <= c2)),
+      "batch 1 lands")
+    val purged = docs
+      .where(col("doc_id") % 17 === 3 && col("doc_id") <= c2)
+      .select(col("doc_id")).localCheckpoint()
+    require(Purge.purgeLshIndex(s, name, purged, "doc_id", 2L),
+      "the purge batch must land")
+    require(!Purge.purgeLshIndex(s, name, purged, "doc_id", 2L),
+      "a purge replay must no-op at the marker")
+    // post-purge, pre-erasure ingest: the ledger mask is load-bearing
+    require(ingest(3L, docs.where(col("doc_id") > c2)), "batch 3 lands")
+    Dedup.compactLshIndex(s, name, pairsTables = Seq(pairsT))
+    Purge.assertLshPurged(s, name, purged, "doc_id", Seq(pairsT))
+    s.table(pairsT)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("jaccard")), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+  val q127Sql: String =
+    s"""WITH $lshPairsCtes,
+       |cutq127 AS (SELECT min(doc_id) + 2 * (max(doc_id) - min(doc_id)) // 3
+       |  AS cid FROM documents)
+       |SELECT id_a, id_b, round(max(jac),6) AS jaccard FROM pairs, cutq127 c
+       |WHERE NOT (id_a % 17 = 3 AND id_a <= c.cid)
+       |  AND NOT (id_b % 17 = 3 AND id_b <= c.cid)
+       |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
@@ -4424,6 +4615,9 @@ object PipelineQueries {
     "q122_hygiene_pipeline" -> (q122 _),
     "q123_streamed_hygiene" -> (q123 _),
     "q124_purge_takedown" -> (q124 _),
+    "q125_bm25_purge" -> (q125 _),
+    "q126_ann_purge" -> (q126 _),
+    "q127_lsh_purge" -> (q127 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4547,6 +4741,9 @@ object PipelineQueries {
     "q122_hygiene_pipeline" -> q122Sql,
     "q123_streamed_hygiene" -> q123Sql,
     "q124_purge_takedown" -> q124Sql,
+    "q125_bm25_purge" -> q125Sql,
+    "q126_ann_purge" -> q126Sql,
+    "q127_lsh_purge" -> q127Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

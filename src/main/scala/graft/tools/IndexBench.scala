@@ -39,6 +39,9 @@ object IndexBench {
       if (args.length > 2) args(2).toInt else 500)
     if (args.headOption.contains("repairids")) return repairIdsBoundary(
       if (args.length > 1) args(1).toInt else 2000000)
+    if (args.headOption.contains("purge")) return purgeBench(
+      if (args.length > 1) args(1).toInt else 10000,
+      if (args.length > 2) args(2).toInt else 500)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -462,6 +465,108 @@ object IndexBench {
     println(f"storm     n=$size%-8d step_s=$stormS%.2f " +
       f"(batch=$nStorm, jobs=$stormJobs%d, demotions=$demoted, " +
       "join-path forced)")
+    spark.stop()
+  }
+
+  /** The purge/takedown cost curve (round-15 ask): grow the same
+    * hygiene instance hygieneGrowth uses to 16x, then purge m ∈
+    * {1, 100, 2000} stored docs, measuring `Purge.purgeDocs` and the
+    * erasing `compactHygiene` SEPARATELY (wall + Spark jobs each).
+    * q124 proves purge correctness; this puts the "storm-shaped by
+    * construction" cost claim on a measured curve next to the
+    * hygiene sustain numbers.  Purged ids are ordinary stored docs
+    * (≡ 3 mod 10 — never near-dup copies or their targets), disjoint
+    * across the three points, all at or below the high-water mark.
+    * Usage: runMain graft.tools.IndexBench purge [baseDocs] [batchDocs]
+    */
+  private def purgeBench(base: Int, nBatch: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Dedup, Hygiene, Purge}
+    import graft.ext.Hygiene.HygieneState
+    // the hygieneGrowth corpus generator, verbatim (same dup pattern,
+    // same postings-bearing common tokens)
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr(
+      "id AS doc_id",
+      ("concat(concat_ws(' ', " +
+        (0 until 30).map(k =>
+          s"concat('w', (CASE WHEN id % 10 = 9 AND id >= 20 " +
+            s"THEN id - 19 ELSE id END) * 30 + $k)").mkString(", ") +
+        "), CASE WHEN id % 10 = 9 AND id >= 20 THEN concat(' dup', id) " +
+        "ELSE '' END, ' common', id % 5, ' shared', id % 3) AS text"))
+    def scoresFor(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("doc_id")).distinct()
+        .selectExpr("doc_id", "CAST(doc_id % 13 AS DOUBLE) AS q")
+    val allDocs = docs(0L, 64L * base)
+    def rawTextFor(ids: org.apache.spark.sql.DataFrame) =
+      allDocs.join(org.apache.spark.sql.functions.broadcast(
+        ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    val bench = spark.range(3).selectExpr("concat('q', id) AS query_id",
+      "concat('common', id) AS term")
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"purgebench_$n").toString
+    val st = HygieneState("purgebench", dir("pairs"), dir("assign"),
+      dir("surv"), dir("emit"), dir("clean"), dir("flag"))
+    (st.allTables ++ Seq(s"${st.lshName}_shingles", s"${st.lshName}_bands",
+      s"${st.lshName}_batches")).foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+    Dedup.writeLshIndex(allDocs.where(lit(false)), "doc_id", "text",
+      st.lshName)
+    graft.sources.Tables.dropWithLocation(spark, s"${st.lshName}_batches")
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+    var lastJobs = 0L
+    def windowJobs(): Long = {
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
+      val now = jobCount.get(); val d = now - lastJobs; lastJobs = now; d
+    }
+    var size = 0L
+    var batchId = 0L
+    def step(n: Long): Unit = {
+      Hygiene.hygieneStep(docs(size, size + n), batchId, "doc_id", "text",
+        scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+        10, 0.0001, minJaccard = 0.5)
+      size += n; batchId += 1
+    }
+    step(base.toLong)
+    while (size < 16L * base) step(math.min(base.toLong, 16L * base - size))
+    windowJobs()
+    val tb = System.nanoTime()
+    Hygiene.compactHygiene(spark, st) // a purge-FREE baseline fold —
+    val baseS = (System.nanoTime() - tb) / 1e9 // the erase rows below
+    val baseJobs = windowJobs() // are read against this number
+    println(f"grown     n=$size%-8d (16x base; purge-free fold " +
+      f"baseline_s=$baseS%.2f jobs=$baseJobs%d)")
+    var cursor = 0L
+    for (m <- Seq(1L, 100L, 2000L)) {
+      val ids = spark.range(cursor, cursor + m)
+        .select((col("id") * 10L + 3L).as("doc_id")).localCheckpoint()
+      cursor += m
+      windowJobs()
+      val t0 = System.nanoTime()
+      require(Purge.purgeDocs(ids, batchId, "doc_id", "text",
+        scoresFor _, "q", rawTextFor _, st, bench, "query_id", "term",
+        10, 0.0001), "purge batch must run")
+      batchId += 1
+      val purgeS = (System.nanoTime() - t0) / 1e9
+      val purgeJobs = windowJobs()
+      val t1 = System.nanoTime()
+      Hygiene.compactHygiene(spark, st, graceMs = 0L)
+      val eraseS = (System.nanoTime() - t1) / 1e9
+      val eraseJobs = windowJobs()
+      Purge.assertPurged(spark, st, ids, "doc_id")
+      println(f"purge m=$m%-5d purge_s=$purgeS%.2f jobs=$purgeJobs%d  " +
+        f"erase_compact_s=$eraseS%.2f jobs=$eraseJobs%d")
+    }
     spark.stop()
   }
 

@@ -56,7 +56,12 @@ object SpillCheck {
     // round-15: the purge lifecycle — component re-closure over the
     // restricted pair log, promotion/steal repair joins, the erasing
     // eleven-store fold and the certificate scans under pressure
-    "q124_purge_takedown")
+    "q124_purge_takedown",
+    // round-16: the standalone-family purges — BM25's negated ingest
+    // aggregation + signed-sum probe, and the LSH pair-table erase
+    // (endpoint anti-joins through the staged swap) under pressure;
+    // q126's cells erase rides the same swapFold machinery as q125
+    "q125_bm25_purge", "q127_lsh_purge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -29,7 +29,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The erasing compaction + certificate close the loop: before it the
   * stores still hold the purged rows (retracted); after it
-  * [[Purge.assertPurged]] proves zero occurrences everywhere. */
+  * [[Purge.assertPurged]] proves zero occurrences everywhere.
+  *
+  * SCOPE NOTE — what the certificate does NOT cover: Structured
+  * Streaming checkpoint/state directories of stateful consumers
+  * (TWS dedup state, priority-sample reservoirs).  The erasure
+  * boundary and the two closure contracts (state-TTL horizon, or
+  * checkpoint restart post-purge) are documented in SCALE.md
+  * §"What purge does NOT erase: streaming checkpoints". */
 class PurgeSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
   import spark.implicits._
@@ -48,7 +55,8 @@ class PurgeSpec extends AnyFunSuite {
     (10L, "t4 t5 s1 s2 s3 s4 s5 a1 a2 y9"),
     (11L, "w1 w2 w3 w4 w5 w6 w7 w8"))
   private val quality = Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.6, 4L -> 0.9,
-    5L -> 0.7, 6L -> 0.9, 8L -> 0.6, 9L -> 0.7, 10L -> 0.4, 11L -> 0.5)
+    5L -> 0.7, 6L -> 0.9, 8L -> 0.6, 9L -> 0.7, 10L -> 0.4, 11L -> 0.5,
+    12L -> 0.5, 13L -> 0.6)
   private val purgedIds = Seq(1L, 4L, 6L, 7L)
   private val batches: Seq[Seq[(Long, String)]] = Seq(
     docs.filter(d => Set(1L, 2L, 3L).contains(d._1)),
@@ -224,6 +232,21 @@ class PurgeSpec extends AnyFunSuite {
       val want = cleaned.view.filterKeys(id =>
         !losers.contains(id) && !flags.contains(id)).toMap
       assert(resolved(st) == want)
+      // ---- ingest AFTER the erasing compaction (column-order pin):
+      // the fold's erase anti-joins must keep every table's column
+      // order — the step's positional insertIntos would otherwise
+      // write crosswise into the folded tables.  12 near-dups 11
+      // (pairs against the FOLDED index), 13 is novel.
+      val extra = Seq((12L, "w1 w2 w3 w4 w5 w6 w7 w9"),
+        (13L, "f1 f2 f3 f4 f5 f6 f7 f8"))
+      assert(step(st, extra, 5L))
+      val (l2, c2, f2) = oneShotOf(
+        docs.filterNot(d => purgedIds.contains(d._1)) ++ extra)
+      val want2 = c2.view.filterKeys(id =>
+        !l2.contains(id) && !f2.contains(id)).toMap
+      assert(resolved(st) == want2,
+        "an ingest AFTER the erasing compaction must behave as if " +
+          "the purged docs never existed")
     } finally dropState(st)
   }
 
