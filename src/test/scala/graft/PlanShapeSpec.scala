@@ -414,6 +414,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in the probe:\n$p")
   }
 
+  test("purge-masked probes keep their bucket pruning (BM25 + ANN)") {
+    // between a standalone-family purge and its erasing compaction
+    // the probe adds one broadcast anti-join against the ledger —
+    // the isin literal must STILL reach the bucketed scans as bucket
+    // pruning, and the mask must never become a shuffle join
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bm = "psspec_prgbm"
+    val an = "psspec_prgan"
+    try {
+      val docs = (1L to 200L).map(i =>
+        (i, s"t${i % 40} t${(i + 7) % 40} t${(i + 13) % 40}"))
+        .toDF("doc_id", "text")
+      graft.ext.Retrieval.writeBm25Index(docs, "doc_id", "text", bm)
+      assert(graft.ext.Purge.purgeBm25Index(
+        docs.where(col("doc_id") % 9 === 2), 0L, "doc_id", "text", bm))
+      val bench = Seq(("qa", "t3"), ("qa", "t7")).toDF("query_id", "term")
+      val pB = plan(graft.ext.Retrieval.bm25TopKFromIndex(spark, bm,
+        bench, "query_id", "term", 5, idCol = "doc_id"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val hitsB = sel.findAllMatchIn(pB).toList
+      assert(hitsB.nonEmpty && hitsB.forall(m =>
+          m.group(1).toInt < m.group(2).toInt),
+        s"masked BM25 probe must still bucket-prune:\n$pB")
+      assert(!pB.contains("SortMergeJoin"),
+        s"the ledger mask must stay a broadcast anti-join:\n$pB")
+      val emb = (0L until 60L).map(i =>
+        (i, (0 until 4).map(d => (i % 7 + d).toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      graft.ext.AnnIndex.writeAnnIndex(emb, "vec_id", "embedding", an,
+        nCentroids = 4, kmeansIters = 1)
+      assert(graft.ext.Purge.purgeAnnIndex(spark, an,
+        emb.where(col("vec_id") % 9 === 2).select("vec_id"), "vec_id", 0L))
+      val pA = plan(graft.ext.AnnIndex.annTopKFromIndex(spark, an,
+        Seq(0L, 1L), k = 2, nProbe = 2))
+      val hitsA = sel.findAllMatchIn(pA).toList
+      assert(hitsA.exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"masked ANN probe must still bucket-prune:\n$pA")
+      assert(!pA.contains("SortMergeJoin"),
+        s"the ledger mask must stay a broadcast anti-join:\n$pA")
+    } finally Seq(s"${bm}_postings", s"${bm}_vocab", s"${bm}_stats",
+      s"${bm}_batches", s"${bm}_purged", s"${an}_cells", s"${an}_codebook",
+      s"${an}_batches", s"${an}_purged").foreach(t =>
+      graft.sources.Tables.dropWithLocation(spark, t))
+  }
+
   test("mutable BM25 probe: bucket-pruned scans, latest-wins resolve after the prune, no shuffle join") {
     // the q123 composition's probe — postings carry latest-wins
     // versions and tombstones, so the probe adds a per-(tok,id)
