@@ -682,10 +682,19 @@ object Dedup {
     *   set on BOTH endpoints and consolidates under
     *   [[compactedBatchId]].  Recovery is inline (a crash between a
     *   pair table's drop and rename is finished at the next call),
-    *   so "re-run the same compaction call" stays the whole runbook. */
+    *   so "re-run the same compaction call" stays the whole runbook.
+    * @param pairsTxDirs TxLog PAIR directories (the
+    *   [[ingestBatchIntoIndexTx]] `pairsDir` outputs) to erase the
+    *   same way, via [[graft.sources.TxLog.compactWith]] — both
+    *   endpoints anti-joined, crash recovery is the TxLog protocol's
+    *   own (staged fold + marker swap).
+    * @param graceMs vacuum grace for the TxLog folds — pass 0 from a
+    *   quiesced erasure window for immediate reclaim. */
   def compactLshIndex(spark: SparkSession, name: String,
       dropIds: Option[DataFrame] = None,
-      pairsTables: Seq[String] = Nil): Unit = {
+      pairsTables: Seq[String] = Nil,
+      pairsTxDirs: Seq[String] = Nil,
+      graceMs: Long = graft.sources.TxLog.defaultVacuumGraceMs): Unit = {
     recoverLshCompaction(spark, name)
     val tbls = Seq(s"${name}_shingles", s"${name}_bands")
     if (!tbls.forall(spark.catalog.tableExists)) return
@@ -773,9 +782,21 @@ object Dedup {
         renameWithPartitions(spark, stage, pt)
       }
     }
+    // TxLog-committed pair outputs: same both-endpoint erase, through
+    // the log's own staged fold (lease-guarded, crash-safe)
+    for (d <- pairsTxDirs
+         if graft.sources.TxLog.committedDirs(spark, d).nonEmpty)
+      graft.sources.TxLog.compactWith(spark, d, (df, _) =>
+        allDrop.fold(df)(p => df
+          .join(broadcast(p.select(col("id").as("id_a"))),
+            Seq("id_a"), "left_anti")
+          .join(broadcast(p.select(col("id").as("id_b"))),
+            Seq("id_b"), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)),
+        graceMs = graceMs)
     foldBatchesTable(spark, name)
     // the family ledger folds to empty LAST — every erase above
-    // (index tables + pair tables) has landed
+    // (index tables + pair tables + pair logs) has landed
     IndexLifecycle.foldLedgerEmpty(spark, name, committed)
   }
 

@@ -655,25 +655,39 @@ object Purge {
       "AnnIndex.compactAnnIndex", s"purgeAnnIndex($name)")
 
   /** Per-store occurrence counts behind [[assertLshPurged]] —
-    * `pairsTables` names the pair outputs the deployment keeps (the
-    * same list handed to [[Dedup.compactLshIndex]]). */
+    * `pairsTables` / `pairsTxDirs` name the pair outputs the
+    * deployment keeps (the same lists handed to
+    * [[Dedup.compactLshIndex]]). */
   def lshPurgedOccurrences(s: SparkSession, name: String,
       ids: DataFrame, idCol: String,
-      pairsTables: Seq[String] = Nil): Seq[(String, Long)] =
-    familyOccurrences(s, ids, idCol,
+      pairsTables: Seq[String] = Nil,
+      pairsTxDirs: Seq[String] = Nil): Seq[(String, Long)] = {
+    val tableOcc = familyOccurrences(s, ids, idCol,
       Seq(s"${name}_shingles" -> Seq("id"),
           s"${name}_bands" -> Seq("id")) ++
         pairsTables.map(_ -> Seq("id_a", "id_b")) :+
         (IndexLifecycle.purgedTable(name) -> Seq("id")))
+    val p = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val txOcc = for (d <- pairsTxDirs; c <- Seq("id_a", "id_b")) yield {
+      val n =
+        if (graft.sources.TxLog.committedDirs(s, d).isEmpty) 0L
+        else graft.sources.TxLog.readCommitted(s, d)
+          .select(col(c).as("id")).where(col("id").isNotNull)
+          .join(broadcast(p), Seq("id"), "left_semi").count()
+      (s"$d.$c", n)
+    }
+    tableOcc ++ txOcc
+  }
 
-  /** Certificate for a purged LSH index (+ its pair tables): zero
-    * stored signatures or pair endpoints of the ids, ledger emptied.
-    * Run after the erasing [[Dedup.compactLshIndex]] (called with the
-    * same `pairsTables`). */
+  /** Certificate for a purged LSH index (+ its pair tables and pair
+    * logs): zero stored signatures or pair endpoints of the ids,
+    * ledger emptied.  Run after the erasing [[Dedup.compactLshIndex]]
+    * (called with the same `pairsTables` / `pairsTxDirs`). */
   def assertLshPurged(s: SparkSession, name: String, ids: DataFrame,
-      idCol: String, pairsTables: Seq[String] = Nil): Unit =
+      idCol: String, pairsTables: Seq[String] = Nil,
+      pairsTxDirs: Seq[String] = Nil): Unit =
     requireNoOccurrences(
-      lshPurgedOccurrences(s, name, ids, idCol, pairsTables),
+      lshPurgedOccurrences(s, name, ids, idCol, pairsTables, pairsTxDirs),
       "Dedup.compactLshIndex", s"purgeLshIndex($name)")
 
   /** Count `ids` occurrences per (table, column) — absent tables

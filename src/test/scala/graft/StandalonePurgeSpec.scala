@@ -245,4 +245,44 @@ class StandalonePurgeSpec extends AnyFunSuite {
         "folded index correctly")
     drop(lshTables(name) :+ pairsT: _*)
   }
+
+  test("lsh purge: the TxLog-committed pair form (ingestBatchIntoIndexTx) " +
+    "erases through compactWith; certificate covers the log") {
+    val name = "sp_lsh_tx"
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("sp_lsh_tx_pairs").toString
+    drop(lshTables(name): _*)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "a b c d e f g h i l")).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    def ingest(n: Long, cond: org.apache.spark.sql.Column) =
+      Dedup.ingestBatchIntoIndexTx(docs.where(cond), n, "doc_id", "text",
+        name, pairsDir)
+    assert(ingest(0L, col("doc_id") <= 2))
+    assert(ingest(1L, col("doc_id") === 3L || col("doc_id") === 4L))
+    val purged = Seq(2L).toDF("doc_id")
+    assert(graft.ext.Purge.purgeLshIndex(spark, name, purged, "doc_id", 2L))
+    // pre-erasure: the log still physically holds (1,2)/(2,4) rows
+    val pre = graft.ext.Purge.lshPurgedOccurrences(spark, name, purged,
+      "doc_id", pairsTxDirs = Seq(pairsDir)).toMap
+    assert(pre(s"$pairsDir.id_a") + pre(s"$pairsDir.id_b") > 0L,
+      s"purged pair rows must still be present pre-fold: $pre")
+    Dedup.compactLshIndex(spark, name, pairsTxDirs = Seq(pairsDir),
+      graceMs = 0L)
+    graft.ext.Purge.assertLshPurged(spark, name, purged, "doc_id",
+      pairsTxDirs = Seq(pairsDir))
+    // resolved pairs == one-shot over the live corpus
+    val resolved = graft.sources.TxLog.readCommitted(spark, pairsDir)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("jaccard")), 6).as("jaccard"))
+    val oneShot = Dedup.lshPairs(docs.where(col("doc_id") =!= 2L),
+        "doc_id", "text")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("jaccard")), 6).as("jaccard"))
+    assert(sameRows(resolved, oneShot))
+    drop(lshTables(name): _*)
+  }
 }
