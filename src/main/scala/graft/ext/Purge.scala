@@ -275,14 +275,22 @@ object Purge {
     // delta −|purged ∩ ingested, not already purged| so the folded
     // sum(n_docs) stays the LIVE ingested count instead of silently
     // drifting to "ever ingested" after the first takedown.
-    // Membership is the resolved pre-batch assignment log (every
-    // ingested doc is assigned at its ingest batch); earlier purges'
-    // ids are excluded via the ledger MINUS this batch's own
-    // partition, so a crash-replay recomputes the same count.
+    // Membership witness: pre-batch cleaned ∪ currently-evicted —
+    // every ingested doc is one or the other (kept docs are cleaned
+    // at the batch they become kept; the rest resolve evicted).  The
+    // assignment log would MISS unpaired singletons (they are never
+    // assigned).  Earlier purges' ids are excluded via the ledger
+    // MINUS this batch's own partition, and both witnesses exclude
+    // this batch's own commits, so a crash-replay recomputes the
+    // same count.
     val priorLedger = s.table(st.purged)
       .where(col("batch_id") =!= lit(batchId)).select(col(idCol))
-    val nErased = idsD.join(priorLedger, Seq(idCol), "left_anti")
-      .join(aPrior, Seq(idCol), "left_semi").count()
+    val freshPurged = idsD.join(priorLedger, Seq(idCol), "left_anti")
+    val nErased = Hygiene
+      .cleanedIdsAmong(s, st, idCol, freshPurged, batchId, hint = false)
+      .unionByName(Hygiene.evictedAmong(s, st, idCol, freshPurged,
+        ltBatch = Some(batchId), hint = false))
+      .distinct().count()
     IndexLifecycle.writeBatchPartition(
       s.range(1).select(lit(-nErased).as("n_docs"),
         lit(Long.MinValue).as("max_id")),

@@ -247,6 +247,15 @@ class PurgeSpec extends AnyFunSuite {
       assert(resolved(st) == want2,
         "an ingest AFTER the erasing compaction must behave as if " +
           "the purged docs never existed")
+      // hstats semantics: the purge batch wrote a NEGATIVE n_docs
+      // delta, so the folded sum reads the LIVE ingested count (10
+      // ingested − 3 purged-and-ingested + 2 post-purge), not the
+      // cumulative-ever-ingested 12.  Never-ingested id 7 subtracts
+      // nothing.
+      val nLive = spark.table(st.hstats)
+        .agg(sum(col("n_docs"))).first().getLong(0)
+      assert(nLive == 9L,
+        s"hstats sum(n_docs) must be the live ingested count, got $nLive")
     } finally dropState(st)
   }
 

@@ -184,6 +184,33 @@ class StandalonePurgeSpec extends AnyFunSuite {
     drop(annTables(name) ++ annTables(twin): _*)
   }
 
+  test("ann purge: a retracted vector's stored cell row must not pair " +
+    "with an arriving batch (semanticPairsAgainstIndex mask)") {
+    val name = "sp_ann_c"
+    drop(annTables(name): _*)
+    val emb = annEmb.toDF("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(emb, "vec_id", "embedding", name,
+      nCentroids = 4, kmeansIters = 2)
+    assert(graft.ext.Purge.purgeAnnIndex(spark, name,
+      Seq(6L).toDF("vec_id"), "vec_id", 0L))
+    // vec 100+6 duplicates PURGED vec 6 exactly (same phase, tiny id
+    // offset term) — without the mask the stored row of 6 pairs with
+    // it at cosine ~1
+    val batch = Seq((106L, annEmb(6)._2)).toDF("vec_id", "embedding")
+    val pairs = AnnIndex.semanticPairsAgainstIndex(batch, "vec_id",
+      "embedding", name, minCos = 0.9)
+    val withPurged = pairs
+      .where(col("id_a") === 6L || col("id_b") === 6L).count()
+    assert(withPurged == 0L,
+      "the ledger must mask the purged vector's still-stored cell row")
+    assert(pairs.where(col("id_a") === 0L || col("id_b") === 0L)
+        .count() > 0L,
+      "fixture: the batch must still pair with LIVE same-phase vectors " +
+        "(0, 12, ... share vec 6's phase) — otherwise this test proves " +
+        "nothing about the mask specifically")
+    drop(annTables(name): _*)
+  }
+
   // ----------------------------------------------------------------- LSH
 
   private def lshTables(name: String): Seq[String] =
