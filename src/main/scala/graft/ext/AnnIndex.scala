@@ -99,6 +99,9 @@ object AnnIndex {
     recoverAnnCompaction(spark, name)
     val cells = s"${name}_cells"
     if (!spark.catalog.tableExists(cells)) return
+    // an unmarked ledger partition = a crashed purge — replay it
+    // before erasing (the shared orphan-ledger guard)
+    IndexLifecycle.requireLedgerCommitted(spark, name)
     val committed = IndexLifecycle.committedIds(spark, name)
     // the ERASING leg: purged vectors' rows (probe-masked since their
     // [[graft.ext.Purge.purgeAnnIndex]]) are physically dropped from

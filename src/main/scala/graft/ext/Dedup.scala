@@ -292,9 +292,18 @@ object Dedup {
     * Write once, then per batch: [[lshPairsAgainstIndex]] +
     * [[appendToLshIndex]]. */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
-      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit =
+      name: String, n: Int = 3, bands: Int = 8, buckets: Int = 16): Unit = {
+    // a REBUILD carries no purge debt and no marked batches: a stale
+    // `_purged` ledger from a prior instance under the same name would
+    // silently mask fresh ingests out of candidate generation (and the
+    // next compaction would erase them), and a stale `_batches` marker
+    // would no-op their ingest entirely — the same drops
+    // [[Retrieval.writeBm25Index]] / [[AnnIndex.writeAnnIndex]] do
+    Seq(IndexLifecycle.purgedTable(name), s"${name}_batches").foreach(t =>
+      graft.sources.Tables.dropWithLocation(df.sparkSession, t))
     writeIndexTables(df, idCol, textCol, name, n, bands, buckets,
       bootstrapBatchId, initial = true)
+  }
 
   /** Append a processed batch to the index (same bucket spec, so the
     * co-location contract survives).  Call AFTER
@@ -698,6 +707,9 @@ object Dedup {
     recoverLshCompaction(spark, name)
     val tbls = Seq(s"${name}_shingles", s"${name}_bands")
     if (!tbls.forall(spark.catalog.tableExists)) return
+    // an unmarked ledger partition = a crashed purge — replay it
+    // before erasing (the shared orphan-ledger guard)
+    IndexLifecycle.requireLedgerCommitted(spark, name)
     val committed: Set[Long] = committedBatchIds(spark, name)
     // the family's OWN purge ledger ([[graft.ext.Purge.purgeLshIndex]])
     // joins the caller-supplied drop set — either alone erases
@@ -783,7 +795,10 @@ object Dedup {
       }
     }
     // TxLog-committed pair outputs: same both-endpoint erase, through
-    // the log's own staged fold (lease-guarded, crash-safe)
+    // the log's own staged fold (lease-guarded, crash-safe).  When a
+    // drop set exists the fold is FORCED: an erase must rewrite even
+    // a one-batch or base-only log (the size-gated default would
+    // silently keep the purged rows)
     for (d <- pairsTxDirs
          if graft.sources.TxLog.committedDirs(spark, d).nonEmpty)
       graft.sources.TxLog.compactWith(spark, d, (df, _) =>
@@ -793,7 +808,7 @@ object Dedup {
           .join(broadcast(p.select(col("id").as("id_b"))),
             Seq("id_b"), "left_anti")
           .select(df.columns.map(col).toIndexedSeq: _*)),
-        graceMs = graceMs)
+        graceMs = graceMs, force = allDrop.nonEmpty)
     foldBatchesTable(spark, name)
     // the family ledger folds to empty LAST — every erase above
     // (index tables + pair tables + pair logs) has landed

@@ -867,6 +867,12 @@ object Hygiene {
         s"compactHygiene: batch $m is committed in a sub-log but not " +
           "step-marked — an in-flight batch must replay through " +
           "hygieneStep before maintenance runs"))
+    // the sub-log check above misses one crash window — a purgeDocs
+    // that died after its layer-0 ledger write but before its first
+    // TxLog commit — so also refuse to erase against an unmarked
+    // ledger partition (the shared orphan-ledger guard; recovery is
+    // replaying the purge, same as every other mid-purge crash)
+    IndexLifecycle.requireLedgerCommitted(s, st.name)
     // ---- the ERASING part of the fold: every store anti-joins the
     // purge ledger, so rows of purged docs are PHYSICALLY dropped
     // from the folded bases (until now they were only retracted —
@@ -887,18 +893,25 @@ object Hygiene {
       purgedIds.fold(df)(p => df.join(
         broadcast(p.select(col(idCol).as(c))), Seq(c), "left_anti"))
     import graft.ext.Components
+    // erase-carrying folds are FORCED when a purge is pending: a
+    // one-batch or base-only log must still rewrite, or its purged
+    // rows would survive the "erasing" compaction
+    val forceErase = purgedIds.nonEmpty
     TxLog.compactWith(s, st.pairsDir,
-      (df, _) => erase(erase(df, "id_a"), "id_b"), graceMs = graceMs)
+      (df, _) => erase(erase(df, "id_a"), "id_b"), graceMs = graceMs,
+      force = forceErase)
     TxLog.compactWith(s, st.assignDir, (df, c) =>
       erase(Components.resolveAssignments(df, idCol, "batch"), idCol)
-        .withColumn("batch", lit(c)), graceMs = graceMs)
+        .withColumn("batch", lit(c)), graceMs = graceMs,
+      force = forceErase)
     TxLog.compactWith(s, st.survDir, (df, c) =>
       Components.resolveSurvivors(df, "batch").withColumn("batch", lit(c)),
-      graceMs = graceMs)
+      graceMs = graceMs, force = forceErase)
     TxLog.compactWith(s, st.emitDir, (df, c) =>
       erase(df.groupBy(col(idCol))
         .agg(max_by(col("kept"), col("batch")).as("kept")), idCol)
-        .withColumn("batch", lit(c)), graceMs = graceMs)
+        .withColumn("batch", lit(c)), graceMs = graceMs,
+      force = forceErase)
     TxLog.compactWith(s, st.cleanDir, (df, c) =>
       erase(df.groupBy(col(idCol))
         .agg(max_by(struct(col("clean_text"), col("n_kept"),
@@ -906,7 +919,8 @@ object Hygiene {
         .select(col(idCol), col("__r.clean_text").as("clean_text"),
           col("__r.n_kept").as("n_kept"), col("__r.n_removed").as("n_removed")),
         idCol)
-        .withColumn("batch", lit(c)), graceMs = graceMs)
+        .withColumn("batch", lit(c)), graceMs = graceMs,
+      force = forceErase)
     TxLog.compactWith(s, st.flagDir, (df, c) => {
       // every batch carries a null-id sentinel row, so max(batch) is
       // the LATEST batch even when its flag set is empty — the fold
@@ -918,7 +932,7 @@ object Hygiene {
       val m = df.agg(coalesce(max(col("batch")), lit(0L))).first().getLong(0)
       erase(df.where(col("batch") === lit(m)), idCol)
         .withColumn("batch", lit(c))
-    }, graceMs = graceMs)
+    }, graceMs = graceMs, force = forceErase)
     val committed = IndexLifecycle.committedIds(s, st.name)
     if (s.catalog.tableExists(st.pk))
       IndexLifecycle.swapFold(s, st.pk, committed, (df, base) =>

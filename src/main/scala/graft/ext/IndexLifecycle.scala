@@ -154,11 +154,51 @@ object IndexLifecycle {
     * purged (no ledger table), so un-purged deployments keep their
     * exact probe plans.  The frame is bounded by takedown churn
     * between compactions (and EMPTY — one zero-row base partition —
-    * right after an erasing compaction), so probes broadcast it. */
+    * right after an erasing compaction), so probes broadcast it.
+    *
+    * COMMITTED partitions only (marked batches + negative system
+    * partitions): an unmarked ledger partition belongs to a purge
+    * that crashed before its marker, whose derived retraction (BM25's
+    * signed vocab/stats deltas, the hygiene witness counts) never
+    * landed — masking or erasing those ids now would serve a state
+    * matching neither pre- nor post-purge, and for BM25 the erase
+    * would wedge the replay forever (the postings its membership
+    * require() needs would already be gone).  Until the purge is
+    * REPLAYED, probes serve the exact pre-purge corpus — consistent,
+    * and the documented recovery. */
   def purgedIds(spark: SparkSession, name: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(purgedTable(name)))
-      Some(spark.table(purgedTable(name)).select(col("id")).distinct())
-    else None
+    if (spark.catalog.tableExists(purgedTable(name))) {
+      val committed = committedIds(spark, name)
+      Some(spark.table(purgedTable(name))
+        .where(col("batch_id") < 0L ||
+          col("batch_id").isin(committed.toSeq: _*))
+        .select(col("id")).distinct())
+    } else None
+
+  /** Fail loudly when the family's purge ledger holds partitions of
+    * UNMARKED batches — a purge crashed between its ledger write and
+    * its marker.  Every ERASING compaction calls this first: folding
+    * past an orphan would either silently skip its ids (the operator
+    * believes the takedown is done) or — if the ids were erased —
+    * physically drop rows whose derived retraction never landed,
+    * permanently corrupting BM25's N/avgdl/df and wedging the replay
+    * (its membership require() would find the postings already gone).
+    * The recovery is to REPLAY the purge with the same batch id, then
+    * re-run the compaction.  One partition-pruned metadata scan of
+    * the churn-sized ledger. */
+  def requireLedgerCommitted(spark: SparkSession, name: String): Unit =
+    if (spark.catalog.tableExists(purgedTable(name))) {
+      val committed = committedIds(spark, name)
+      val orphans = spark.table(purgedTable(name)).select("batch_id")
+        .where(col("batch_id") >= 0L).distinct()
+        .collect().map(_.getLong(0)).filterNot(committed).sorted
+      require(orphans.isEmpty,
+        s"$name: purge ledger holds partition(s) of unmarked batch(es) " +
+          s"${orphans.mkString(", ")} — a purge crashed before its " +
+          "marker landed.  Replay the purge (purge*Index / purgeDocs " +
+          "with the same batch id) before compacting; erasing now " +
+          "would drop rows whose derived retraction never landed")
+    }
 
   /** Fold the family's ledger to an empty base — the LAST step of an
     * erasing compaction, after every store's erase has landed: a

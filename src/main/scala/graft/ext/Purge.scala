@@ -283,8 +283,13 @@ object Purge {
     // MINUS this batch's own partition, and both witnesses exclude
     // this batch's own commits, so a crash-replay recomputes the
     // same count.
+    // marked partitions only — under the contiguity contract an
+    // unmarked partition can only be THIS batch's own (the replay
+    // case), but the invariant is cheap to state explicitly
     val priorLedger = s.table(st.purged)
-      .where(col("batch_id") =!= lit(batchId)).select(col(idCol))
+      .where(col("batch_id") =!= lit(batchId) &&
+        (col("batch_id") < 0L || col("batch_id").isin(marked.toSeq: _*)))
+      .select(col(idCol))
     val freshPurged = idsD.join(priorLedger, Seq(idCol), "left_anti")
     val nErased = Hygiene
       .cleanedIdsAmong(s, st, idCol, freshPurged, batchId, hint = false)
@@ -450,10 +455,11 @@ object Purge {
     * checks the ledger itself folded to empty. */
   def purgedOccurrences(s: SparkSession, st: HygieneState, ids: DataFrame,
       idCol: String): Seq[(String, Long)] = {
-    val p = ids.select(col(idCol)).distinct().localCheckpoint()
+    val p = certSide(ids.select(col(idCol)).distinct().localCheckpoint(),
+      "purgedOccurrences")
     def inCol(df: DataFrame, c: String): Long =
       df.select(col(c).as(idCol)).where(col(idCol).isNotNull)
-        .join(broadcast(p), Seq(idCol), "left_semi").count()
+        .join(p, Seq(idCol), "left_semi").count()
     def logOr(dir: String): Option[DataFrame] =
       if (TxLog.committedDirs(s, dir).isEmpty) None
       else Some(TxLog.readCommitted(s, dir))
@@ -540,14 +546,20 @@ object Purge {
     refreshFamily(s, Seq(s"${name}_postings", s"${name}_vocab",
       s"${name}_stats", s"${name}_batches",
       IndexLifecycle.purgedTable(name)))
-    if (IndexLifecycle.committedIds(s, name).contains(batchId)) return false
+    val committed = IndexLifecycle.committedIds(s, name)
+    if (committed.contains(batchId)) return false
     val ledgerT = IndexLifecycle.purgedTable(name)
     // ids whose deltas landed with an EARLIER purge batch — excluded
     // from this batch's deltas; this batch's own ledger partition is
-    // excluded so a crash-replay recomputes the identical frame
+    // excluded so a crash-replay recomputes the identical frame, and
+    // UNMARKED partitions (a different purge that crashed before its
+    // marker) are excluded too: their deltas never landed, so a new
+    // purge covering the same ids must land them now
     val prior =
       if (s.catalog.tableExists(ledgerT))
-        s.table(ledgerT).where(col("batch_id") =!= lit(batchId))
+        s.table(ledgerT).where(col("batch_id") =!= lit(batchId) &&
+            (col("batch_id") < 0L ||
+              col("batch_id").isin(committed.toSeq: _*)))
           .select(col("id").as(idCol))
       else docs.select(col(idCol)).limit(0)
     val fresh = docs.select(col(idCol), col(textCol))
@@ -675,13 +687,15 @@ object Purge {
           s"${name}_bands" -> Seq("id")) ++
         pairsTables.map(_ -> Seq("id_a", "id_b")) :+
         (IndexLifecycle.purgedTable(name) -> Seq("id")))
-    val p = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val p = certSide(
+      ids.select(col(idCol).as("id")).distinct().localCheckpoint(),
+      "lshPurgedOccurrences")
     val txOcc = for (d <- pairsTxDirs; c <- Seq("id_a", "id_b")) yield {
       val n =
         if (graft.sources.TxLog.committedDirs(s, d).isEmpty) 0L
         else graft.sources.TxLog.readCommitted(s, d)
           .select(col(c).as("id")).where(col("id").isNotNull)
-          .join(broadcast(p), Seq("id"), "left_semi").count()
+          .join(p, Seq("id"), "left_semi").count()
       (s"$d.$c", n)
     }
     tableOcc ++ txOcc
@@ -698,17 +712,46 @@ object Purge {
       lshPurgedOccurrences(s, name, ids, idCol, pairsTables, pairsTxDirs),
       "Dedup.compactLshIndex", s"purgeLshIndex($name)")
 
+  /** Broadcast ceiling (rows) for the certificate's takedown-set
+    * joins.  Takedowns are churn-sized by contract, so the broadcast
+    * is the right default — but the certificate is the one place a
+    * deployment might hand a multi-year cumulative ledger, so unlike
+    * the other ledger joins it does not ASSUME the contract: above
+    * the ceiling the semi-joins run distributed (one logged note)
+    * instead of OOMing the driver — the same ceiling-or-fallback
+    * dispatch as [[Hygiene.DefaultMaxDriverRepairIds]] and
+    * [[graft.ext.Sampling]]'s pick joins.  4M longs ≈ tens of MB
+    * boxed: comfortably under driver budgets, far above any takedown
+    * batch. */
+  val MaxBroadcastCertIds: Long = 4000000L
+
+  /** The certificate's takedown side: broadcast when under
+    * [[MaxBroadcastCertIds]] (one cheap count of the checkpointed
+    * set), plain distributed semi-join above it. */
+  private def certSide(p: DataFrame, what: String): DataFrame = {
+    val n = p.limit((MaxBroadcastCertIds + 1L).toInt).count()
+    if (n <= MaxBroadcastCertIds) broadcast(p)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$what: takedown set exceeds $MaxBroadcastCertIds rows — " +
+          "certificate joins fall back to distributed semi-joins")
+      p
+    }
+  }
+
   /** Count `ids` occurrences per (table, column) — absent tables
     * count 0 (a family variant that never created them). */
   private def familyOccurrences(s: SparkSession, ids: DataFrame,
       idCol: String, stores: Seq[(String, Seq[String])]): Seq[(String, Long)] = {
-    val p = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val p = certSide(
+      ids.select(col(idCol).as("id")).distinct().localCheckpoint(),
+      "familyOccurrences")
     for ((tbl, cols) <- stores; c <- cols) yield {
       val n =
         if (!s.catalog.tableExists(tbl)) 0L
         else s.table(tbl).select(col(c).as("id"))
           .where(col("id").isNotNull)
-          .join(broadcast(p), Seq("id"), "left_semi").count()
+          .join(p, Seq("id"), "left_semi").count()
       (s"$tbl.$c", n)
     }
   }

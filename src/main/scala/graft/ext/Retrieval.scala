@@ -237,6 +237,10 @@ object Retrieval {
     val vocab = s"${name}_vocab"
     val stats = s"${name}_stats"
     if (!Seq(post, vocab, stats).forall(spark.catalog.tableExists)) return
+    // a ledger partition of an UNMARKED batch = a crashed purge whose
+    // signed deltas never landed — erasing past it would permanently
+    // corrupt N/avgdl/df and wedge the replay; fail loudly instead
+    IndexLifecycle.requireLedgerCommitted(spark, name)
     val committed = IndexLifecycle.committedIds(spark, name)
     // the ERASING leg: purged docs' posting rows (until now only
     // masked at probe time) are physically dropped from the folded

@@ -3732,22 +3732,26 @@ object PipelineQueries {
 
   // ---- Q127: takedown purge of a STANDALONE LSH dedup index -------------
   // The near-dup-side member (the q72/q73/q80 deployment shape), with
-  // the pair OUTPUT covered too: ingest the corpus as three
-  // marker-gated batches (empty bootstrap, so the pairs table
-  // accumulates every within-corpus pair), purge every
+  // BOTH pair-output forms covered: ingest the corpus as three
+  // marker-gated batches (empty bootstrap, so the pair outputs
+  // accumulate every within-corpus pair) — batches 0 and 3 through
+  // the pairs-TABLE form (ingestBatchIntoIndex), batch 1 through the
+  // exactly-once TxLog form (ingestBatchIntoIndexTx) — purge every
   // doc_id % 17 == 3 among the first two thirds (replay require()d a
   // no-op), then ingest the THIRD batch onto the retracted index —
   // the stored signatures of purged docs are still physically present
   // and the probe's ledger mask must keep them out of the new batch's
-  // candidates.  Erasing compaction (index tables + the pairs table,
-  // both endpoints) + certificate, then emit the resolved pair set.
-  // Oracle: the one-shot full-corpus LSH chain (SHARED — signatures
-  // are per-document, so removing docs never changes another doc's
-  // bands) restricted to pairs with BOTH endpoints live.
+  // candidates.  Erasing compaction (index tables + the pairs table +
+  // the pairs LOG, both endpoints each) + certificate over all of
+  // them, then emit the resolved pair set (table ∪ log).  Oracle: the
+  // one-shot full-corpus LSH chain (SHARED — signatures are
+  // per-document, so removing docs never changes another doc's bands)
+  // restricted to pairs with BOTH endpoints live.
   def q127(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.Purge
     val name = "q127_lsh_prg"
     val pairsT = "q127_lsh_pairs"
+    val pairsDir = scratchDir("q127_lsh_pairs_tx")
     Seq(s"${name}_shingles", s"${name}_bands", s"${name}_batches",
       s"${name}_purged", pairsT).foreach(t =>
       graft.sources.Tables.dropWithLocation(s, t))
@@ -3759,8 +3763,12 @@ object PipelineQueries {
     def ingest(n: Long, df: DataFrame): Boolean =
       Dedup.ingestBatchIntoIndex(df, n, "doc_id", "text", name, pairsT)
     require(ingest(0L, docs.where(col("doc_id") <= c1)), "batch 0 lands")
-    require(ingest(1L, docs.where(col("doc_id") > c1 && col("doc_id") <= c2)),
-      "batch 1 lands")
+    // batch 1 through the TxLog pair form: its pairs commit to the
+    // manifest log instead of the table, so the erasing compaction's
+    // pairsTxDirs leg (and its certificate) is on the oracle path
+    require(Dedup.ingestBatchIntoIndexTx(
+      docs.where(col("doc_id") > c1 && col("doc_id") <= c2), 1L,
+      "doc_id", "text", name, pairsDir), "batch 1 lands (Tx form)")
     val purged = docs
       .where(col("doc_id") % 17 === 3 && col("doc_id") <= c2)
       .select(col("doc_id")).localCheckpoint()
@@ -3770,9 +3778,13 @@ object PipelineQueries {
       "a purge replay must no-op at the marker")
     // post-purge, pre-erasure ingest: the ledger mask is load-bearing
     require(ingest(3L, docs.where(col("doc_id") > c2)), "batch 3 lands")
-    Dedup.compactLshIndex(s, name, pairsTables = Seq(pairsT))
-    Purge.assertLshPurged(s, name, purged, "doc_id", Seq(pairsT))
-    s.table(pairsT)
+    Dedup.compactLshIndex(s, name, pairsTables = Seq(pairsT),
+      pairsTxDirs = Seq(pairsDir), graceMs = 0L)
+    Purge.assertLshPurged(s, name, purged, "doc_id", Seq(pairsT),
+      Seq(pairsDir))
+    s.table(pairsT).select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(graft.sources.TxLog.readCommitted(s, pairsDir)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(max(col("jaccard")), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -3785,6 +3797,78 @@ object PipelineQueries {
        |WHERE NOT (id_a % 17 = 3 AND id_a <= c.cid)
        |  AND NOT (id_b % 17 = 3 AND id_b <= c.cid)
        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
+  // ---- Q128: purge-aware TRAINING-SHARD repair ---------------------------
+  // Training shards (q76/q94's writeShards output) hold full document
+  // text and are what a training run actually reads — the
+  // right-to-erasure boundary must cover them or a takedown means
+  // "re-shard everything".  Land the corpus as 256 shards, purge
+  // doc_id % 131 == 3, repair (Tables.repairShards): ONLY the shards
+  // h60(id) % 256 selects are rewritten — require()d by a
+  // (length, mtime) witness over every file of every untouched shard
+  // — and the result must be row-identical to a FRESH reshard of
+  // corpus-minus-purged, which is exactly what the oracle computes.
+  // The per-shard ord_sig pins the recomputed dense positions (any
+  // transposition changes it), sum_len pins the text payload.
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 256
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val out = scratchDir("q128_shards")
+    graft.sources.Tables.writeShards(
+      Sampling.shuffleShard(docs, "doc_id", nShards), out)
+    // (relative path -> (bytes, mtime)) witness of every landed file
+    def fileState(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(out)
+      val walked = java.nio.file.Files.walk(root)
+      try walked.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (root.relativize(f).toString,
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)))
+        .toMap
+      finally walked.close()
+    }
+    val before = fileState()
+    val purged = docs.where(col("doc_id") % 131 === 3)
+      .select(col("doc_id")).localCheckpoint()
+    val affected = graft.sources.Tables
+      .repairShards(s, out, purged, "doc_id", nShards).toSet
+    require(affected.nonEmpty, "q128: the purge set must touch shards")
+    val untouched = (0L until nShards.toLong).toSet -- affected
+    require(untouched.nonEmpty,
+      "q128: fixture must leave untouched shards, or the witness is " +
+        "vacuous — shrink the purge set or grow nShards")
+    val after = fileState()
+    def shardOf(rel: String): Option[Long] = {
+      val m = "shard=(\\d+)/".r.findFirstMatchIn(rel)
+      m.map(_.group(1).toLong)
+    }
+    val dirty = before.keys.filter(f => shardOf(f).exists(untouched))
+      .filter(f => after.get(f) != before.get(f))
+    require(dirty.isEmpty,
+      s"q128: repair rewrote file(s) of untouched shards: " +
+        s"${dirty.take(5).mkString(", ")} — the repair must leave " +
+        "unaffected shards byte-identical")
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("pos") * col("doc_id")).as("ord_sig"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+      .orderBy("shard")
+  }
+  val q128Sql: String =
+    s"""WITH h AS (SELECT doc_id, length(text) AS tl,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hv
+       |  FROM documents WHERE NOT (doc_id % 131 = 3)),
+       |s AS (SELECT doc_id, tl, hv % 256 AS shard,
+       |    row_number() OVER (PARTITION BY hv % 256 ORDER BY hv, doc_id)
+       |      AS pos
+       |  FROM h)
+       |SELECT shard, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(pos * doc_id) AS BIGINT) AS ord_sig,
+       |  CAST(sum(tl) AS BIGINT) AS sum_len
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
@@ -4618,6 +4702,7 @@ object PipelineQueries {
     "q125_bm25_purge" -> (q125 _),
     "q126_ann_purge" -> (q126 _),
     "q127_lsh_purge" -> (q127 _),
+    "q128_shard_purge_repair" -> (q128 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4744,6 +4829,7 @@ object PipelineQueries {
     "q125_bm25_purge" -> q125Sql,
     "q126_ann_purge" -> q126Sql,
     "q127_lsh_purge" -> q127Sql,
+    "q128_shard_purge_repair" -> q128Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

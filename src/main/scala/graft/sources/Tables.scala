@@ -254,6 +254,110 @@ object Tables {
       .sortWithinPartitions(col(shardCol), col(posCol))
       .write.mode(mode).partitionBy(shardCol).parquet(path)
 
+  /** PURGE-AWARE repair of a landed [[writeShards]] directory: rewrite
+    * ONLY the shards that can hold purged documents, leaving every
+    * other shard file byte-identical on disk.  Training shards are the
+    * artifact a training run actually reads — and they hold full
+    * document text, so a right-to-erasure takedown is incomplete until
+    * they are repaired; without this, "a takedown landed" would mean
+    * re-sharding the whole corpus.
+    *
+    * The affected set is computable from the purged ids ALONE (no
+    * corpus scan): [[graft.ext.Sampling.shuffleShard]] assigns
+    * `shard = h60(id) % nShards`, so at most min(|purged|, nShards)
+    * shards are touched.  Each affected shard is read back
+    * (partition-pruned scan), anti-joined against the purged ids, and
+    * its dense `pos` is recomputed by the SAME (hash, id) ordering —
+    * so the repaired directory is row-identical to a fresh
+    * shuffleShard+writeShards of corpus-minus-purged (q128 gates
+    * exactly that, plus the untouched-files witness).  In-shard `pos`
+    * shifts are confined to rows after a purged row's position, and
+    * only inside affected shards.
+    *
+    * Scale shape: one partition-pruned read + one dynamic-overwrite
+    * write of O(affected shards) data — at 100 TB / 100k shards a
+    * churn-sized takedown rewrites ~|purged| shards of ~1 GB each,
+    * not the corpus.  The purged set broadcasts (takedown-churn-sized,
+    * the same contract as every purge-ledger join); the affected-id
+    * collect is bounded by min(|purged|, nShards).  A shard whose
+    * every row is purged is DELETED (dynamic overwrite only replaces
+    * partitions present in the written data, so the empty shard's
+    * stale directory is removed explicitly — to a reader, absent and
+    * empty are the same zero rows).
+    *
+    * Run it AFTER the corpus purge, against the ids the purge ledger
+    * recorded (SCALE.md's takedown runbook orders the steps).
+    * Idempotent: a re-run rewrites the same shards to the same rows.
+    * Returns the affected shard ids (sorted).
+    *
+    * @param purged one column (`idCol`) of purged doc ids — the same
+    *   frame handed to the purge; must be the FULL takedown set for
+    *   this repair (a partial set repairs partially)
+    * @param nShards the shard count the directory was written with —
+    *   the repair recomputes `h60(id) % nShards`, so a wrong count
+    *   repairs the wrong shards (require()d against the directory's
+    *   observed shard ids as far as observable: affected ids must be
+    *   a subset of [0, nShards)) */
+  def repairShards(spark: SparkSession, path: String, purged: DataFrame,
+      idCol: String, nShards: Int, shardCol: String = "shard",
+      posCol: String = "pos"): Seq[Long] = {
+    import graft.functions.ColFns.h60
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val p = purged.select(col(idCol)).distinct().localCheckpoint()
+    // affected shards from the ledger alone — bounded by
+    // min(|purged|, nShards), a driver-sized list by construction
+    val affected = p
+      .select((h60(col(idCol).cast("string")) % nShards).as("__s"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) return Nil
+    // partition-pruned: only the affected shard directories are read
+    val slice = spark.read.parquet(path)
+      .where(col(shardCol).isin(affected: _*))
+    val live = slice.join(broadcast(p), Seq(idCol), "left_anti")
+    val hvCol = s"__${posCol}_hv"
+    val repaired = live
+      .withColumn(hvCol, h60(col(idCol).cast("string")))
+      .withColumn(posCol, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(shardCol))
+          .orderBy(col(hvCol).asc, col(idCol).asc)))
+      .drop(hvCol)
+      .select(slice.columns.map(col).toIndexedSeq: _*)
+    // the surviving-shard set, collected BEFORE the overwrite (the
+    // lazy plan reads the pre-repair files, which the write replaces)
+    // and from the LIVE frame, not a path read-back (a fully-purged
+    // shard's stale directory would report its own rows as live):
+    // one partition-pruned slice + the broadcast anti-join, cheap at
+    // repair cadence
+    val survivors = live
+      .select(col(shardCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // dynamic partition overwrite: ONLY the shard partitions present
+    // in `repaired` are replaced; every other shard's files are never
+    // opened, let alone rewritten (the byte-identical witness).  The
+    // session conf is mutated set/restore like every dynamic write
+    // here — per-write options are not honored on all write paths.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try repaired.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // a fully-purged shard writes no partition, so its stale directory
+    // survives the dynamic overwrite — delete it explicitly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (s <- affected if !survivors(s)) {
+      val d = new org.apache.hadoop.fs.Path(path, s"$shardCol=$s")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    affected
+  }
+
   /** Compact a parquet directory's many small files into ~`targetMB`
     * files — the small-file killer for training readers (a 100 TB
     * corpus accreted in per-batch appends ends up as millions of

@@ -262,28 +262,45 @@ object TxLog {
     }
 
   /** Parse a marker file name: Right(batchId) for writer markers,
-    * Left(maxFoldedId) for compaction markers, None for anything else
-    * (tmp dir, stray files). */
-  private def parseMarker(name: String): Option[Either[Long, Long]] =
+    * Left((maxFoldedId, generation)) for compaction markers, None for
+    * anything else (tmp dir, stray files).  The generation suffix
+    * (`c7g2`) exists for REFOLDS of an already-compacted base — an
+    * erasing fold over a log with no new batches keeps the same
+    * ceiling, and marker publishes are create-only, so the refold
+    * needs a fresh name; a plain `c7` is generation 0. */
+  private def parseMarker(name: String): Option[Either[(Long, Long), Long]] =
     if (name.forall(_.isDigit) && name.nonEmpty) Some(Right(name.toLong))
-    else if (name.length > 1 && name.head == 'c' && name.tail.forall(_.isDigit))
-      Some(Left(name.tail.toLong))
-    else None
+    else if (name.length > 1 && name.head == 'c') {
+      val body = name.tail
+      val (c, g) = body.indexOf('g') match {
+        case -1 => (body, "0")
+        case i  => (body.substring(0, i), body.substring(i + 1))
+      }
+      if (c.nonEmpty && c.forall(_.isDigit) && g.nonEmpty && g.forall(_.isDigit))
+        Some(Left((c.toLong, g.toLong)))
+      else None
+    } else None
 
-  /** (live writer ids, newest compaction id if any).  Live = writer
-    * markers above the newest compaction id; everything at or below
-    * it (and older compaction markers) is stale — already folded,
-    * awaiting [[vacuum]].  Zero-length markers are half-published
-    * debris from pre-rename-protocol writers: uncommitted. */
-  private def liveMarkers(f: FileSystem, root: Path): (Seq[Long], Option[Long]) = {
+  /** Marker file name for a compaction (ceiling, generation). */
+  private def cName(cg: (Long, Long)): String =
+    if (cg._2 == 0L) s"c${cg._1}" else s"c${cg._1}g${cg._2}"
+
+  /** (live writer ids, newest compaction (ceiling, generation) if
+    * any).  Live = writer markers above the newest compaction's
+    * ceiling; everything at or below it (and older compaction
+    * markers, including older generations at the same ceiling) is
+    * stale — already folded, awaiting [[vacuum]].  Zero-length
+    * markers are half-published debris from pre-rename-protocol
+    * writers: uncommitted. */
+  private def liveMarkers(f: FileSystem, root: Path): (Seq[Long], Option[(Long, Long)]) = {
     val commits = commitsPath(root)
     if (!f.exists(commits)) return (Seq.empty, None)
     val named = f.listStatus(commits).toSeq
       .filter(st => st.isFile && st.getLen > 0)
       .flatMap(st => parseMarker(st.getPath.getName))
-    val compactId = named.collect { case Left(n) => n }.sorted.lastOption
-    val floor = compactId.getOrElse(-1L)
-    (named.collect { case Right(id) if id > floor => id }.sorted, compactId)
+    val compact = named.collect { case Left(cg) => cg }.sorted.lastOption
+    val floor = compact.map(_._1).getOrElse(-1L)
+    (named.collect { case Right(id) if id > floor => id }.sorted, compact)
   }
 
   /** True if `batchId`'s rows are in the log — via its own marker or
@@ -303,7 +320,7 @@ object TxLog {
     * id ≤ this is committed (its rows live in the folded batch). */
   def lastCompactedId(spark: SparkSession, dir: String): Option[Long] = {
     val (f, root) = fs(spark, dir)
-    liveMarkers(f, root)._2
+    liveMarkers(f, root)._2.map(_._1)
   }
 
   /** Stage `df` and atomically publish it as `batchId`.  Returns true
@@ -465,7 +482,7 @@ object TxLog {
   def committedDirs(spark: SparkSession, dir: String): Seq[String] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
-    val names = compactId.map(n => s"c$n").toSeq ++ ids.map(_.toString)
+    val names = compactId.map(cName).toSeq ++ ids.map(_.toString)
     def readBody(n: String): String =
       readSmall(f, new Path(commitsPath(root), n))
     val bodies =
@@ -530,37 +547,52 @@ object TxLog {
     * column readers resolve on).  Replay safety is unchanged: the
     * folded marker's ceiling still answers [[isCommitted]] for every
     * folded batch id, so a replayed pre-compaction writer stays a
-    * no-op. */
+    * no-op.
+    *
+    * `force` folds even a SINGLE live marker (one batch, or just the
+    * compacted base).  A size-gated fold is pure overhead there — but
+    * an ERASING fold (a purge's anti-join) must rewrite no matter how
+    * few markers exist, or a one-batch log would silently keep its
+    * purged rows.  A base-only refold keeps its ceiling and publishes
+    * the next marker GENERATION (`c7` → `c7g1` → `c7g2`…), since
+    * marker publishes are create-only. */
   def compactWith(spark: SparkSession, dir: String,
       fold: (DataFrame, Long) => DataFrame, keepRecent: Int = 0,
-      graceMs: Long = defaultVacuumGraceMs): Option[Long] = {
+      graceMs: Long = defaultVacuumGraceMs,
+      force: Boolean = false): Option[Long] = {
     require(keepRecent >= 0, s"keepRecent must be >= 0, got $keepRecent")
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val token = acquireLease(spark, dir, s"compact(keepRecent=$keepRecent)")
-    try compactLocked(spark, dir, fold, keepRecent, graceMs)
+    try compactLocked(spark, dir, fold, keepRecent, graceMs, force)
     finally releaseLease(spark, dir, token)
   }
 
   private def compactLocked(spark: SparkSession, dir: String,
       fold: (DataFrame, Long) => DataFrame, keepRecent: Int,
-      graceMs: Long): Option[Long] = {
+      graceMs: Long, force: Boolean): Option[Long] = {
     val (f, root) = fs(spark, dir)
     val (ids, compactId) = liveMarkers(f, root)
     val foldIds = ids.dropRight(keepRecent)
-    val foldNames = compactId.map(n => s"c$n").toSeq ++ foldIds.map(_.toString)
-    if (foldNames.size < 2) return None
-    val ceiling = foldIds.lastOption.getOrElse(compactId.get)
+    val foldNames = compactId.map(cName).toSeq ++ foldIds.map(_.toString)
+    if (foldNames.size < (if (force) 1 else 2)) return None
+    val ceiling = foldIds.lastOption.getOrElse(compactId.get._1)
+    // base-only refold (erasing fold, no new batches): same ceiling,
+    // next generation — a fresh name for the create-only publish.
+    // Any real fold has ceiling > the old floor, so generation 0's
+    // plain name is free.
+    val gen = if (foldIds.nonEmpty) 0L else compactId.get._2 + 1L
+    val marker = cName((ceiling, gen))
     val dirs = foldNames.map { n =>
       new Path(root, s"_staged/${readSmall(f, new Path(commitsPath(root), n))}").toString
     }
-    val staged = s"c$ceiling-${java.util.UUID.randomUUID()}"
+    val staged = s"$marker-${java.util.UUID.randomUUID()}"
     fold(spark.read.parquet(dirs: _*), ceiling).write.mode("overwrite")
       .parquet(new Path(root, s"_staged/$staged").toString)
-    require(publishMarker(spark, f, root, s"c$ceiling", staged),
-      s"TxLog.compact: marker c$ceiling already exists in $dir — " +
+    require(publishMarker(spark, f, root, marker, staged),
+      s"TxLog.compact: marker $marker already exists in $dir — " +
         "a concurrent compactor is active; compaction requires the writer role")
-    // stale markers are invisible to readers already (name floor);
-    // deleting them + orphaned dirs is pure cleanup
+    // stale markers are invisible to readers already (name floor /
+    // newer generation); deleting them + orphaned dirs is pure cleanup
     foldNames.foreach(n => f.delete(new Path(commitsPath(root), n), false))
     vacuumLocked(spark, dir, graceMs)
     Some(ceiling)
@@ -607,7 +639,7 @@ object TxLog {
     val (ids, compactId) = liveMarkers(f, root)
     val commits = commitsPath(root)
     if (f.exists(commits)) {
-      val live = ids.map(_.toString).toSet ++ compactId.map(n => s"c$n")
+      val live = ids.map(_.toString).toSet ++ compactId.map(cName)
       f.listStatus(commits).toSeq.filter(_.isFile)
         .filterNot(st => live.contains(st.getPath.getName))
         .foreach(st => f.delete(st.getPath, false))

@@ -35,8 +35,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * Streaming checkpoint/state directories of stateful consumers
   * (TWS dedup state, priority-sample reservoirs).  The erasure
   * boundary and the two closure contracts (state-TTL horizon, or
-  * checkpoint restart post-purge) are documented in SCALE.md
-  * §"What purge does NOT erase: streaming checkpoints". */
+  * checkpoint restart post-purge) are documented — per shipped
+  * stream, as a table — in SCALE.md §"What purge does NOT erase:
+  * streaming checkpoints". */
 class PurgeSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
   import spark.implicits._

@@ -113,6 +113,42 @@ class StandalonePurgeSpec extends AnyFunSuite {
     drop(bm25Tables(name): _*)
   }
 
+  test("orphan ledger partition (crashed purge, no marker): probes " +
+    "serve the exact pre-purge corpus and the erasing compaction " +
+    "refuses loudly until the purge is replayed") {
+    val name = "sp_bm25_d"
+    drop(bm25Tables(name): _*)
+    val docs = bmDocs.toDF("doc_id", "text")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", name)
+    val preCrash = bm25Probe(name)
+    // the crash window: ledger partition landed, deltas + marker did
+    // not — compacting NOW would erase postings whose signed deltas
+    // never landed (N/avgdl/df permanently overcount) and wedge the
+    // replay (its membership require() would find the postings gone)
+    IndexLifecycle.writeBatchPartition(
+      Seq(5L, 9L).toDF("id"), IndexLifecycle.purgedTable(name), 0L, None)
+    assert(sameRows(bm25Probe(name), preCrash),
+      "an UNMARKED ledger partition must not mask the probe — its " +
+        "stats deltas never landed, so masking would serve a state " +
+        "matching neither pre- nor post-purge")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.compactBm25Index(spark, name)
+    }
+    assert(e.getMessage.contains("unmarked batch"),
+      s"compaction must refuse the orphan loudly, got: ${e.getMessage}")
+    // the documented recovery: replay the purge, then compact
+    assert(Purge.purgeBm25Index(
+      docs.where(col("doc_id").isin(5L, 9L)), 0L, "doc_id", "text", name))
+    Retrieval.compactBm25Index(spark, name)
+    Purge.assertBm25Purged(spark, name, Seq(5L, 9L).toDF("doc_id"),
+      "doc_id")
+    val live = docs.where(!col("doc_id").isin(5L, 9L))
+    val oneShot = Retrieval.bm25TopK(live, "doc_id", "text", bmQueries,
+      "query_id", "term", k = 5).orderBy("query_id", "rank")
+    assert(sameRows(bm25Probe(name), oneShot))
+    drop(bm25Tables(name): _*)
+  }
+
   test("bm25 purge: a never-ingested doc with tokens is rejected " +
     "loudly (its stats were never added)") {
     val name = "sp_bm25_c"
@@ -270,6 +306,39 @@ class StandalonePurgeSpec extends AnyFunSuite {
     assert(p47.contains((1L, 7L)),
       "an ingest AFTER the erasing compaction must pair against the " +
         "folded index correctly")
+    drop(lshTables(name) :+ pairsT: _*)
+  }
+
+  test("lsh rebuild drops the stale purge ledger and batch markers — " +
+    "a reused name must not inherit a prior instance's takedown debt") {
+    val name = "sp_lsh_rb"
+    val pairsT = "sp_lsh_rb_pairs"
+    drop(lshTables(name) :+ pairsT: _*)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    assert(Dedup.ingestBatchIntoIndex(docs, 0L, "doc_id", "text", name,
+      pairsT))
+    assert(Purge.purgeLshIndex(spark, name, Seq(2L).toDF("doc_id"),
+      "doc_id", 1L))
+    // REBUILD under the same name: without the ledger drop, doc 2's
+    // fresh ingest would be silently masked out of candidate pairs
+    // (and the next compaction would erase it); without the marker
+    // drop, batch 0 would no-op entirely
+    drop(pairsT)
+    Dedup.writeLshIndex(docs.where(lit(false)), "doc_id", "text", name)
+    assert(!spark.catalog.tableExists(s"${name}_purged"),
+      "rebuild must drop the stale purge ledger")
+    assert(!spark.catalog.tableExists(s"${name}_batches"),
+      "rebuild must drop the stale batch markers")
+    assert(Dedup.ingestBatchIntoIndex(docs, 0L, "doc_id", "text", name,
+      pairsT), "batch 0 must land on the rebuilt index (no stale marker)")
+    val pair = spark.table(pairsT)
+      .where(col("id_a") === 1L && col("id_b") === 2L)
+    assert(pair.count() == 1L,
+      "the rebuilt index must pair doc 2 (purged in the PRIOR instance) " +
+        "normally — no stale mask")
     drop(lshTables(name) :+ pairsT: _*)
   }
 

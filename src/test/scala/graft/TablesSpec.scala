@@ -146,6 +146,55 @@ class TablesSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("repairShards: rewrites only affected shards, recomputes pos, " +
+    "deletes fully-purged shards, idempotent, no-op on empty set") {
+    import graft.functions.ColFns.h60
+    val dir = Files.createTempDirectory("graft-shard-repair").toString
+    val nShards = 7
+    val docs = (0L until 300L).map(i => (i, s"text of $i"))
+      .toDF("id", "text")
+    Tables.writeShards(graft.ext.Sampling.shuffleShard(docs, "id", nShards),
+      dir)
+    // purge set A: a handful of ids — plus, separately, EVERY id of
+    // one specific shard (the fully-purged-shard case)
+    val shardOf = docs.select(col("id"),
+        (h60(col("id").cast("string")) % nShards).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victimShard = shardOf(0L)
+    val wholeShard = shardOf.collect {
+      case (id, s) if s == victimShard => id }.toSet
+    val purgedIds = wholeShard ++ Set(1L, 2L, 3L)
+    val purged = purgedIds.toSeq.toDF("id")
+    val affected = Tables.repairShards(spark, dir, purged, "id", nShards)
+    assert(affected.toSet ==
+      purgedIds.map(id => shardOf(id)),
+      "affected = h60(id) % nShards over the purged ids, nothing else")
+    // the fully-purged shard's directory is GONE (absent == empty to
+    // a Hive-layout reader, and stale files would be an erasure leak)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, s"shard=$victimShard")),
+      "a shard whose every row is purged must be deleted")
+    // repaired == fresh reshard of corpus-minus-purged, positions too
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val fresh = graft.ext.Sampling.shuffleShard(
+        docs.where(!col("id").isin(purgedIds.toSeq: _*)), "id", nShards)
+      .select(col("id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(back.toSeq == fresh.toSeq,
+      "repair must be row-identical to a fresh reshard of the live corpus")
+    // idempotent: a second repair rewrites the same shards to the
+    // same rows
+    Tables.repairShards(spark, dir, purged, "id", nShards)
+    val again = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(again.toSeq == fresh.toSeq)
+    // empty purge set: returns Nil before touching anything
+    assert(Tables.repairShards(spark, dir,
+      docs.where(lit(false)).select("id"), "id", nShards) == Nil)
+  }
+
   test("compactPartitioned preserves a MULTI-LEVEL partition tree verbatim") {
     // q84 gates the single-level case; this pins two-level nesting
     // (lang=X/source=Y) — relative paths must mirror exactly and

@@ -123,6 +123,47 @@ class TxLogLeaseSpec extends AnyFunSuite {
       == want + (4L -> 1L))
   }
 
+  test("forced folds: a one-batch log rewrites, a base-only log refolds " +
+    "under the next marker generation, floors and replay survive") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("txforce").toString
+    assert(TxLog.commitBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, 0L))
+    // default size gate: one live marker → no fold
+    assert(TxLog.compactWith(spark, dir, (df, _) =>
+      df.where(col("id") =!= 2L)) == None)
+    assert(TxLog.readCommitted(spark, dir).count() == 2L)
+    // forced (the erasing-fold case): the single batch rewrites
+    assert(TxLog.compactWith(spark, dir, (df, _) =>
+      df.where(col("id") =!= 2L), force = true) == Some(0L))
+    assert(TxLog.readCommitted(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(TxLog.isCommitted(spark, dir, 0L), "folded id stays committed")
+    // base-only refold: same ceiling, next generation marker — the
+    // second erase must still rewrite (create-only marker publishes
+    // would otherwise wedge it)
+    assert(TxLog.compactWith(spark, dir, (df, _) =>
+      df.where(col("id") =!= 1L), force = true) == Some(0L))
+    assert(TxLog.readCommitted(spark, dir).isEmpty,
+      "the generation refold must serve the re-erased base")
+    assert(TxLog.lastCompactedId(spark, dir) == Some(0L))
+    // and a third one (g1 → g2)
+    assert(TxLog.compactWith(spark, dir, (df, _) => df, force = true)
+      == Some(0L))
+    // the log keeps working: new batches land above the floor and a
+    // normal fold retakes the plain-name ceiling
+    assert(TxLog.commitBatch(Seq((3L, "c")).toDF("id", "v"), dir, 1L))
+    assert(!TxLog.commitBatch(Seq((9L, "x")).toDF("id", "v"), dir, 0L),
+      "the refolded ceiling must still refuse folded-id replays")
+    assert(TxLog.compact(spark, dir) == Some(1L))
+    assert(TxLog.readCommitted(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // nothing force-folds on an empty-marker log
+    val empty = java.nio.file.Files.createTempDirectory("txforce2").toString
+    assert(TxLog.compactWith(spark, empty, (df, _) => df, force = true)
+      == None)
+  }
+
   test("two writers racing one batch id: exactly-once, loser's payload discarded") {
     // deterministic injection of the multi-writer race (the scenario
     // the round-10 torn-crc fix met by accident): writer B commits
