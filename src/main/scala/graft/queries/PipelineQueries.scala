@@ -3870,6 +3870,62 @@ object PipelineQueries {
        |  CAST(sum(tl) AS BIGINT) AS sum_len
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- Q129: byte-level BPE token budget --------------------------------
+  // The subword-tokenizer leg of the selection family: every budget
+  // op takes its count COLUMN as a parameter, so Bpe.tokenCount plugs
+  // straight into takeByBudget — docs ranked by hash priority, kept
+  // while cumulative BPE tokens fit 2/5 of the corpus budget.  The
+  // gate runs TWO fixed merge tables: the empty table (byte fallback
+  // — count == non-space UTF-8 bytes, the oracle's arithmetic base)
+  // and a two-merge table ("t"+"a", "b"+"l") chosen STRUCTURALLY
+  // non-interacting (disjoint byte alphabets, so neither merge can
+  // create or consume the other's occurrences in ANY corpus): under
+  // that restriction BPE's greedy non-overlapping fusion count equals
+  // what SQL replace() arithmetic computes, which is what makes a
+  // DuckDB oracle possible at all.  Chained/interacting merges (where
+  // no SQL twin exists) are pinned by BpeSpec goldens instead;
+  // trainMerges determinism likewise.
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val merges: Bpe.Merges = Seq(("t", "a"), ("b", "l"))
+    val scored = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+        Bpe.tokenCount(col("text"), Nil).as("n_bytes"),
+        // hash priority scaled into takeByBudget's [0, 1] score
+        // domain; ties (same bucket of 10^4) break by id asc in both
+        // engines
+        ((h60(col("doc_id").cast("string")) % Sampling.SplitMod)
+          .cast("double") / Sampling.SplitMod).as("pr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = scored.agg(sum(col("n_bpe"))).first().getLong(0)
+    Dedup.registerCleanup(
+      Sampling.takeByBudget(scored, "doc_id", "n_bpe", col("pr"),
+          budget = total * 2 / 5)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          sum(col("n_bytes")).as("sum_bytes")),
+      scored)
+  }
+  val q129Sql: String = {
+    def occ(p: String): String =
+      s"(strlen(text) - strlen(replace(text, '$p', ''))) / 2"
+    s"""WITH b AS (SELECT doc_id,
+       |    strlen(replace(text, ' ', ''))
+       |      - ${occ("ta")} - ${occ("bl")} AS n_bpe,
+       |    strlen(replace(text, ' ', '')) AS n_bytes,
+       |    CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} % ${Sampling.SplitMod}
+       |      AS DOUBLE) / ${Sampling.SplitMod} AS pr
+       |  FROM documents),
+       |c AS (SELECT *, sum(n_bpe) OVER (ORDER BY pr DESC, doc_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+       |SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+       |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+       |FROM c WHERE cum <= (SELECT CAST(sum(n_bpe) AS BIGINT) * 2 // 5
+       |                     FROM b)""".stripMargin
+  }
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -4703,6 +4759,7 @@ object PipelineQueries {
     "q126_ann_purge" -> (q126 _),
     "q127_lsh_purge" -> (q127 _),
     "q128_shard_purge_repair" -> (q128 _),
+    "q129_bpe_budget" -> (q129 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4830,6 +4887,7 @@ object PipelineQueries {
     "q126_ann_purge" -> q126Sql,
     "q127_lsh_purge" -> q127Sql,
     "q128_shard_purge_repair" -> q128Sql,
+    "q129_bpe_budget" -> q129Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,
