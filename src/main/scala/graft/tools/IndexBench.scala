@@ -42,6 +42,8 @@ object IndexBench {
     if (args.headOption.contains("purge")) return purgeBench(
       if (args.length > 1) args(1).toInt else 10000,
       if (args.length > 2) args(2).toInt else 500)
+    if (args.headOption.contains("familypurge")) return familyPurgeBench(
+      if (args.length > 1) args(1).toInt else 10000)
     val nCorpus = if (args.nonEmpty) args(0).toInt else 20000
     val nBatch = if (args.length > 1) args(1).toInt else 500
     val spark = SparkSession.builder().master("local[8]")
@@ -675,6 +677,134 @@ object IndexBench {
       }
       println(f"m=$m%-7d boxed=~$heapMb%.1f MB plan=$planS%.3f s " +
         f"literal_scan=$litS%.2f s semi_join=$joinS%.2f s")
+    }
+    spark.stop()
+  }
+
+  /** The STANDALONE-family purge cost curves (q125–q127's operators):
+    * per family — BM25, IVF-ANN, LSH — grow an index to 16× base via
+    * marker-gated ingests, take one purge-free compaction as the fold
+    * baseline, then purge m ∈ {1, 2000} ids and measure retraction
+    * wall+jobs and erasing-compaction wall+jobs, certificate
+    * require()d each round.  The claim under test: the retraction is
+    * O(purged batch) — BM25's is the only purge that SCANS text (the
+    * negated ingest aggregation over the purged docs), ANN/LSH are
+    * ledger-partition writes — and the erasing compaction rides the
+    * scans the purge-free fold already does, independent of m.
+    * Usage: runMain graft.tools.IndexBench familypurge [baseDocs] */
+  private def familyPurgeBench(base: Int): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{AnnIndex, Purge, Retrieval}
+    val size = 16L * base
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 to 7).map(k => md5(concat(col("id"), lit(s"_$k")))): _*).as("text"))
+    def embs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("vec_id"),
+      // cos, not sin: id 0 must not be the all-zero vector (cosine
+      // assignment divides by the norm)
+      array((0 until 8).map(d =>
+        cos(col("id") * lit(0.37 + d * 0.11)).cast("float")): _*)
+        .as("embedding"))
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+    var lastJobs = 0L
+    def windowJobs(): Long = {
+      org.apache.spark.sql.graftshim.Bridge.drainListenerBus(spark)
+      val now = jobCount.get(); val d = now - lastJobs; lastJobs = now; d
+    }
+    def timed(f: => Unit): (Double, Long) = {
+      windowJobs()
+      val t0 = System.nanoTime(); f
+      ((System.nanoTime() - t0) / 1e9, windowJobs())
+    }
+    // purged-id schedule: disjoint across rounds, all < size (ingested)
+    var cursor = 0L
+    def purgeIds(m: Long): org.apache.spark.sql.DataFrame = {
+      val ids = spark.range(cursor, cursor + m)
+        .select((col("id") * 10L + 3L).as("id")).localCheckpoint()
+      cursor += m; ids
+    }
+
+    // ---- BM25 ----
+    val bm = "fpb_bm25"
+    Seq("_postings", "_vocab", "_stats", "_batches", "_purged")
+      .foreach(x => graft.sources.Tables.dropWithLocation(spark, s"$bm$x"))
+    Retrieval.writeBm25Index(docs(0L, base.toLong), "doc_id", "text", bm)
+    (1 to 15).foreach(i => require(Retrieval.ingestBm25Batch(
+      docs(i.toLong * base, (i + 1).toLong * base), i.toLong,
+      "doc_id", "text", bm)))
+    val (bS, bJ) = timed(Retrieval.compactBm25Index(spark, bm))
+    println(f"bm25  grown n=$size%-8d purge-free fold baseline_s=$bS%.2f jobs=$bJ%d")
+    for (m <- Seq(1L, 2000L)) {
+      val ids = purgeIds(m)
+      val pdocs = docs(0L, size).join(broadcast(ids
+        .select(col("id").as("doc_id"))), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val (pS, pJ) = timed(require(
+        Purge.purgeBm25Index(pdocs, 100L + m, "doc_id", "text", bm)))
+      val (eS, eJ) = timed(Retrieval.compactBm25Index(spark, bm))
+      Purge.assertBm25Purged(spark, bm,
+        ids.select(col("id").as("doc_id")), "doc_id")
+      println(f"bm25  purge m=$m%-5d purge_s=$pS%.2f jobs=$pJ%d  " +
+        f"erase_compact_s=$eS%.2f jobs=$eJ%d")
+    }
+
+    // ---- ANN ----
+    cursor = 0L
+    val an = "fpb_ann"
+    Seq("_cells", "_codebook", "_batches", "_purged")
+      .foreach(x => graft.sources.Tables.dropWithLocation(spark, s"$an$x"))
+    AnnIndex.writeAnnIndex(embs(0L, base.toLong), "vec_id", "embedding",
+      an, nCentroids = 16, kmeansIters = 2)
+    (1 to 15).foreach(i => require(AnnIndex.ingestAnnBatch(
+      embs(i.toLong * base, (i + 1).toLong * base), i.toLong,
+      "vec_id", "embedding", an)))
+    val (aS, aJ) = timed(AnnIndex.compactAnnIndex(spark, an))
+    println(f"ann   grown n=$size%-8d purge-free fold baseline_s=$aS%.2f jobs=$aJ%d")
+    for (m <- Seq(1L, 2000L)) {
+      val ids = purgeIds(m)
+      val (pS, pJ) = timed(require(
+        Purge.purgeAnnIndex(spark, an, ids, "id", 100L + m)))
+      val (eS, eJ) = timed(AnnIndex.compactAnnIndex(spark, an))
+      Purge.assertAnnPurged(spark, an, ids, "id")
+      println(f"ann   purge m=$m%-5d purge_s=$pS%.2f jobs=$pJ%d  " +
+        f"erase_compact_s=$eS%.2f jobs=$eJ%d")
+    }
+
+    // ---- LSH (with a pairs table in the fold) ----
+    cursor = 0L
+    val ls = "fpb_lsh"
+    val pairsT = "fpb_lsh_pairs"
+    (Seq("_shingles", "_bands", "_batches", "_purged").map(ls + _)
+      :+ pairsT).foreach(t => graft.sources.Tables.dropWithLocation(spark, t))
+    Dedup.writeLshIndex(docs(0L, 0L), "doc_id", "text", ls)
+    (0 to 15).foreach(i => require(Dedup.ingestBatchIntoIndex(
+      docs(i.toLong * base, (i + 1).toLong * base), i.toLong,
+      "doc_id", "text", ls, pairsT)))
+    val (lS, lJ) = timed(
+      Dedup.compactLshIndex(spark, ls, pairsTables = Seq(pairsT)))
+    println(f"lsh   grown n=$size%-8d purge-free fold baseline_s=$lS%.2f jobs=$lJ%d")
+    for (m <- Seq(1L, 2000L)) {
+      val ids = purgeIds(m)
+      val (pS, pJ) = timed(require(
+        Purge.purgeLshIndex(spark, ls, ids, "id", 100L + m)))
+      val (eS, eJ) = timed(
+        Dedup.compactLshIndex(spark, ls, pairsTables = Seq(pairsT)))
+      Purge.assertLshPurged(spark, ls, ids, "id", Seq(pairsT))
+      println(f"lsh   purge m=$m%-5d purge_s=$pS%.2f jobs=$pJ%d  " +
+        f"erase_compact_s=$eS%.2f jobs=$eJ%d")
     }
     spark.stop()
   }
