@@ -316,6 +316,13 @@ object Bench {
     // postings shuffle), so it runs with the light blocks before the
     // LSH heavyweights' wake.
     val b14 = best5Loaded { PipelineQueries.q105(spark, sfDir).count() }
+    // B15: concat-and-chunk token packing (q130) — encode-to-ids at
+    // scan speed, one bucket shuffle, per-chunk slice reassembly.
+    // Cheap (the corpus passes the shuffle once as compact long
+    // arrays), so it runs with the light blocks before the LSH
+    // heavyweights' wake; measured so the packing path has its own
+    // per-round number like every other first-class operator.
+    val b15 = best5Loaded { PipelineQueries.q130(spark, sfDir).count() }
     val b6 = best5Loaded {
       PipelineQueries.q17(spark, sfDir).count(); spark.catalog.clearCache()
     }
@@ -350,13 +357,13 @@ object Bench {
     val b13 = best5Loaded {
       PipelineQueries.q106(spark, sfDir).count(); spark.catalog.clearCache()
     }
-
     val qs = Seq("b1_charpair_mean" -> b1, "b2_ragged_mean" -> b2,
       "b3_q01_group_sum" -> b3, "b4_q03_multi_agg" -> b4, "b5_q08_mean" -> b5,
       "b6_q17_minhash_lsh" -> b6, "b7_q19_ngram_jaccard" -> b7,
       "b8_q15b_ann_lsh" -> b8, "b9_running_fold_tws" -> b9,
       "b10_dedup_ttl_tws" -> b10, "b11_q92_survivor_corpus" -> b11,
-      "b13_q106_passage_removal" -> b13, "b14_q105_bm25_topk" -> b14)
+      "b13_q106_passage_removal" -> b13, "b14_q105_bm25_topk" -> b14,
+      "b15_q130_concat_chunk" -> b15)
     val qjson = qs.map { case (k, (v, _, _, _)) => s""""$k":$v""" }.mkString("{", ",", "}")
     // per-bench [loadavg-before, loadavg-after]: a bench whose load
     // numbers are near the core count was measured under contention

@@ -37,4 +37,54 @@ object Packing {
         col("__bucket") * lit(1L << 32) + expr(s"__prefix div $capacity"))
       .drop("__bucket", "__prefix")
   }
+
+  /** Concat-and-chunk packing (the GPT-style pretraining format,
+    * complementing [[packBySize]]'s no-split form): per bucket, the
+    * documents' token-id arrays are concatenated in id order with
+    * `eosId` after each document, and the stream is cut into
+    * sequences of EXACTLY `capacity` tokens (documents split at
+    * chunk boundaries; only each bucket's final sequence may be
+    * short).  Output: `seqCol = bucket · 2^32 + chunk` and `outCol:
+    * array<bigint>` of the sequence's ids.
+    *
+    * Distributed shape — sized for corpora where one row per TOKEN
+    * would be the bottleneck: one windowed prefix sum per bucket
+    * places every document at its absolute stream offset, then each
+    * document emits `O(1 + len/capacity)` SLICE rows (chunk id,
+    * in-chunk offset, `slice()` of its ids — compact long arrays,
+    * never exploded tokens), and one hash aggregation per chunk
+    * reassembles `array_sort`-by-offset + `flatten`.  Per-chunk state
+    * is bounded by `capacity` ids regardless of document sizes, so
+    * the aggregation cannot skew; everything is built-in codegen'd
+    * collection functions (no UDF). */
+  def concatChunk(df: DataFrame, idCol: String, idsCol: String,
+      capacity: Int, buckets: Int, eosId: Long,
+      seqCol: String = "seq_id", outCol: String = "input_ids"): DataFrame = {
+    require(capacity > 0 && buckets > 0)
+    val cap = capacity.toLong
+    val w = Window.partitionBy("__bucket").orderBy(col(idCol))
+    val placed = df
+      .withColumn("__bucket", h60(col(idCol).cast("string")) % buckets)
+      .withColumn("__ext",
+        concat(col(idsCol).cast("array<bigint>"), array(lit(eosId))))
+      .withColumn("__len", size(col("__ext")).cast("long"))
+      .withColumn("__prefix", sum(col("__len")).over(w) - col("__len"))
+    val pieces = placed.select(col("__bucket"), expr(
+      s"""inline(transform(
+         |  sequence(__prefix div ${cap}L, (__prefix + __len - 1) div ${cap}L),
+         |  c -> struct(
+         |    c AS __chunk,
+         |    greatest(c * ${cap}L, __prefix) - c * ${cap}L AS __off,
+         |    slice(__ext,
+         |      CAST(greatest(c * ${cap}L, __prefix) - __prefix + 1 AS INT),
+         |      CAST(least((c + 1) * ${cap}L, __prefix + __len)
+         |        - greatest(c * ${cap}L, __prefix) AS INT)) AS __piece)))"""
+        .stripMargin))
+    pieces.groupBy(col("__bucket"), col("__chunk"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__off"), col("__piece")))),
+        x => x("__piece"))).as(outCol))
+      .select((col("__bucket") * lit(1L << 32) + col("__chunk")).as(seqCol),
+        col(outCol))
+  }
 }

@@ -46,6 +46,17 @@ object Bpe {
       new graft.functions.cat.BpeTable(merges.toArray)))
   }
 
+  /** BPE token-ID sequence (`array<bigint>`, standard byte-level
+    * vocab: bytes 0–255, merge i = 256+i) of `text` under `merges` —
+    * same codegen'd kernel as [[tokenCount]] but keeping the tokens,
+    * the input [[graft.ext.Packing.concatChunk]] packs into training
+    * sequences.  `size(encode(t, m)) == tokenCount(t, m)` always. */
+  def encode(text: Column, merges: Merges): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.cat.BpeEncode(Bridge.expression(text),
+      new graft.functions.cat.BpeTable(merges.toArray)))
+  }
+
   /** Train `nMerges` byte-level merges on a corpus column.
     *
     * One distributed aggregation builds the (word, count) TYPE table;

@@ -25,6 +25,27 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     }
     m
   }
+
+  /** symbol → token id: the 256 single bytes are ids 0–255, merge i's
+    * fused symbol is id 256+i (the standard byte-level vocab layout).
+    * Two merges CAN fuse to the same string (e.g. (a,bc) and (ab,c));
+    * the lowest rank wins the id, matching the encoder (which can
+    * only ever produce the fused string once per adjacency). */
+  @transient lazy val symId: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](merges.length * 2 + 512)
+    var b = 0
+    while (b < 256) {
+      m.put(new String(Array(b.toByte),
+        java.nio.charset.StandardCharsets.ISO_8859_1), b.toLong)
+      b += 1
+    }
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + merges(i)._2, 256L + i)
+      i += 1
+    }
+    m
+  }
   override def toString: String = s"BpeTable(${merges.length} merges)"
 }
 
@@ -66,11 +87,79 @@ case class BpeCount(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** Full byte-level BPE token-id sequence of a string under a fixed
+  * merge table — [[BpeCount]]'s sibling that keeps the tokens instead
+  * of counting them, so packing can emit REAL packed id sequences
+  * (the shard format a training run reads) rather than counts.  Same
+  * kernel, same broadcast-vocab shape (the compiled table rides the
+  * plan once per executor); ids are the standard byte-level layout —
+  * bytes 0–255, merge i = 256+i ([[BpeTable.symId]]).  Never null on
+  * non-null input (empty text → empty array), and
+  * `size(graft_bpe_encode(s)) == graft_bpe_count(s)` by construction
+  * (BpeSpec pins it). */
+case class BpeEncode(child: Expression, table: BpeTable)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeCount.encodeIds(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.cat.BpeCount.encodeIds($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object BpeCount {
   private val ByteStrings: Array[String] =
     (0 until 256).map(b =>
       new String(Array(b.toByte), java.nio.charset.StandardCharsets.ISO_8859_1))
       .toArray
+
+  /** Static per-row kernel for [[BpeEncode]]: the concatenated token
+    * ids of the string's space-separated words (spaces are the
+    * pre-tokenizer, never tokens — so the id stream's length equals
+    * [[compute]]'s count).  Allocation is one exact-size pass: the
+    * token count can never exceed the non-space byte count. */
+  def encodeIds(s: UTF8String,
+      t: BpeTable): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new Array[Long](n) // upper bound: one token per byte
+    var w = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          if (t.merges.isEmpty) {
+            var j = start
+            while (j < i) { out(w) = bytes(j) & 0xffL; w += 1; j += 1 }
+          } else {
+            val syms = encodeRange(bytes, start, i, t)
+            var j = 0
+            while (j < syms.length) {
+              out(w) = t.symId.get(syms(j)); w += 1; j += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
 
   /** Static per-row kernel (called from generated code): total BPE
     * token count across the string's space-separated words. */

@@ -3926,6 +3926,59 @@ object PipelineQueries {
        |                     FROM b)""".stripMargin
   }
 
+  // ---- Q130: concat-and-chunk token packing ------------------------------
+  // The last mile of training-data prep: Bpe.encode turns text into
+  // token-ID arrays (byte-fallback table here — the id stream the
+  // oracle can reconstruct: ids == non-space byte values, EOS
+  // appended per doc) and Packing.concatChunk cuts the per-bucket
+  // concatenated stream into EXACT 256-token sequences, documents
+  // splitting at chunk boundaries.  The digest is position-sensitive
+  // (pos_sig = Σ (offset+1)·id), so a wrong slice boundary, a
+  // misordered reassembly, or a dropped EOS all hash-mismatch.
+  // Merge-table encoding (no SQL twin) is pinned by BpeSpec goldens;
+  // chunk reassembly with merges by PackingSpec.
+  private val ChunkCap = 256
+  private val ChunkBuckets = 8
+  private val ChunkEos = 999L
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), Bpe.encode(col("text"), Nil).as("ids"))
+    Packing.concatChunk(docs, "doc_id", "ids", ChunkCap, ChunkBuckets,
+        ChunkEos)
+      .select(col("seq_id"),
+        size(col("input_ids")).cast("long").as("n_tokens"),
+        expr("aggregate(input_ids, 0L, (a, x) -> a + x)").as("sum_ids"),
+        expr("""aggregate(input_ids,
+                named_struct('s', 0L, 'i', 1L),
+                (a, x) -> named_struct('s', a.s + a.i * x, 'i', a.i + 1),
+                a -> a.s)""").as("pos_sig"))
+      .orderBy("seq_id")
+  }
+  val q130Sql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % $ChunkBuckets AS bucket,
+       |    string_split(replace(text,' ',''),'') AS chs
+       |  FROM documents),
+       |d AS (SELECT doc_id, bucket, chs, len(chs) + 1 AS n_tok FROM b),
+       |p AS (SELECT doc_id, bucket, chs, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tok
+       |      AS prefix
+       |  FROM d),
+       |tok AS (
+       |  SELECT bucket, prefix + u.s.p - 1 AS gpos, u.s.id AS id
+       |  FROM p, unnest(list_transform(chs,
+       |    (x,i) -> {'p': i, 'id': ord(x)})) AS u(s)
+       |  UNION ALL
+       |  SELECT bucket, prefix + n_tok - 1 AS gpos, $ChunkEos AS id FROM p),
+       |c AS (SELECT bucket * ${1L << 32} + gpos // $ChunkCap AS seq_id,
+       |    gpos % $ChunkCap AS off, id FROM tok)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(id) AS BIGINT) AS sum_ids,
+       |  CAST(sum((off + 1) * id) AS BIGINT) AS pos_sig
+       |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   // ---- Q58: TF-IDF top terms per document -------------------------------
   // Three hash aggregations (per-doc-term tf, per-doc length, corpus
   // df) + one shuffle join on term; the per-doc top-3 window is
@@ -4760,6 +4813,7 @@ object PipelineQueries {
     "q127_lsh_purge" -> (q127 _),
     "q128_shard_purge_repair" -> (q128 _),
     "q129_bpe_budget" -> (q129 _),
+    "q130_concat_chunk" -> (q130 _),
     "q53_heavy_hitters" -> (q53 _),
     "q54_bloom_join" -> (q54 _),
     "q38_json_extract" -> (q38 _),
@@ -4888,6 +4942,7 @@ object PipelineQueries {
     "q127_lsh_purge" -> q127Sql,
     "q128_shard_purge_repair" -> q128Sql,
     "q129_bpe_budget" -> q129Sql,
+    "q130_concat_chunk" -> q130Sql,
     "q53_heavy_hitters" -> q53Sql,
     "q54_bloom_join" -> q54Sql,
     "q30_stream_window" -> q30Sql,

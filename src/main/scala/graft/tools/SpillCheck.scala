@@ -61,7 +61,11 @@ object SpillCheck {
     // aggregation + signed-sum probe, and the LSH pair-table erase
     // (endpoint anti-joins through the staged swap) under pressure;
     // q126's cells erase rides the same swapFold machinery as q125
-    "q125_bm25_purge", "q127_lsh_purge")
+    "q125_bm25_purge", "q127_lsh_purge",
+    // round-17: concat-and-chunk packing — the per-chunk collect_list
+    // reassembly's sort-based fallback must still array_sort+flatten
+    // the slices in offset order when the agg spills
+    "q130_concat_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -76,6 +76,47 @@ class BpeSpec extends AnyFunSuite {
     assert(df.agg(sum("n")).first().getLong(0) > 0L)
   }
 
+  test("encode column: byte-level vocab ids (bytes 0-255, merge i = " +
+    "256+i), size == tokenCount, multibyte byte fallback") {
+    // CHAINED merges — the table q130's SQL oracle cannot express;
+    // the id layout is what a training consumer relies on
+    val merges: Bpe.Merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq((1L, "the cat"), (2L, "café x"), (3L, "   ")).toDF("id", "text")
+    val rows = df.select(col("id"),
+        Bpe.encode(col("text"), merges).as("ids"),
+        Bpe.tokenCount(col("text"), merges).as("n"),
+        Bpe.encode(col("text"), Nil).as("bytes"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2),
+        r.getSeq[Long](3)))).toMap
+    // 'the' -> chained fuse to merge 1 (id 257); 'cat' -> raw bytes
+    assert(rows(1L)._1 == Seq(257L, 'c'.toLong, 'a'.toLong, 't'.toLong))
+    // byte fallback: exactly the non-space UTF-8 bytes, as unsigned
+    assert(rows(2L)._3 ==
+      "caféx".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toLong).toSeq)
+    // whitespace-only text: empty sequence, not null
+    assert(rows(3L)._1 == Seq.empty[Long])
+    // the count/encode contract, on every row and both tables
+    for ((_, (ids, n, bytes)) <- rows) {
+      assert(ids.length.toLong == n)
+      assert(bytes.forall(b => b >= 0L && b <= 255L))
+    }
+  }
+
+  test("encode runs inside whole-stage codegen (no fallback)") {
+    val df = spark.range(100)
+      .select(Bpe.encode(concat(lit("the t"), col("id").cast("string")),
+        Seq(("t", "h"))).as("ids"))
+    val wscg = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.exists(_.toString.contains("graft_bpe_encode")),
+      "the BPE encode must sit INSIDE a WholeStageCodegen span, got:\n" +
+        df.queryExecution.executedPlan.toString)
+    assert(df.select(sum(size(col("ids")))).first().getLong(0) > 0L)
+  }
+
   test("trainMerges: deterministic, frequency-ranked, fuses chains") {
     // 'aa' dominates, then the trained symbol chains
     val df = Seq.fill(8)("aaab").zipWithIndex
