@@ -232,6 +232,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q130: chunk reassembly reuses the bucket hash exchange — the " +
+    "corpus crosses exactly one data shuffle as id arrays") {
+    val p = plan(PipelineQueries.q130(spark, sf))
+    // the prefix-sum window partitions by __bucket and the per-chunk
+    // collect_list groups by (__bucket, __chunk) — Catalyst must
+    // satisfy the agg from the window's hashpartitioning, so ONE hash
+    // exchange total (the final orderBy adds a range exchange, which
+    // is output formatting, not corpus movement)
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window and chunk agg must share one bucket-hash exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"chunking must never collapse to one partition:\n$p")
+    // the encode stays codegen'd on the scan side of the exchange
+    assert(p.contains("graft_bpe_encode"), s"encode must be in-plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q82: frame features are a pure per-partition explode (no data shuffle)") {
     val p = plan(PipelineQueries.all("q82_audio_frames")(spark, sf))
     // media bytes must never cross an exchange: decode + window
