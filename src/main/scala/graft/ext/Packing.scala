@@ -47,6 +47,19 @@ object Packing {
     * short).  Output: `seqCol = bucket · 2^32 + chunk` and `outCol:
     * array<bigint>` of the sequence's ids.
     *
+    * Preconditions (the [[packBySize]] contract, stated here too):
+    * `idCol` values must be UNIQUE — the placement window orders by
+    * id, and tied rows would receive the same cumulative sum
+    * (overlapping offsets, chunks past capacity).  Rows whose
+    * `idsCol` is null are DROPPED (null extends to a null slice and
+    * `inline` emits nothing) — upstream encoders ([[graft.functions.Bpe.encode]])
+    * are null-intolerant, so a null here means a null document;
+    * coalesce to `array()` upstream if such a doc should still
+    * contribute its EOS.  `seqCol` packs the chunk index into the low
+    * 32 bits, so one bucket supports 2^32 chunks (= 2^32 · capacity
+    * tokens; at capacity 256 that is ~10^12 tokens/bucket) — size
+    * `buckets` so a bucket stays below that bound.
+    *
     * Distributed shape — sized for corpora where one row per TOKEN
     * would be the bottleneck: one windowed prefix sum per bucket
     * places every document at its absolute stream offset, then each

@@ -78,11 +78,21 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     // words as mutable symbol sequences (ISO-8859-1 byte strings,
-    // BpeCount's representation)
-    val words: Array[(Array[String], Long)] = types.map { case (w, n) =>
-      (w.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(b =>
-        new String(Array(b), java.nio.charset.StandardCharsets.ISO_8859_1)),
-        n)
+    // BpeCount's representation), split at the SAME pre-tokenization
+    // byte ceiling the encode kernel applies
+    // ([[graft.functions.cat.BpeCount.MaxWordBytes]]): the in-memory
+    // pair-count loop is O(unit²) per word type, so one space-free
+    // 100 KB type (CJK text, a base64 blob) would otherwise stall the
+    // driver the way an unbounded unit stalls an executor.  Below the
+    // ceiling — all natural-language words — nothing changes; training
+    // and encoding see identical units either way.
+    val ceiling = graft.functions.cat.BpeCount.MaxWordBytes
+    val words: Array[(Array[String], Long)] = types.flatMap { case (w, n) =>
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .grouped(ceiling).map { unit =>
+          (unit.map(b => new String(Array(b),
+            java.nio.charset.StandardCharsets.ISO_8859_1)), n)
+        }
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var current = words

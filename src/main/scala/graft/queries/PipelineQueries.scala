@@ -1524,8 +1524,14 @@ object PipelineQueries {
     * quality, same (q, -doc_id) tie-break). */
   private def loserIds(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
+    // localCheckpoint: three plan branches consume the pairs (the
+    // closure's canonical cut, the node set, and — through nodes —
+    // the scored pick); without the cut the LSH band join + verify
+    // re-executes per branch (measured r18: q92 spent ~2 of its 5.9 s
+    // re-deriving pairs — guide §2.4, share one materialization).
+    // Pair-count is O(near-dups) ≪ corpus, so the block is tiny.
     val pairs = Dedup.lshPairs(docs, "doc_id", "text",
-      minJaccard = ClusterMinJaccard)
+      minJaccard = ClusterMinJaccard).localCheckpoint()
     val nodes = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val comp = graft.ext.Components.connectedComponents(
@@ -3937,6 +3943,12 @@ object PipelineQueries {
   // misordered reassembly, or a dropped EOS all hash-mismatch.
   // Merge-table encoding (no SQL twin) is pinned by BpeSpec goldens;
   // chunk reassembly with merges by PackingSpec.
+  // ORACLE SCOPE: the DuckDB twin tokenizes per Unicode CODE POINT
+  // (string_split(…,'') + ord) while Bpe.encode(Nil) emits one token
+  // per UTF-8 BYTE — equal only while documents.text is ASCII, which
+  // this corpus is (measured: octet_length(encode(text)) ==
+  // length(text) across every SF); a non-ASCII corpus would need a
+  // byte-accurate oracle (unnest over the UTF-8 bytes via encode()).
   private val ChunkCap = 256
   private val ChunkBuckets = 8
   private val ChunkEos = 999L

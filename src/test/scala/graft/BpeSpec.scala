@@ -117,6 +117,44 @@ class BpeSpec extends AnyFunSuite {
     assert(df.select(sum(size(col("ids")))).first().getLong(0) > 0L)
   }
 
+  test("pre-tokenization byte ceiling: space-free units split at " +
+    "MaxWordBytes, unchanged below it") {
+    val C = BpeCount.MaxWordBytes
+    assert(C == 256, "the documented ceiling — update this spec with it")
+    val merges: Bpe.Merges = Seq(("a", "b"))
+    // below the ceiling: a 200-byte space-free word encodes exactly
+    // like the unbounded single-unit form
+    val below = "x" * 198 + "ab"
+    // at the boundary: byte C-1 is 'a', byte C is 'b' — the ceiling
+    // must CUT the pair (merges cannot fire across a unit boundary,
+    // exactly as across a space), so the count is one higher than the
+    // unbounded form's (C-2 x's + 1 fused ab = C-1 would be unbounded;
+    // split gives C-1 singles + b = C)
+    val atBoundary = "x" * (C - 1) + "ab" // C+1 bytes, no spaces
+    val df = Seq((1L, below), (2L, atBoundary)).toDF("id", "text")
+    val got = df.select(col("id"),
+        Bpe.tokenCount(col("text"), merges).as("n"),
+        Bpe.encode(col("text"), merges).as("ids"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2))))
+      .toMap
+    assert(got(1L)._1 == 199L, "below the ceiling: 198 x + fused ab")
+    assert(got(1L)._2 == (Seq.fill(198)('x'.toLong) :+ 256L),
+      "below-ceiling ids match the single-unit encode (merge 0 = id 256)")
+    // above: unit 1 = (C-1) x's + 'a' (C bytes), unit 2 = 'b'
+    assert(got(2L)._1 == (C + 1).toLong,
+      s"the ceiling splits the trailing ab pair: ${C - 1} x + a + b " +
+        "(the unbounded form would fuse to " + C + " tokens)")
+    assert(got(2L)._2.takeRight(2) == Seq('a'.toLong, 'b'.toLong),
+      "the pair cut by the unit boundary stays two byte tokens")
+    // whole-document cost is now O(len · ceiling): a space-free text
+    // of many units encodes unit-by-unit (count = Σ per-unit counts)
+    val many = ("ab" * (2 * C)).grouped(C).map(u =>
+      BpeCount.encodeWord(u, merges).length.toLong).sum
+    val gotMany = Seq((1L, "ab" * (2 * C))).toDF("id", "text")
+      .select(Bpe.tokenCount(col("text"), merges)).first().getLong(0)
+    assert(gotMany == many, "multi-unit count = sum of per-unit counts")
+  }
+
   test("trainMerges: deterministic, frequency-ranked, fuses chains") {
     // 'aa' dominates, then the trained symbol chains
     val df = Seq.fill(8)("aaab").zipWithIndex

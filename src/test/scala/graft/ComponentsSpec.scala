@@ -40,13 +40,32 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded driver path labels identically to the distributed loop") {
+    // the r18 optimization: edge sets under maxDriverCloseEdges close
+    // on the driver — both paths must emit bit-identical assignments
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val n = 50 + trial * 50
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val nodesDf = (0 until n).map(_.toLong).toDF("id")
+      def run(ceiling: Int) = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", nodesDf, "id",
+        maxDriverCloseEdges = ceiling)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(run(1000000) == run(0), s"trial $trial")
+    }
+  }
+
   test("long chain converges in O(log n) rounds, not O(diameter)") {
     // a 200-node path — label propagation would need 200 rounds;
     // large-star/small-star must finish well inside maxIter=15
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
     val nodes = (0L until 200L).toDF("id")
+    // maxDriverCloseEdges = 0: this test pins the DISTRIBUTED loop's
+    // round count — the bounded driver path would skip it entirely
     val got = Components.connectedComponents(edges, "a", "b", nodes, "id",
-      maxIter = 15)
+      maxIter = 15, maxDriverCloseEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 200 && got.forall(_._2 == 0L))
   }
@@ -353,9 +372,12 @@ class ComponentsSpec extends AnyFunSuite {
     val nodes = (1L to 3L) ++ Seq(10L, 11L, 20L, 30L)
     val nodesDf = nodes.toDF("id")
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // maxDriverCloseEdges = 0: this test pins the reliable-checkpoint
+    // machinery of the distributed loop, which the bounded driver
+    // path (correctly) never touches
     def run(ckpt: Option[String]) =
       Components.connectedComponents(edges, "a", "b", nodesDf, "id",
-        checkpointDir = ckpt)
+        checkpointDir = ckpt, maxDriverCloseEdges = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(Some(dir)) == run(None))
     // the durable path must actually have written checkpoint data,
