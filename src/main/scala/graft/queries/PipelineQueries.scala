@@ -1545,7 +1545,12 @@ object PipelineQueries {
       .groupBy("component")
       .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
         .as("survivor_id"))
-    comp.join(surv, "component")
+    // broadcast: one row per pair-touched component (≤ |nodes|, ≪
+    // corpus at any dedup rate) — without the hint Catalyst has no
+    // size estimate for the agg over the checkpointed pairs and
+    // falls back to a sort-merge join of two tiny frames (r18 plan
+    // audit: the only SMJ left in q92's plan)
+    comp.join(broadcast(surv), "component")
       .where(col("doc_id") =!= col("survivor_id"))
       .select("doc_id")
   }
